@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline at 100 TB:
+  *
+  *  - exact dedup: hash-groupBy on content (one shuffle on the content key);
+  *  - MinHash + LSH near-dedup: per-row signature (narrow) → band-bucket
+  *    shuffle (only colliding docs meet) → exact Jaccard verify on the
+  *    candidate pairs. This is the scale path: no O(n²) cross join ever
+  *    materializes, only same-bucket candidates shuffle.
+  *  - n-gram Jaccard: exact set similarity on a bounded pair set;
+  *  - SimHash: per-row 16-bit signature; exact-match grouping.
+  *
+  * All hashes are deterministic integer arithmetic (no engine-native
+  * murmur), so every step is reproducible in the DuckDB oracle and the
+  * whole pipeline stays hash-checkable end-to-end.
+  */
+object Dedup {
+
+  /** Deterministic token hash used across dedup ops:
+    * th(w) = len(w)*97 + ascii(first)*13 + ascii(last).
+    */
+  private val thSpark = "w -> CAST(length(w) * 97 + ascii(substring(w, 1, 1)) * 13 + ascii(substring(w, length(w), 1)) AS BIGINT)"
+  private val thDuck = "w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)"
+
+  /** Exact deduplication: one representative (min doc_id) per distinct text.
+    * Single shuffle keyed on the text; at scale, key on a 128-bit content
+    * digest instead of the full text to shrink shuffle width.
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("n_copies"), length(col("text")).cast("long").as("text_len"))
+      .orderBy("keep_doc_id")
+
+  val qDedupExactOracle: String =
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, length(text) AS text_len
+      |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin
+
+  private val P = 2147483647L // 2^31 - 1
+  private val NumHashes = 32
+  private val Bands = 4 // 4 bands × 8 rows: band-collision prob j^8 keeps
+  // candidate generation selective (s* = (1/4)^(1/8) ≈ 0.84). MinHash runs
+  // over word-BIGRAM shingles, not unigrams: with a small vocabulary,
+  // unigram token sets are near-identical across documents and every LSH
+  // bucket degenerates to "all docs" (candidate join goes quadratic).
+  private def aCoef(i: Int): Long = 1103L * (i + 1) + 7
+  private def bCoef(i: Int): Long = 12289L * (i + 1) + 3
+
+  /** Distinct word-bigram shingles of `text` (Spark SQL expression). */
+  private val gramsSpark =
+    """array_distinct(transform(
+      | slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+      | (w, i) -> concat(w, '_', element_at(split(text, ' '), i + 2))))""".stripMargin
+
+  private val gramsDuck =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      | i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]))""".stripMargin
+
+  /** Polynomial char hash of a shingle: h = fold(7, (h, c) -> (h*131 + ascii(c)) mod P).
+    * Character access via explicit 1-based index so both engines fold in
+    * the same order with the same arithmetic.
+    */
+  private val shingleHashSpark =
+    s"""s -> aggregate(
+      |  transform(sequence(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),
+      |  CAST(7 AS BIGINT), (h, c) -> (h * 131 + c) % $P)""".stripMargin
+
+  private val shingleHashDuck =
+    s"""s -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |  list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+      |  (h, c) -> (h * 131 + c) % $P)""".stripMargin
+
+  /** MinHash signatures (32 permutations) over distinct word-bigram
+    * shingles. Narrow per-row compute; the building block for LSH.
+    */
+  def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"transform($gramsSpark, $shingleHashSpark)").as("ths"))
+    val mhCols = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P))").as(f"mh$i%02d")
+    }
+    d.select(col("doc_id") +: mhCols: _*).orderBy("doc_id")
+  }
+
+  val qMinhashSigOracle: String = {
+    val cols = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P)) AS mh${"%02d".format(i)}"
+    }.mkString(",\n ")
+    s"""SELECT doc_id, $cols
+      |FROM (SELECT doc_id, list_transform($gramsDuck, $shingleHashDuck) AS ths
+      |      FROM documents) sub
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash + LSH near-duplicate pairs: band the 32-hash signature into
+    * 4 bands of 8; docs sharing any band become candidates; candidates are
+    * verified with exact shingle-Jaccard ≥ 0.8 (P[candidate | j=0.9] ≈ 0.9).
+    * The band join is the only shuffle and only collides near-duplicates —
+    * this is the 100 TB-safe shape (no all-pairs comparison).
+    */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = qMinhashSig(s, dir)
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), expr(gramsSpark).as("grams"))
+    val bandCols = (0 until Bands).map { b =>
+      concat_ws(",", (0 until NumHashes / Bands).map(r => col(f"mh${b * (NumHashes / Bands) + r}%02d")): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_sig")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a"), "doc_a")
+      .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b"), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("grams_a"), col("grams_b"))) /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qMinhashLshOracle: String = {
+    val mhExprs = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P)) AS mh${"%02d".format(i)}"
+    }.mkString(", ")
+    s"""WITH ths AS (
+      |  SELECT doc_id, list_transform($gramsDuck, $shingleHashDuck) AS ths,
+      |         $gramsDuck AS grams
+      |  FROM documents),
+      |sig AS (SELECT doc_id, grams, $mhExprs FROM ths),
+      |bands2 AS (
+      |  SELECT doc_id, band_idx,
+      |    CASE band_idx ${(0 until Bands).map(b => s"WHEN $b THEN " + (0 until NumHashes / Bands).map(r => s"CAST(mh${"%02d".format(b * (NumHashes / Bands) + r)} AS VARCHAR)").mkString(" || ',' || ")).mkString(" ")} END AS band_sig
+      |  FROM sig, range($Bands) AS r(band_idx)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) AS jaccard
+      |FROM cand
+      |JOIN ths ta ON ta.doc_id = doc_a
+      |JOIN ths tb ON tb.doc_id = doc_b
+      |WHERE round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** n-gram (word bigram) Jaccard similarity on a deterministic pair subset
+    * (consecutive doc ids) — the exact-verification kernel of near-dedup.
+    */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(
+          | slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          | (w, i) -> concat(w, '_', element_at(split(text, ' '), i + 2))))""".stripMargin).as("grams"))
+    val a = grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a")
+    val b = grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b")
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("grams_a"), col("grams_b"))) /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4).as("bigram_jaccard"))
+      .orderBy("doc_a")
+  }
+
+  val qNgramJaccardOracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1])) AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.grams, b.grams)) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS bigram_jaccard
+      |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  /** SimHash (16-bit) per document: per-bit majority vote over token
+    * hashes. Pure per-row compute (narrow); duplicate clusters are found
+    * by exact grouping on the signature — a single small shuffle.
+    */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"transform(split(text, ' '), $thSpark)").as("ths"))
+    // bit b of simhash = 1 iff sum over tokens of (+1 if bit set else -1) > 0
+    val sim = expr(
+      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+        |  acc + CASE WHEN aggregate(ths, CAST(0 AS BIGINT),
+        |    (v, h) -> v + CASE WHEN CAST(h / CAST(pow(2, b) AS BIGINT) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) > 0
+        |  THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    d.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  val qSimhashOracle: String =
+    """SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), b ->
+      |   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(ths, h -> CASE WHEN (h // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |     (a, x) -> a + x) > 0
+      |   THEN CAST(2 ** b AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS simhash
+      |FROM (SELECT doc_id, list_transform(string_split(text, ' '),
+      |  w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
+      |  FROM documents) sub
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
+    QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
+    QueryDef("q_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
+    QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
+    QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
+  )
+}

@@ -1,0 +1,408 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+import graft.Tables.t
+
+/** The relational query surface the reference delegates to Redshift via
+  * user-authored SQL (reference: SURVEY.md §2.5 — projection/filter,
+  * insert-select, joins incl. semi/anti, aggregation, windows, set ops,
+  * case, subqueries). Here expressed Spark-first with the DataFrame API so
+  * Catalyst plans pushdown/pruning/broadcast natively.
+  *
+  * Every query aliases output columns identically to its DuckDB oracle and
+  * applies a total ordering, so the driver's sorted-column hash compare is
+  * deterministic. Doubles that result from multi-row accumulation are
+  * rounded (sums to 2dp, ratios/avgs to 4dp) since fp summation order is
+  * engine-specific.
+  */
+object Relational {
+
+  /** TPC-H Q1 style pricing summary: the canonical scan→filter→hash-agg.
+    * At 100 TB this is a single scan with partial aggregation map-side;
+    * only |groups| rows shuffle.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 style: selective dim filter → fact join → agg → top-k.
+    * customer filter is applied BEFORE the join so Catalyst broadcasts the
+    * reduced build side; at scale the orders/lineitem join shuffles on
+    * orderkey only after both filters prune.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 style: 6-way star join (region→nation→{customer,supplier} +
+    * orders→lineitem) with co-located customer/supplier nation. All dims
+    * are broadcast-size; only the orders⋈lineitem edge shuffles at scale.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5Oracle: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left outer join preserving customers with zero orders (reference
+    * pattern: streaming_load.rb:294-302 right-outer dedup join).
+    */
+  def qOuterJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_cnt"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  val qOuterJoinOracle: String =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+      | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: customers having at least one URGENT order. Catalyst plans
+    * LeftSemi (hash, build on filtered orders keys).
+    */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiJoinOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join: customers with no in-progress ('P') orders (reference
+    * NOT-IN guard pattern: streaming_load.rb:317-329).
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qAntiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window ranking: top-2 orders per customer by totalprice. Single
+    * shuffle on the partition key; rank prunes before any further join.
+    */
+  def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowTopNOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) sub
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running (cumulative) sum per user over event time — rows-frame window. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+      .orderBy("event_id")
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT event_id, user_id,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Distinct aggregation (expand+two-phase agg in Spark). */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("distinct_supps"),
+        countDistinct("l_partkey").as("distinct_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val qDistinctAggOracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supps,
+      | count(DISTINCT l_partkey) AS distinct_parts, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Set operation: orders with no lineitems (EXCEPT ≡ distinct anti). */
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("okey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
+    o.except(l).orderBy("okey")
+  }
+
+  val qExceptOracle: String =
+    """SELECT o_orderkey AS okey FROM orders
+      |EXCEPT SELECT l_orderkey FROM lineitem
+      |ORDER BY okey""".stripMargin
+
+  /** Set operation: orderkeys present in both orders and lineitem, unioned
+    * with a disjoint sentinel branch to exercise UNION ALL + INTERSECT.
+    */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("okey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
+    o.intersect(l).agg(count(lit(1)).as("n_common"))
+  }
+
+  val qIntersectOracle: String =
+    """SELECT count(*) AS n_common FROM (
+      |  SELECT o_orderkey AS okey FROM orders
+      |  INTERSECT SELECT l_orderkey FROM lineitem) sub""".stripMargin
+
+  /** CASE expression bucketing + conditional aggregation. */
+  def qCaseBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("bucket"),
+        col("o_totalprice"),
+        col("o_orderstatus"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_finished"))
+      .orderBy("bucket")
+
+  val qCaseBucketOracle: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |  WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS bucket,
+      | count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** ROLLUP over region→nation with COALESCE'd subtotal labels. Expressed
+    * in Spark SQL: the DataFrame `rollup` path trips Spark 4.1's
+    * fail-ambiguous-self-join check when the grouping columns are
+    * re-selected (the pre-Expand child attribute survives by name), while
+    * the SQL analyzer resolves the same plan unambiguously.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("region")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        | count(*) AS cust_cnt, round(sum(c_acctbal), 2) AS acct_total
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  val qRollupOracle: String =
+    """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+      | count(*) AS cust_cnt, round(sum(c_acctbal), 2) AS acct_total
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Scalar-subquery filter: orders above the (rounded) global average.
+    * Expressed as a broadcast cross join of the 1-row aggregate — the
+    * distributed form of a scalar subquery (no driver-side collect).
+    */
+  def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.agg(round(avg("o_totalprice"), 0).as("ap"))
+    o.crossJoin(broadcast(a))
+      .filter(col("o_totalprice") > col("ap"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val qAboveAvgOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 0) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Event-time hourly aggregation with JSON extraction from props. */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("value"), col("user_id"))
+      .groupBy("hr", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("total_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("hr", "event_type")
+
+  val qEventsHourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS total_value,
+      | count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
+
+  /** JSON field extraction (reference loads `json 'auto'` via COPY —
+    * psqldatasource.rb:413-424; here the scalar-extraction analogue).
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  val qJsonExtractOracle: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+      |ORDER BY event_id""".stripMargin
+
+  /** Scalar string functions over part (upper/substr/length/trim). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 12)).as("name12"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  val qStringFuncsOracle: String =
+    """SELECT p_partkey, upper(substr(p_name, 1, 12)) AS name12,
+      | length(p_name) AS name_len,
+      | p_brand || ':' || p_type AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Grouped having: suppliers shipping more than the 90th-percentile item
+    * count — HAVING on aggregate with a quantile-free deterministic bound.
+    */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("n_items") >= 100)
+      .orderBy("l_suppkey")
+
+  val qHavingOracle: String =
+    """SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100
+      |ORDER BY l_suppkey""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Oracle)),
+    QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle)),
+    QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Oracle)),
+    QueryDef("q_outer_join_counts", qOuterJoinCounts, Some(qOuterJoinOracle)),
+    QueryDef("q_semi_join", qSemiJoin, Some(qSemiJoinOracle)),
+    QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinOracle)),
+    QueryDef("q_window_topn", qWindowTopN, Some(qWindowTopNOracle)),
+    QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
+    QueryDef("q_distinct_agg", qDistinctAgg, Some(qDistinctAggOracle)),
+    QueryDef("q_except", qExcept, Some(qExceptOracle)),
+    QueryDef("q_intersect", qIntersect, Some(qIntersectOracle)),
+    QueryDef("q_case_bucket", qCaseBucket, Some(qCaseBucketOracle)),
+    QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
+    QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
+    QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
+    QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
+    QueryDef("q_string_funcs", qStringFuncs, Some(qStringFuncsOracle)),
+    QueryDef("q_having", qHaving, Some(qHavingOracle)),
+  )
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small)
+  * query set against the corpus — a map-side-only join, no shuffle of the
+  * corpus. The scale path is the LSH-bucketed variant: deterministic
+  * random-hyperplane signatures bucket the corpus so only same-bucket
+  * pairs are compared (candidate generation is a key-equality shuffle,
+  * never an O(n²) cross join).
+  *
+  * All float math is promoted to double before accumulation so results are
+  * reproducible against the DuckDB oracle after 4dp rounding.
+  */
+object Similarity {
+
+  /** cosine(a, b) with element promotion to double; fold order is index
+    * order in both engines.
+    */
+  private val cosExpr =
+    """aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+      | / (sqrt(aggregate(qv, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+      |  * sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin
+
+  /** Brute-force cosine top-10 for each of 3 query vectors (vec_id 0..2)
+    * against the rest of the corpus. The query side is broadcast; ranking
+    * is a window partitioned by query id (shuffle keyed on 3 values, but
+    * each partition only holds that query's scored rows — at real scale,
+    * pre-aggregate per-partition top-k first).
+    */
+  def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), round(expr(cosExpr), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qCosineTopKOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id, unnest(q.qv)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY query_id, vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Near-duplicate embedding pairs within each label partition (IVF-style
+    * coarse partitioning: `label` plays the centroid-assignment role).
+    * Pair generation is a same-label self-join — at 100 TB, buckets bound
+    * the quadratic term to cell size.
+    */
+  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("label"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"), round(expr(cosExpr), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qEmbeddingNearDupOracle: String =
+    """WITH pairs AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT label, id_a, id_b,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY label, id_a, id_b)
+      |SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Random-hyperplane LSH bucketing: 8 deterministic pseudo-random
+    * hyperplanes (components derived from index arithmetic, no RNG) hash
+    * each vector to an 8-bit bucket; the query reports bucket occupancy —
+    * the candidate-generation structure of approximate NN at scale.
+    */
+  def qLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // plane p, component j: ((p*131 + j*37) % 19) - 9  (deterministic, zero-mean-ish)
+    val bucket = expr(
+      """aggregate(sequence(0, 7), 0L, (acc, p) ->
+        |  acc + CASE WHEN aggregate(zip_with(embedding, sequence(0, 63),
+        |      (v, j) -> CAST(v AS DOUBLE) * CAST((p * 131 + j * 37) % 19 - 9 AS DOUBLE)),
+        |    0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END)""".stripMargin)
+    e.select(col("vec_id"), col("label"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
+      .orderBy("bucket")
+  }
+
+  val qLshBucketsOracle: String =
+    """WITH comp AS (
+      |  SELECT vec_id, label, p.p AS p,
+      |    sum((e.emb[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
+      |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings) e,
+      |       range(8) AS p(p), range(64) AS j(j)
+      |  GROUP BY vec_id, label, p.p),
+      |buckets AS (
+      |  SELECT vec_id, label,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM comp GROUP BY vec_id, label)
+      |SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+      |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
+    QueryDef("q_embedding_near_dup", qEmbeddingNearDup, Some(qEmbeddingNearDupOracle)),
+    QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
+  )
+}

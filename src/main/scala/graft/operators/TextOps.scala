@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting. All are narrow (per-row) transforms
+  * — no shuffle except the final aggregations — so they scale linearly
+  * with input splits at 100 TB.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Token-count statistics per language (whitespace tokenization). */
+  def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("total_tokens"),
+        min("ntok").as("min_tokens"),
+        max("ntok").as("max_tokens"),
+        round(avg("ntok"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  val qTokenStatsOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      | min(len(string_split(text, ' '))) AS min_tokens,
+      | max(len(string_split(text, ' '))) AS max_tokens,
+      | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality score: type/token ratio, stopword ratio, mean
+    * word length — the standard cheap quality heuristics applied before
+    * expensive model-based filtering in a data pipeline.
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = split(col("text"), " ")
+    val ntok = size(words).cast("double")
+    val stopHits = size(expr(
+      s"filter(split(text, ' '), w -> w IN ${sqlList(stopwords)})")).cast("double")
+    d.select(col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        round(size(array_distinct(words)) / ntok, 4).as("ttr"),
+        round(stopHits / ntok, 4).as("stopword_ratio"),
+        round((length(col("text")) - size(words) + 1) / ntok, 4).as("mean_word_len"))
+      .filter(col("n_tokens") >= 5)
+      .orderBy("doc_id")
+  }
+
+  val qQualityScoreOracle: String =
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      | round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
+      | round(len(list_filter(string_split(text, ' '), w -> w IN ${sqlList(stopwords)})) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
+      | round((length(text) - len(string_split(text, ' ')) + 1) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 5
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic language-ID heuristic: marker-token voting with a
+    * fixed priority order. (A real n-gram model plugs into the same
+    * per-row shape; the heuristic keeps it oracle-checkable.)
+    */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def hits(ws: Seq[String]) =
+      size(expr(s"filter(split(text, ' '), w -> w IN ${sqlList(ws)})"))
+    val dataish = Seq("data", "table", "row", "column")
+    val queryish = Seq("query", "filter", "join", "sort")
+    val streamish = Seq("stream", "batch", "window", "spark")
+    d.select(col("doc_id"), col("lang"),
+        when(hits(dataish) >= hits(queryish) && hits(dataish) >= hits(streamish), "dataish")
+          .when(hits(queryish) >= hits(streamish), "queryish")
+          .otherwise("streamish").as("pred_domain"))
+      .groupBy("lang", "pred_domain")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_domain")
+  }
+
+  val qLangIdOracle: String = {
+    def h(ws: Seq[String]) = s"len(list_filter(string_split(text, ' '), w -> w IN ${sqlList(ws)}))"
+    val d = h(Seq("data", "table", "row", "column"))
+    val q = h(Seq("query", "filter", "join", "sort"))
+    val st = h(Seq("stream", "batch", "window", "spark"))
+    s"""SELECT lang, pred_domain, count(*) AS n_docs FROM (
+      |  SELECT lang, CASE WHEN $d >= $q AND $d >= $st THEN 'dataish'
+      |    WHEN $q >= $st THEN 'queryish' ELSE 'streamish' END AS pred_domain
+      |  FROM documents) sub
+      |GROUP BY lang, pred_domain ORDER BY lang, pred_domain""".stripMargin
+  }
+
+  /** Document fingerprint: polynomial rolling hash over tokens (mod 2^31-1),
+    * computed distributively with `aggregate` — identical integer
+    * arithmetic is expressed in the DuckDB oracle, making a normally
+    * "non-SQL" fingerprint hash-checkable. Per-token contribution mixes
+    * length and first/last characters.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val fp = expr(
+      """aggregate(
+        |  transform(split(text, ' '),
+        |    w -> CAST(length(w) * 97 + ascii(substring(w, 1, 1)) * 13 + ascii(substring(w, length(w), 1)) AS BIGINT)),
+        |  CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin)
+    d.select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val qFingerprintOracle: String =
+    """SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform(string_split(text, ' '),
+      |     w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT))),
+      |   (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreOracle)),
+    QueryDef("q_lang_id", qLangId, Some(qLangIdOracle)),
+    QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintOracle)),
+  )
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, load the Spark result parquet, sort
+columns by name (like the driver) plus rows, and compare values.
+
+Usage: python tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_files:
+            print(f"MISSING  {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            expected = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"ORAFAIL  {name}: {str(e)[:160]}")
+            n_fail += 1
+            continue
+        actual = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        a, e = norm(actual), norm(expected)
+        if list(a.columns) != list(e.columns):
+            print(f"SCHEMA   {name}: spark={list(a.columns)} oracle={list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(e):
+            print(f"ROWS     {name}: spark={len(a)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        if not a.equals(e):
+            diff_cols = [c for c in a.columns if not a[c].equals(e[c])]
+            print(f"VALUES   {name}: differing cols {diff_cols}")
+            for c in diff_cols[:2]:
+                neq = a[c] != e[c]
+                idx = neq[neq].index[:3]
+                for i in idx:
+                    print(f"  row {i} col {c}: spark={a[c][i]!r} oracle={e[c][i]!r}")
+            n_fail += 1
+            continue
+        print(f"PASS     {name} ({len(a)} rows)")
+        n_pass += 1
+    # queries with no oracle: rows-only check
+    for d in sorted(os.listdir(out_dir)):
+        if d not in oracle and os.path.isdir(os.path.join(out_dir, d)):
+            files = glob.glob(os.path.join(out_dir, d, "*.parquet"))
+            rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"ROWSONLY {d}: {rows} rows")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
