@@ -1,0 +1,52 @@
+package graft.ds
+
+import graft.core.JobError
+
+/** Translate the reference's `.ct` create-table files (Redshift DDL) to
+  * Spark SQL DDL (reference: user-authored files like
+  * test/home/subsys/users.ct:1-13 — types int/smallint/bigint/varchar(n)/
+  * date/timestamp plus physical attributes `encode`, `distkey`, `sortkey`).
+  *
+  * Mapping (SURVEY §1.2): encode → dropped (Parquet self-encodes);
+  * distkey(k) → bucket/repartition hint returned to the caller;
+  * sortkey(k…) → sortWithinPartitions hint.
+  */
+object CtTranslator {
+
+  final case class Translated(createSql: String, distKey: Option[String],
+      sortKeys: Seq[String])
+
+  private val TypeMap = Seq(
+    ("""(?i)\bsmallint\b""", "SMALLINT"),
+    ("""(?i)\binteger\b""", "INT"),
+    ("""(?i)\bint\b""", "INT"),
+    ("""(?i)\bbigint\b""", "BIGINT"),
+    ("""(?i)\bvarchar\s*\(\s*(\d+)\s*\)""", "STRING"),
+    ("""(?i)\bvarchar\b""", "STRING"),
+    ("""(?i)\bdate\b""", "DATE"),
+    ("""(?i)\btimestamp\b""", "TIMESTAMP"),
+  )
+
+  def translate(ct: String, tableNameOverride: Option[String] = None): Translated = {
+    var s = ct
+    // drop per-column `encode xxx`
+    s = s.replaceAll("""(?i)\s+encode\s+\w+""", "")
+    // extract and drop table attributes
+    val distKey = """(?i)distkey\s*\(\s*(\w+)\s*\)""".r.findFirstMatchIn(s).map(_.group(1))
+    val sortKeys = """(?i)sortkey\s*\(\s*([\w\s,]+)\)""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
+    s = s.replaceAll("""(?i)\s*distkey\s*\(\s*\w+\s*\)""", "")
+    s = s.replaceAll("""(?i)\s*sortkey\s*\(\s*[\w\s,]+\)""", "")
+    // normalize types
+    TypeMap.foreach { case (re, to) => s = s.replaceAll(re, to) }
+    // Redshift `not null` etc. are accepted by Spark DDL; `;` terminator dropped
+    s = s.trim.stripSuffix(";").trim
+    if (!s.toLowerCase.startsWith("create table"))
+      throw new JobError(".ct file must start with CREATE TABLE")
+    tableNameOverride.foreach { t =>
+      s = s.replaceFirst("""(?is)create\s+table\s+[\$\w\.]+""",
+        java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE $t"))
+    }
+    Translated(s + " USING parquet", distKey, sortKeys)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.ds
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.core.{JobError, JobFailure, SqlStatement, TableSpec}
+
+/** Typed, named connection configs (reference: lib/bricolage/datasource.rb:98-149;
+  * types psql/s3/file/generic/ruby at datasource.rb:10-22). Here:
+  * `spark` (SparkSession + warehouse catalog — replaces `psql`),
+  * `fs` (filesystem tree — replaces `s3`; the production path would be an
+  * s3a:// Hadoop filesystem, same API), `file` (local files), `generic`.
+  */
+trait DataSource {
+  def name: String
+}
+
+final class GenericDataSource(val name: String) extends DataSource
+
+/** The warehouse datasource (replaces PSQLDataSource,
+  * reference: lib/bricolage/psqldatasource.rb:13-217). All SQL runs
+  * in-process via spark.sql with real exceptions instead of a psql
+  * subprocess; the §2.2 primitive actions are methods here.
+  */
+final class SparkDataSource(val name: String, val spark: SparkSession,
+    val defaultSchema: String = "default") extends DataSource {
+
+  def qualify(t: TableSpec): String =
+    t.schema.getOrElse(defaultSchema) + "." + t.name
+
+  def sql(stmt: String): DataFrame =
+    try spark.sql(stmt)
+    catch {
+      case e: JobError   => throw e
+      case e: Exception  => throw new JobFailure(s"SQL failed: ${e.getMessage}", e)
+    }
+
+  /** Run every statement of a bound SQL script; the last result wins
+    * (reference: lib/bricolage/script.rb:44-50).
+    */
+  def execScript(s: SqlStatement): Option[DataFrame] = {
+    var last: Option[DataFrame] = None
+    s.statements.foreach { stmt => last = Some(sql(stmt)) }
+    last
+  }
+
+  // --- §2.2 primitive actions (reference: psqldatasource.rb:233-474) ---
+
+  def createDummyTable(t: TableSpec): Unit =
+    sql(s"CREATE TABLE IF NOT EXISTS ${qualify(t)} (x INT) USING parquet")
+
+  def drop(t: TableSpec): Unit = sql(s"DROP TABLE ${qualify(t)}")
+
+  def dropForce(t: TableSpec): Unit = {
+    // `drop ... cascade` parity: Spark has no CASCADE for tables; views on
+    // the table are session-scoped and dropped separately by callers.
+    sql(s"DROP TABLE IF EXISTS ${qualify(t)}")
+    ()
+  }
+
+  def dropViewForce(t: TableSpec): Unit = { sql(s"DROP VIEW IF EXISTS ${qualify(t)}"); () }
+
+  def truncate(t: TableSpec): Unit = { sql(s"TRUNCATE TABLE ${qualify(t)}"); () }
+
+  def renameTable(from: TableSpec, to: TableSpec): Unit = {
+    sql(s"ALTER TABLE ${qualify(from)} RENAME TO ${qualify(to)}")
+    ()
+  }
+
+  /** VACUUM parity: storage reclaim is meaningless on immutable Parquet;
+    * kept as an explicit no-op hook (reference: psqldatasource.rb:342-352,
+    * SURVEY §7.5).
+    */
+  def vacuum(t: TableSpec, sortOnly: Boolean = false): Unit = ()
+
+  def analyze(t: TableSpec): Unit = {
+    sql(s"ANALYZE TABLE ${qualify(t)} COMPUTE STATISTICS")
+    ()
+  }
+
+  /** GRANT parity: no ACLs in a session catalog; logged no-op
+    * (reference: psqldatasource.rb:366-384, SURVEY §7.3).
+    */
+  def grant(priv: String, on: TableSpec, to: String): Unit = ()
+
+  def tableExists(t: TableSpec): Boolean =
+    spark.catalog.tableExists(qualify(t))
+
+  def table(t: TableSpec): DataFrame = spark.table(qualify(t))
+
+  /** Transaction emulation (reference: psqldatasource.rb:386-390 +
+    * SURVEY §4.3): run `body` against a staged `_wk` table, then atomically
+    * publish via catalog rename — the reference's own zero-downtime idiom
+    * (rebuild-rename.rb:28-50). On failure the work table is dropped; a
+    * mid-crash can leave `<name>_wk`, same as the reference leaving
+    * `<name>_old`.
+    */
+  def stagedOverwrite(dest: TableSpec)(body: TableSpec => Unit): Unit = {
+    val wk = TableSpec(dest.schema, dest.name + "_wk")
+    val old = TableSpec(dest.schema, dest.name + "_old")
+    dropForce(wk)
+    try {
+      body(wk)
+      dropForce(old)
+      if (tableExists(dest)) renameTable(dest, old)
+      renameTable(wk, dest)
+      dropForce(old)
+    } catch {
+      case e: Throwable => dropForce(wk); throw e
+    }
+  }
+}
+
+/** Filesystem datasource (replaces S3DataSource,
+  * reference: lib/bricolage/s3datasource.rb:9-141): url building, listing,
+  * get/put/delete/move. Backed by java.nio here; on a cluster the same
+  * operations go through the Hadoop FileSystem API against s3a://.
+  */
+final class FsDataSource(val name: String, val base: Path) extends DataSource {
+
+  def url(rel: String): Path = base.resolve(rel)
+
+  /** Prefix listing (reference: s3datasource.rb:127-140 `traverse`). */
+  def list(prefix: String): Seq[Path] = {
+    val dir = url(prefix)
+    if (!Files.isDirectory(dir)) Nil
+    else Files.walk(dir).iterator.asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+  }
+
+  def put(local: Path, rel: String): Unit = {
+    val target = url(rel)
+    Files.createDirectories(target.getParent)
+    Files.copy(local, target, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def get(rel: String): Array[Byte] = Files.readAllBytes(url(rel))
+
+  def delete(rel: String): Unit = { Files.deleteIfExists(url(rel)); () }
+
+  /** Dequeue-by-move (reference: streaming_load.rb:502-514, tolerating
+    * missing keys for eventual consistency).
+    */
+  def move(fromRel: String, toRel: String): Unit = {
+    val from = url(fromRel)
+    if (Files.exists(from)) {
+      val to = url(toRel)
+      Files.createDirectories(to.getParent)
+      Files.move(from, to, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+}
+
+/** Local-file datasource (reference: lib/bricolage/filedatasource.rb:6-39). */
+final class FileDataSource(val name: String, val baseDir: Path) extends DataSource {
+  def resolve(rel: String): Path = baseDir.resolve(rel)
+  def removeGlob(pattern: String): Int = {
+    val matcher = baseDir.getFileSystem.getPathMatcher("glob:" + pattern)
+    val removed = Files.walk(baseDir).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && matcher.matches(baseDir.relativize(p)))
+      .toSeq
+    removed.foreach(Files.delete(_))
+    removed.size
+  }
+}
+
+/** Registry loaded from datasource.yml-style config
+  * (reference: lib/bricolage/context.rb:96-133, datasource.rb:10-22).
+  */
+final class DataSourceRegistry(sources: Map[String, DataSource]) {
+  def get(name: String): DataSource =
+    sources.getOrElse(name, throw new JobError(s"no such datasource: $name"))
+  def spark(name: String): SparkDataSource = get(name) match {
+    case s: SparkDataSource => s
+    case _ => throw new JobError(s"not a spark datasource: $name")
+  }
+  def fs(name: String): FsDataSource = get(name) match {
+    case s: FsDataSource => s
+    case _ => throw new JobError(s"not a fs datasource: $name")
+  }
+  def file(name: String): FileDataSource = get(name) match {
+    case s: FileDataSource => s
+    case _ => throw new JobError(s"not a file datasource: $name")
+  }
+}
+
+object DataSourceRegistry {
+  /** Build from a parsed datasource.yml map:
+    * `name: {type: spark|fs|file|generic, ...}`.
+    */
+  def fromConfig(config: Map[String, Any], spark: => SparkSession): DataSourceRegistry = {
+    val sources = config.map { case (name, raw) =>
+      val opts = raw match {
+        case m: Map[_, _] => m.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }
+        case _            => Map.empty[String, String]
+      }
+      val ds: DataSource = opts.getOrElse("type", "generic") match {
+        case "spark"   => new SparkDataSource(name, spark, opts.getOrElse("schema", "default"))
+        case "fs"      => new FsDataSource(name, Paths.get(opts.getOrElse("base", ".")))
+        case "file"    => new FileDataSource(name, Paths.get(opts.getOrElse("base", ".")))
+        case "generic" => new GenericDataSource(name)
+        case other     => throw new JobError(s"unknown datasource type: $other")
+      }
+      name -> ds
+    }
+    new DataSourceRegistry(sources)
+  }
+}

@@ -1,0 +1,401 @@
+package graft.jobclass
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+
+import graft.core._
+import graft.ds.CtTranslator
+
+/** The built-in job classes (reference: the jobclass directory, SURVEY §2.1). Each
+  * `build` returns the action sequence the reference's script would run,
+  * with Redshift SQL generation replaced by in-process Spark SQL and
+  * transactions replaced by staged-publish (SURVEY §4.3).
+  */
+
+/** optional TRUNCATE → user SQL → optional VACUUM/ANALYZE/GRANT
+  * (reference: jobclass/sql.rb).
+  */
+object SqlJobClass extends JobClass("sql") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    DataSourceParam("spark"),
+    DestTableParam(optional = true),
+    SrcTableParam(),
+    OptionalBoolParam("truncate"),
+    OptionalBoolParam("vacuum"), OptionalBoolParam("vacuum-sort"),
+    OptionalBoolParam("analyze"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val dest = p.get("dest-table").map(_ => p.table("dest-table"))
+    Seq(
+      Some(Action("truncate") {
+        dest.foreach(ds.truncate)
+      }).filter(_ => p.bool("truncate")),
+      Some(Action("sql") { ds.execScript(stmt); () }),
+      Some(Action("vacuum") { dest.foreach(ds.vacuum(_)) }).filter(_ => p.bool("vacuum")),
+      Some(Action("analyze") { dest.foreach(ds.analyze) }).filter(_ => p.bool("analyze")),
+    ).flatten
+  }
+}
+
+/** [truncate] → txn{ [drop] [create table-def] INSERT-SELECT [analyze] } →
+  * vacuum (reference: jobclass/insert.rb).
+  */
+object InsertJobClass extends JobClass("insert") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    DataSourceParam("spark"),
+    DestTableParam(),
+    SrcTableParam(),
+    StringParam("table-def", optional = true),
+    OptionalBoolParam("truncate"), OptionalBoolParam("drop"),
+    OptionalBoolParam("vacuum"), OptionalBoolParam("analyze"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val dest = p.table("dest-table")
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    Seq(
+      Some(Action("truncate") { ds.truncate(dest) }).filter(_ => p.bool("truncate")),
+      Some(Action("insert") {
+        if (p.bool("drop") && p.get("table-def").isDefined) {
+          // rebuild path: stage into _wk from the .ct definition, then swap
+          ds.stagedOverwrite(dest) { wk =>
+            val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
+              Some(ds.qualify(wk)))
+            ds.sql(ct.createSql)
+            val retargeted = stmt.replace(java.util.regex.Pattern.quote(ds.qualify(dest)),
+              ds.qualify(wk))
+            ds.execScript(retargeted)
+          }
+        } else {
+          if (p.get("table-def").isDefined && !ds.tableExists(dest)) {
+            val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
+              Some(ds.qualify(dest)))
+            ds.sql(ct.createSql)
+          }
+          ds.execScript(stmt)
+        }
+        if (p.bool("analyze")) ds.analyze(dest)
+      }),
+      Some(Action("vacuum") { ds.vacuum(dest) }).filter(_ => p.bool("vacuum")),
+    ).flatten
+  }
+}
+
+/** txn{ DELETE WHERE cond → INSERT-SELECT } — idempotent partition reload
+  * (reference: jobclass/insert-delta.rb; delete-where at
+  * lib/bricolage/sqlstatement.rb:7-9). On Parquet: read dest, anti-filter,
+  * re-insert via staged overwrite (no in-place delete).
+  */
+object InsertDeltaJobClass extends JobClass("insert-delta") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    DataSourceParam("spark"),
+    DestTableParam(),
+    SrcTableParam(),
+    StringParam("delete-cond"),
+    OptionalBoolParam("vacuum"), OptionalBoolParam("analyze"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val dest = p.table("dest-table")
+    val cond = vars.expand(p.string("delete-cond"))
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    Seq(Action("insert-delta") {
+      ds.stagedOverwrite(dest) { wk =>
+        // keep rows NOT matching the delete condition
+        ds.sql(s"CREATE TABLE ${ds.qualify(wk)} USING parquet AS " +
+          s"SELECT * FROM ${ds.qualify(dest)} WHERE NOT ($cond)")
+        // re-run the user INSERT against the staged table
+        val retargeted = stmt.replace(java.util.regex.Pattern.quote(ds.qualify(dest)),
+          ds.qualify(wk))
+        ds.execScript(retargeted)
+      }
+      if (p.bool("analyze")) ds.analyze(dest)
+    })
+  }
+}
+
+/** txn{ [drop] CREATE TABLE from .ct [analyze] [grant] }
+  * (reference: jobclass/create.rb).
+  */
+object CreateJobClass extends JobClass("create") {
+  val params: Seq[Param] = Seq(
+    StringParam("table-def"),
+    DataSourceParam("spark"),
+    DestTableParam(),
+    OptionalBoolParam("drop"),
+    OptionalBoolParam("analyze"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val dest = p.table("dest-table")
+    Seq(Action("create") {
+      if (p.bool("drop")) ds.dropForce(dest)
+      val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
+        Some(ds.qualify(dest)))
+      ds.sql(ct.createSql)
+      if (p.bool("analyze")) ds.analyze(dest)
+    })
+  }
+}
+
+/** txn{ [drop view] CREATE VIEW [grant] } (reference: jobclass/createview.rb). */
+object CreateViewJobClass extends JobClass("createview") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    DataSourceParam("spark"),
+    DestTableParam(),
+    OptionalBoolParam("drop"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val dest = p.table("dest-table")
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    Seq(Action("createview") {
+      if (p.bool("drop")) ds.dropViewForce(dest)
+      ds.sql(s"CREATE OR REPLACE VIEW ${ds.qualify(dest)} AS ${stmt.stripped}")
+      ()
+    })
+  }
+}
+
+/** txn{ DROP dest; CREATE; INSERT-SELECT; GRANT } → VACUUM/ANALYZE — rebuild
+  * with downtime (reference: jobclass/rebuild-drop.rb).
+  */
+object RebuildDropJobClass extends JobClass("rebuild-drop") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    StringParam("table-def"),
+    DataSourceParam("spark"),
+    DestTableParam(),
+    SrcTableParam(),
+    OptionalBoolParam("analyze"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val dest = p.table("dest-table")
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    Seq(Action("rebuild-drop") {
+      ds.dropForce(dest)
+      val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
+        Some(ds.qualify(dest)))
+      ds.sql(ct.createSql)
+      ds.execScript(stmt)
+      if (p.bool("analyze")) ds.analyze(dest)
+    })
+  }
+}
+
+/** Build `dest_wk`, then swap via rename — zero-downtime rebuild
+  * (reference: jobclass/rebuild-rename.rb:28-53: create dummy dest;
+  * `alter table dest rename to dest_old`; `alter ... dest_wk rename to dest`).
+  */
+object RebuildRenameJobClass extends JobClass("rebuild-rename") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    StringParam("table-def"),
+    DataSourceParam("spark"),
+    DestTableParam(),
+    SrcTableParam(),
+    OptionalBoolParam("analyze"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val dest = p.table("dest-table")
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    Seq(Action("rebuild-rename") {
+      // identical publish dance as the reference, via stagedOverwrite:
+      // dummy-create dest if absent so the rename pair always succeeds
+      if (!ds.tableExists(dest)) ds.createDummyTable(dest)
+      ds.stagedOverwrite(dest) { wk =>
+        val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
+          Some(ds.qualify(wk)))
+        ds.sql(ct.createSql)
+        // the reference rewrites $dest_table to the work table (:32-35)
+        val retargeted = stmt.replace(java.util.regex.Pattern.quote(ds.qualify(dest)),
+          ds.qualify(wk))
+        ds.execScript(retargeted)
+        if (p.bool("analyze")) ds.analyze(wk)
+      }
+    })
+  }
+}
+
+/** COPY from the fs datasource into a table: tsv/csv/json, 3 patterns —
+  * drop-create-load / truncate-load / load-append
+  * (reference: jobclass/load.rb:29-69; COPY generation
+  * psqldatasource.rb:392-435).
+  */
+object LoadJobClass extends JobClass("load") {
+  val params: Seq[Param] = Seq(
+    DataSourceParam("fs", "src-ds"),
+    StringParam("src-file"),
+    DataSourceParam("spark", "dest-ds", optional = true),
+    DestTableParam(),
+    StringParam("table-def", optional = true),
+    EnumParam("format", Seq("tsv", "csv", "json", "parquet"), Some("tsv")),
+    KeyValuePairsParam("options"),
+    OptionalBoolParam("drop"), OptionalBoolParam("truncate"),
+    OptionalBoolParam("vacuum"), OptionalBoolParam("analyze"),
+    KeyValuePairsParam("grant"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx, "dest-ds")
+    val src = ctx.registry.fs(p.stringOpt("src-ds").getOrElse("fs"))
+    val dest = p.table("dest-table")
+    val path = src.url(vars.expand(p.string("src-file"))).toString
+    Seq(Action("load") {
+      if (p.bool("drop")) {
+        ds.dropForce(dest)
+        p.stringOpt("table-def").foreach { td =>
+          ds.sql(CtTranslator.translate(ctx.ctText(td), Some(ds.qualify(dest))).createSql)
+        }
+      } else if (p.bool("truncate")) {
+        ds.truncate(dest)
+      }
+      if (!ds.tableExists(dest)) {
+        p.stringOpt("table-def") match {
+          case Some(td) =>
+            ds.sql(CtTranslator.translate(ctx.ctText(td), Some(ds.qualify(dest))).createSql)
+          case None => throw new JobError(s"load: table ${dest} does not exist and no table-def")
+        }
+      }
+      val df = LoadOptions.read(ds.spark, path, p.string("format"),
+        p.pairs("options"), ds.table(dest).schema)
+      df.write.mode(SaveMode.Append).insertInto(ds.qualify(dest))
+      if (p.bool("analyze")) ds.analyze(dest)
+    })
+  }
+}
+
+/** UNLOAD: query → fs files as tsv/csv/json/parquet
+  * (reference: jobclass/unload.rb; psqldatasource.rb:437-469).
+  */
+object UnloadJobClass extends JobClass("unload") {
+  val params: Seq[Param] = Seq(
+    SqlFileParam(),
+    DataSourceParam("spark"),
+    DataSourceParam("fs", "dest-ds", optional = true),
+    StringParam("dest-file"),
+    EnumParam("format", Seq("tsv", "csv", "json", "parquet"), Some("tsv")),
+    KeyValuePairsParam("options"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val fs = ctx.registry.fs(p.stringOpt("dest-ds").getOrElse("fs"))
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val dest = fs.url(vars.expand(p.string("dest-file"))).toString
+    Seq(Action("unload") {
+      val df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
+      val w = df.write.mode(SaveMode.Overwrite)
+      p.string("format") match {
+        case "tsv"     => w.option("sep", "\t").csv(dest)
+        case "csv"     => w.csv(dest)
+        case "json"    => w.json(dest)
+        case "parquet" => w.parquet(dest)
+      }
+    })
+  }
+}
+
+/** Local file glob → fs datasource put (reference: jobclass/s3-put.rb;
+  * s3datasource.rb:144-192), with optional remove-after.
+  */
+object FsPutJobClass extends JobClass("fs-put") {
+  val params: Seq[Param] = Seq(
+    DataSourceParam("file", "src-ds", optional = true),
+    StringParam("src-file"),
+    DataSourceParam("fs", "dest-ds", optional = true),
+    StringParam("dest-file"),
+    OptionalBoolParam("remove"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val fileDs = ctx.registry.file(p.stringOpt("src-ds").getOrElse("file"))
+    val fs = ctx.registry.fs(p.stringOpt("dest-ds").getOrElse("fs"))
+    val pattern = vars.expand(p.string("src-file"))
+    val destRel = vars.expand(p.string("dest-file"))
+    Seq(Action("fs-put") {
+      val matcher = fileDs.baseDir.getFileSystem.getPathMatcher("glob:" + pattern)
+      val files = java.nio.file.Files.walk(fileDs.baseDir).iterator()
+      var found = false
+      files.forEachRemaining { f =>
+        if (Files.isRegularFile(f) && matcher.matches(fileDs.baseDir.relativize(f))) {
+          found = true
+          fs.put(f, destRel.stripSuffix("/") + "/" + f.getFileName.toString)
+          if (p.bool("remove")) Files.delete(f)
+        }
+      }
+      if (!found) throw new JobFailure(s"fs-put: no files match $pattern")
+    })
+  }
+}
+
+/** Run an arbitrary command (reference: jobclass/exec.rb:13 `system`). */
+object ExecJobClass extends JobClass("exec") {
+  val params: Seq[Param] = Seq(
+    StringListParam("args"),
+    KeyValuePairsParam("env"),
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val argv = p("args").asInstanceOf[Seq[String]]
+    val env = p.pairs("env").map { case (k, v) => k -> String.valueOf(v) }.toSeq
+    Seq(Action("exec") {
+      val code = scala.sys.process.Process(argv, None, env: _*).!
+      if (code != 0) throw new JobFailure(s"exec: command failed with exit $code")
+    })
+  }
+}
+
+/** Succeed or fail per `failure` flag (reference: jobclass/noop.rb). */
+object NoopJobClass extends JobClass("noop") {
+  val params: Seq[Param] = Seq(OptionalBoolParam("failure"))
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] =
+    Seq(Action("noop") {
+      if (p.bool("failure")) throw new JobFailure("noop job failed (failure: true)")
+    })
+}
+
+/** Run a SQL file, nothing else (reference: jobclass/adhoc.rb). */
+object AdhocJobClass extends JobClass("adhoc") {
+  val params: Seq[Param] = Seq(SqlFileParam(), DataSourceParam("spark"))
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val ds = sparkDs(p, ctx)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    Seq(Action("adhoc") { ds.execScript(stmt); () })
+  }
+}
+
+/** Poll for a file until it exists or max-wait-minutes elapses
+  * (reference: jobclass/wait-file.rb:22-47; 5s poll interval).
+  */
+object WaitFileJobClass extends JobClass("wait-file") {
+  val params: Seq[Param] = Seq(
+    StringParam("file"),
+    StringParam("max-wait-minutes", optional = true),
+    StringParam("poll-seconds", optional = true), // test hook; reference fixes 5s
+  )
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val target = Paths.get(vars.expand(p.string("file")))
+    val maxMinutes = p.stringOpt("max-wait-minutes").map(_.toDouble).getOrElse(60.0)
+    val pollMs = (p.stringOpt("poll-seconds").map(_.toDouble).getOrElse(5.0) * 1000).toLong
+    Seq(Action("wait-file") {
+      val deadline = System.nanoTime() + (maxMinutes * 60e9).toLong
+      while (!Files.exists(target)) {
+        if (System.nanoTime() > deadline)
+          throw new JobFailure(s"wait-file: timed out waiting for $target")
+        Thread.sleep(pollMs)
+      }
+    })
+  }
+}

@@ -1,0 +1,85 @@
+package graft.jobclass
+
+import java.nio.file.{Files, Path}
+
+import graft.core._
+import graft.ds.{DataSourceRegistry, SparkDataSource}
+
+/** Execution context for compiled jobs (reference: lib/bricolage/context.rb):
+  * home directory (fixture tree of subsystems), datasource registry, global
+  * variables.
+  */
+final case class JobContext(registry: DataSourceRegistry, home: Path,
+    subsys: String = "", globalVariables: Variables = Variables.empty) {
+
+  def subsysDir: Path = if (subsys.isEmpty) home else home.resolve(subsys)
+
+  /** Resolve a sql-file parameter value: a path (relative to the subsystem
+    * directory) if such a file exists, otherwise inline SQL text
+    * (.sql.job bodies arrive as text — reference: jobfile.rb:25-41).
+    */
+  def sqlText(value: String, vars: Variables = Variables.empty): String = {
+    // inline SQL body from a .sql.job: file paths never contain whitespace
+    if (value.contains("\n") || value.trim.contains(" ")) return value
+    val expanded = vars.expand(value)
+    val p = subsysDir.resolve(expanded)
+    if (expanded.endsWith(".sql") || Files.exists(p)) {
+      if (!Files.exists(p)) throw new JobError(s"SQL file not found: $p")
+      Files.readString(p)
+    } else value
+  }
+
+  /** Read a .ct create-table file (reference: user-authored DDL, SURVEY §1.2). */
+  def ctText(value: String): String = {
+    val p = subsysDir.resolve(value)
+    if (!Files.exists(p)) throw new JobError(s".ct file not found: $p")
+    Files.readString(p)
+  }
+}
+
+/** One sequential step of a compiled job
+  * (reference: lib/bricolage/script.rb:8-118 — script = tasks = actions;
+  * actions run sequentially, last result wins).
+  */
+trait Action {
+  def label: String
+  def run(): Unit
+}
+
+object Action {
+  def apply(lbl: String)(body: => Unit): Action = new Action {
+    val label: String = lbl
+    def run(): Unit = body
+  }
+}
+
+/** A named job template declaring typed parameters and building an action
+  * sequence (reference: lib/bricolage/jobclass.rb:9-110).
+  */
+abstract class JobClass(val id: String) {
+  def params: Seq[Param]
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action]
+
+  protected def sparkDs(p: ParamValues, ctx: JobContext,
+      param: String = "data-source", default: String = "sql"): SparkDataSource =
+    ctx.registry.spark(p.stringOpt(param).getOrElse(default))
+
+  /** Bind a SQL script against the job's variables. */
+  protected def bindSql(text: String, vars: Variables): SqlStatement =
+    new SqlStatement(text).bind(vars)
+}
+
+object JobClass {
+  /** Lazily-initialized registry (reference: jobclass.rb:37-49 loads
+    * jobclass files on demand; here a static map).
+    */
+  lazy val registry: Map[String, JobClass] = Seq(
+    SqlJobClass, InsertJobClass, InsertDeltaJobClass, CreateJobClass,
+    CreateViewJobClass, RebuildDropJobClass, RebuildRenameJobClass,
+    LoadJobClass, UnloadJobClass, FsPutJobClass, ExecJobClass, NoopJobClass,
+    AdhocJobClass, WaitFileJobClass, graft.streaming.StreamingLoadJobClass,
+  ).map(jc => jc.id -> jc).toMap
+
+  def get(id: String): JobClass =
+    registry.getOrElse(id, throw new ParameterError(s"no such job class: $id"))
+}

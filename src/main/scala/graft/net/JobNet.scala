@@ -1,0 +1,137 @@
+package graft.net
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+
+import graft.core.{JobError, ParameterError}
+
+/** A node reference in a jobnet: `[subsys/]name`, `*[subsys/]net` for nested
+  * jobnets (reference: lib/bricolage/jobnet.rb:190-254).
+  */
+final case class JobRef(subsys: String, name: String, isNet: Boolean) {
+  override def toString: String =
+    (if (isNet) "*" else "") + (if (subsys.isEmpty) name else s"$subsys/$name")
+}
+
+object JobRef {
+  def parse(s: String, defaultSubsys: String = ""): JobRef = {
+    val isNet = s.startsWith("*")
+    val body = if (isNet) s.substring(1) else s
+    body.split("/", 2) match {
+      case Array(n)      => JobRef(defaultSubsys, n, isNet)
+      case Array(ss, n)  => JobRef(ss, n, isNet)
+      case _             => throw new JobError(s"bad job ref: '$s'")
+    }
+  }
+}
+
+/** Jobnet file: edge-list text format with `->` edges, `*net` nested
+  * jobnets, and `#` comments (reference: lib/bricolage/jobnet.rb:298-346;
+  * example test/home/subsys/net1.jobnet:1-3). A line with a single node
+  * declares it with no edge.
+  */
+final case class JobNet(ref: JobRef, edges: Seq[(JobRef, JobRef)],
+    soloNodes: Seq[JobRef]) {
+  def nodes: Seq[JobRef] =
+    (edges.flatMap(e => Seq(e._1, e._2)) ++ soloNodes).distinct
+}
+
+object JobNet {
+
+  def parseFile(path: Path, ref: JobRef): JobNet =
+    parse(Files.readString(path), ref)
+
+  def parse(text: String, ref: JobRef): JobNet = {
+    val edges = mutable.ArrayBuffer.empty[(JobRef, JobRef)]
+    val solo = mutable.ArrayBuffer.empty[JobRef]
+    text.linesIterator.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "").trim
+      if (line.nonEmpty) {
+        val parts = line.split("->").map(_.trim)
+        if (parts.length == 1) solo += JobRef.parse(parts(0), ref.subsys)
+        else parts.sliding(2).foreach { case Array(a, b) =>
+          edges += ((JobRef.parse(a, ref.subsys), JobRef.parse(b, ref.subsys)))
+        }
+      }
+    }
+    JobNet(ref, edges.toSeq, solo.toSeq)
+  }
+
+  /** Recursively resolve nested jobnets: a `*net` node is replaced by that
+    * net's start/end closure (reference: jobnet.rb:66-83 load_recursive +
+    * :256-273 dummy start/end fixup). `loader` maps a net ref to its parsed
+    * JobNet.
+    */
+  def flatten(root: JobNet, loader: JobRef => JobNet): Seq[(JobRef, JobRef)] = {
+    val visited = mutable.Set.empty[String]
+
+    def expand(net: JobNet): (Seq[(JobRef, JobRef)], JobRef, JobRef) = {
+      if (!visited.add(net.ref.toString))
+        throw new JobError(s"circular jobnet reference: ${net.ref}")
+      val start = JobRef(net.ref.subsys, s"@${net.ref.name}@start", isNet = false)
+      val end = JobRef(net.ref.subsys, s"@${net.ref.name}@end", isNet = false)
+      val nodes = net.nodes
+      val edges = mutable.ArrayBuffer.empty[(JobRef, JobRef)]
+      // map each node to (entry, exit) — nets expand to their own closure
+      val entryExit = nodes.map { n =>
+        if (n.isNet) {
+          val sub = expand(loader(n))
+          edges ++= sub._1
+          n.toString -> (sub._2, sub._3)
+        } else n.toString -> (n, n)
+      }.toMap
+      net.edges.foreach { case (a, b) =>
+        edges += ((entryExit(a.toString)._2, entryExit(b.toString)._1))
+      }
+      // dummy start precedes sources; dummy end follows sinks
+      val inDeg = net.edges.map(_._2.toString).toSet
+      val outDeg = net.edges.map(_._1.toString).toSet
+      nodes.foreach { n =>
+        val (entry, exit) = entryExit(n.toString)
+        if (!inDeg.contains(n.toString)) edges += ((start, entry))
+        if (!outDeg.contains(n.toString)) edges += ((exit, end))
+      }
+      (edges.toSeq, start, end)
+    }
+
+    expand(root)._1
+  }
+}
+
+/** DAG over job refs with cycle/orphan checks and topological order
+  * (reference: lib/bricolage/jobnet.rb:98-166 JobDAG — tsort → sequential
+  * job list; execution remains sequential by design).
+  */
+final class JobDAG(edges: Seq[(JobRef, JobRef)]) {
+
+  private val nodes: Seq[JobRef] =
+    edges.flatMap(e => Seq(e._1, e._2)).distinctBy(_.toString)
+
+  private val succ: Map[String, Seq[JobRef]] =
+    edges.groupBy(_._1.toString).view.mapValues(_.map(_._2)).toMap
+
+  /** Kahn topological sort; raises on cycles (reference: jobnet.rb:148-155). */
+  def sequentialJobs: Seq[JobRef] = {
+    val inDeg = mutable.Map.empty[String, Int].withDefaultValue(0)
+    val byName = nodes.map(n => n.toString -> n).toMap
+    edges.foreach { case (_, b) => inDeg(b.toString) += 1 }
+    // deterministic: sort ready set by name
+    val ready = mutable.PriorityQueue.empty[String](Ordering[String].reverse)
+    nodes.foreach(n => if (inDeg(n.toString) == 0) ready.enqueue(n.toString))
+    val out = mutable.ArrayBuffer.empty[JobRef]
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      out += byName(n)
+      succ.getOrElse(n, Nil).foreach { m =>
+        inDeg(m.toString) -= 1
+        if (inDeg(m.toString) == 0) ready.enqueue(m.toString)
+      }
+    }
+    if (out.length != nodes.length) {
+      val remaining = nodes.map(_.toString).toSet -- out.map(_.toString).toSet
+      throw new ParameterError(
+        s"jobnet has a cycle involving: ${remaining.toSeq.sorted.mkString(", ")}")
+    }
+    out.toSeq.filterNot(_.name.startsWith("@")) // drop dummy start/end nodes
+  }
+}

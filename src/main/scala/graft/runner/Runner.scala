@@ -1,0 +1,161 @@
+package graft.runner
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+
+import graft.core._
+import graft.jobclass.{Action, JobClass, JobContext}
+import graft.net.{FileTaskQueue, JobDAG, JobNet, JobRef, MemoryTaskQueue, TaskQueue}
+
+/** Lifecycle hooks with error-swallowing handlers
+  * (reference: lib/bricolage/eventhandlers.rb:2-51; fired at
+  * application.rb:79-83 and jobnetrunner.rb:159-181).
+  */
+trait JobListener {
+  def beforeAllJobs(refs: Seq[JobRef]): Unit = ()
+  def beforeJob(ref: JobRef): Unit = ()
+  def afterJob(ref: JobRef, result: JobResult): Unit = ()
+  def afterAllJobs(result: JobResult): Unit = ()
+}
+
+object JobListener {
+  /** Fire `f` swallowing handler errors (reference: eventhandlers.rb:30-40). */
+  def fire(listeners: Seq[JobListener])(f: JobListener => Unit): Unit =
+    listeners.foreach { l =>
+      try f(l) catch { case e: Exception =>
+        System.err.println(s"[hook] handler failed (ignored): ${e.getMessage}")
+      }
+    }
+}
+
+/** A job: id + job class + context; compile resolves parameters and
+  * variables in precedence order and builds the action sequence; execute
+  * runs it (reference: lib/bricolage/job.rb:14-228).
+  */
+final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
+    cliOptions: Map[String, String] = Map.empty,
+    cliVariables: Variables = Variables.empty) {
+
+  /** Compile (reference: job.rb:88-126): resolve params against globals,
+    * union variables in precedence order — global < published params <
+    * job-file rest vars < -v CLI vars (job.rb:111-120) — then build and
+    * bind the script.
+    */
+  def compile(): Seq[Action] = {
+    val jc = JobClass.get(jobFile.jobClass)
+    val declNames = jc.params.map(_.name).toSet
+    val (declared, rest) = jobFile.values.partition { case (k, _) => declNames(k) }
+    val withInline = jobFile.inlineScript match {
+      case Some(sql) if declNames("sql-file") && !declared.contains("sql-file") =>
+        declared + ("sql-file" -> sql)
+      case _ => declared
+    }
+    val globals = ctx.globalVariables
+    val params = new ParamDecls(jc.params)
+      .materialize(withInline, cliOptions, globals.resolve())
+    val restVars = Variables.fromMap(rest.map { case (k, v) => k -> String.valueOf(v) })
+    val vars = globals
+      .union(params.publishedVariables)
+      .union(restVars)
+      .union(cliVariables)
+      .resolve()
+    jc.build(params, vars, ctx)
+  }
+
+  /** Execute compiled actions sequentially; the failed action maps to the
+    * reference's exit taxonomy (reference: job.rb:151-185,
+    * script.rb:44-50,78-86). No fork: a failed job must not kill the runner.
+    */
+  def execute(): JobResult =
+    try {
+      compile().foreach(_.run())
+      JobResult.success
+    } catch {
+      case e: Throwable => JobResult.forException(e)
+    }
+}
+
+/** Single-job entry point (reference: bin/bricolage →
+  * lib/bricolage/application.rb:37-91).
+  */
+object Application {
+
+  def runJobFile(path: Path, ctx: JobContext,
+      cliOptions: Map[String, String] = Map.empty,
+      cliVariables: Variables = Variables.empty,
+      listeners: Seq[JobListener] = Nil): JobResult = {
+    val jf = JobFile.load(path)
+    val ref = JobRef(ctx.subsys, path.getFileName.toString, isNet = false)
+    JobListener.fire(listeners)(_.beforeJob(ref))
+    val result = new Job(path.getFileName.toString, jf, ctx, cliOptions, cliVariables).execute()
+    JobListener.fire(listeners)(_.afterJob(ref, result))
+    result
+  }
+}
+
+/** Jobnet entry point (reference: bin/bricolage-jobnet →
+  * lib/bricolage/jobnetrunner.rb:40-93): parse the root net, recursively
+  * resolve subnets, topo-sort, enqueue, pre-flight compile every job, then
+  * consume the queue stopping at the first failure.
+  */
+final class JobNetRunner(ctx: JobContext,
+    listeners: Seq[JobListener] = Nil) {
+
+  /** Locate a job file for a ref: `<home>/<subsys>/<name>{.job,.sql.job,...}`
+    * (reference: lib/bricolage/filesystem.rb:16-27 job_file resolution).
+    */
+  def jobFilePath(ref: JobRef): Path = {
+    val dir = if (ref.subsys.isEmpty) ctx.home else ctx.home.resolve(ref.subsys)
+    val candidates = Seq(s"${ref.name}.job", s"${ref.name}.sql.job",
+      s"${ref.name}.rb.job", s"${ref.name}.py.job", s"${ref.name}.sh.job", ref.name)
+    candidates.map(dir.resolve).find(Files.exists(_)).getOrElse(
+      throw new ParameterError(s"job file not found for $ref under $dir"))
+  }
+
+  def netFilePath(ref: JobRef): Path = {
+    val dir = if (ref.subsys.isEmpty) ctx.home else ctx.home.resolve(ref.subsys)
+    dir.resolve(s"${ref.name}.jobnet")
+  }
+
+  /** Load + flatten + topo-sort the net into the sequential job list
+    * (reference: jobnet.rb:8-33 RootJobNet.load_auto + :132-134 tsort).
+    */
+  def sequentialJobs(rootNet: Path): Seq[JobRef] = {
+    val rootRef = JobRef(ctx.subsys,
+      rootNet.getFileName.toString.stripSuffix(".jobnet"), isNet = true)
+    val cache = mutable.Map.empty[String, JobNet]
+    def loader(ref: JobRef): JobNet =
+      cache.getOrElseUpdate(ref.toString,
+        JobNet.parseFile(netFilePath(ref), ref))
+    val root = JobNet.parseFile(rootNet, rootRef)
+    cache(rootRef.toString) = root
+    new JobDAG(JobNet.flatten(root, loader)).sequentialJobs
+  }
+
+  /** Run the full net through a queue; a restart with the same file queue
+    * skips completed jobs (reference: jobnetrunner.rb:61-72,156-172).
+    */
+  def run(rootNet: Path, queue: TaskQueue = new MemoryTaskQueue,
+      cliVariables: Variables = Variables.empty): JobResult = {
+    val jobs = sequentialJobs(rootNet)
+    // restore-or-enqueue: a non-empty restored queue resumes where it stopped
+    if (queue.isEmpty) jobs.foreach(queue.enqueue)
+    // pre-flight: compile every queued job before running any
+    // (reference: jobnetrunner.rb:150-154 check_jobs)
+    queue.queued.foreach { ref =>
+      val jf = JobFile.load(jobFilePath(ref))
+      new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables).compile()
+    }
+    JobListener.fire(listeners)(_.beforeAllJobs(queue.queued))
+    val result = queue.consumeEach { ref =>
+      JobListener.fire(listeners)(_.beforeJob(ref))
+      val jf = JobFile.load(jobFilePath(ref))
+      val r = new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables)
+        .execute()
+      JobListener.fire(listeners)(_.afterJob(ref, r))
+      r
+    }
+    JobListener.fire(listeners)(_.afterAllJobs(result))
+    result
+  }
+}

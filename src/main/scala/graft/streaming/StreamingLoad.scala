@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ds.{FsDataSource, SparkDataSource}
+import graft.jobclass.{Action, JobClass, JobContext, LoadOptions}
+
+/** Exactly-once micro-batch load from a filesystem object queue
+  * (reference: jobclass/streaming_load.rb — the only "streaming" in the
+  * reference; SURVEY §2.11). Batch-faithful port:
+  *
+  *  1. list queue objects matching a filename pattern with `%Y%m%d...%Q`
+  *     time captures (reference: :415-473);
+  *  2. dedup against the load log with a right-outer join on `data_file`
+  *     (reference: :294-312) — the join runs as a Spark job;
+  *  3. load new files into the work table, insert into dest
+  *     (reference: :202-237), append the new entries to the load log with a
+  *     NOT-IN anti-join guard (:314-330);
+  *  4. dequeue = move each object to the persistent path (:502-514).
+  *
+  * Modes `noop/load-only/dequeue-only/skip-work` (:28-31) are honored. The
+  * idiomatic alternative (Structured Streaming `Trigger.AvailableNow` with a
+  * checkpoint replacing the load log) plugs in behind the same job class.
+  */
+object StreamingLoadJobClass extends JobClass("streaming_load") {
+
+  val params: Seq[Param] = Seq(
+    DataSourceParam("fs", "src-ds", optional = true),
+    StringParam("queue-path"),
+    StringParam("persistent-path", optional = true),
+    StringParam("file-name", optional = true), // pattern w/ %Y%m%d%H%M%S%Q
+    DataSourceParam("spark", "dest-ds", optional = true),
+    DestTableParam(),
+    StringParam("work-table", optional = true),
+    StringParam("log-table", optional = true),
+    EnumParam("format", Seq("tsv", "csv", "json", "parquet"), Some("json")),
+    KeyValuePairsParam("load-options"),
+    SqlFileParam("sql-file", optional = true),
+    OptionalBoolParam("noop"), OptionalBoolParam("load-only"),
+    OptionalBoolParam("dequeue-only"), OptionalBoolParam("skip-work"),
+  )
+
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
+    val fs = ctx.registry.fs(p.stringOpt("src-ds").getOrElse("fs"))
+    val ds = sparkDs(p, ctx, "dest-ds")
+    val dest = p.table("dest-table")
+    val work = p.stringOpt("work-table").map(TableSpec.parse)
+      .getOrElse(TableSpec(dest.schema, dest.name + "_wk"))
+    val log = p.stringOpt("log-table").map(TableSpec.parse)
+      .getOrElse(TableSpec(dest.schema, dest.name + "_l"))
+    val queuePath = vars.expand(p.string("queue-path"))
+    val pattern = p.stringOpt("file-name").map(FileNamePattern.compile)
+
+    def listCandidates(): Seq[Path] =
+      fs.list(queuePath).filter { f =>
+        pattern.forall(_.matches(f.getFileName.toString))
+      }
+
+    if (p.bool("noop"))
+      return Seq(Action("streaming_load:noop") {
+        listCandidates().foreach(f => println(s"[noop] would load $f"))
+      })
+    if (p.bool("dequeue-only"))
+      return Seq(Action("streaming_load:dequeue") {
+        dequeue(fs, queuePath, listCandidates(), p, vars)
+      })
+
+    val loadAction = Action("streaming_load:load") {
+      val candidates = listCandidates()
+      if (candidates.nonEmpty) {
+        val spark = ds.spark
+        import spark.implicits._
+        ensureLogTable(ds, log)
+        // dedup join (reference :294-312): candidates ⟕ log on data_file
+        val cand = candidates.map(_.toString).toDF("data_file")
+        val loaded = ds.table(log).select(col("data_file"))
+        val newFiles = cand.join(loaded, Seq("data_file"), "left_anti")
+          .as[String].collect().toSeq.sorted
+        if (newFiles.nonEmpty) {
+          val jobProcessId = java.util.UUID.randomUUID().toString
+          val startTime = java.sql.Timestamp.from(java.time.Instant.now())
+          // load work table from the new files only (manifest semantics :207-237)
+          ds.dropForce(work)
+          // explicit file list = the reference's manifest (:207-226); COPY
+          // options map through LoadOptions semantics
+          val reader = spark.read.schema(ds.table(dest).schema)
+          val df = p.string("format") match {
+            case "json"    => reader.json(newFiles: _*)
+            case "tsv"     => reader.option("sep", "\t").csv(newFiles: _*)
+            case "csv"     => reader.csv(newFiles: _*)
+            case "parquet" => reader.parquet(newFiles: _*)
+          }
+          df.write.saveAsTable(ds.qualify(work))
+          // insert into dest: user SQL over the work table, or SELECT *
+          if (!p.bool("skip-work")) {
+            p.stringOpt("sql-file") match {
+              case Some(sf) =>
+                val stmt = bindSql(ctx.sqlText(sf, vars),
+                  vars.add("work_table", ds.qualify(work))
+                    .add("dest_table", ds.qualify(dest)))
+                ds.execScript(stmt)
+              case None =>
+                ds.sql(s"INSERT INTO ${ds.qualify(dest)} SELECT * FROM ${ds.qualify(work)}")
+            }
+          }
+          // append load log w/ NOT-IN guard (:314-330)
+          val endTime = java.sql.Timestamp.from(java.time.Instant.now())
+          val entries = newFiles.toDF("data_file")
+            .withColumn("job_process_id", lit(jobProcessId))
+            .withColumn("start_time", lit(startTime))
+            .withColumn("end_time", lit(endTime))
+            .withColumn("target_table", lit(ds.qualify(dest)))
+            .select("job_process_id", "start_time", "end_time", "target_table", "data_file")
+          val guarded = entries.join(ds.table(log).select(col("data_file")),
+            Seq("data_file"), "left_anti")
+            .select("job_process_id", "start_time", "end_time", "target_table", "data_file")
+          guarded.write.mode(SaveMode.Append).insertInto(ds.qualify(log))
+          ds.dropForce(work)
+        }
+      }
+    }
+
+    if (p.bool("load-only")) Seq(loadAction)
+    else Seq(loadAction, Action("streaming_load:dequeue") {
+      dequeue(fs, queuePath, listCandidates(), p, vars)
+    })
+  }
+
+  private def ensureLogTable(ds: SparkDataSource, log: TableSpec): Unit =
+    if (!ds.tableExists(log))
+      // schema: streaming_load_log.ct:1-9
+      ds.sql(s"""CREATE TABLE ${ds.qualify(log)} (
+        | job_process_id STRING, start_time TIMESTAMP, end_time TIMESTAMP,
+        | target_table STRING, data_file STRING) USING parquet""".stripMargin)
+
+  private def dequeue(fs: FsDataSource, queuePath: String, files: Seq[Path],
+      p: ParamValues, vars: Variables): Unit = {
+    val persistent = p.stringOpt("persistent-path").map(vars.expand)
+      .getOrElse(queuePath.stripSuffix("/") + "_done")
+    val stamp = LocalDateTime.now()
+    files.foreach { f =>
+      val rel = fs.url(queuePath).relativize(f).toString
+      val destDir = FileNamePattern.expandPathTemplate(persistent, stamp)
+      fs.move(queuePath.stripSuffix("/") + "/" + rel, destDir.stripSuffix("/") + "/" + rel)
+    }
+  }
+}
+
+/** Filename pattern with strftime-ish captures, compiled to a regex
+  * (reference: streaming_load.rb:415-473; tested by
+  * test/test_c_streaming_load.rb:146-152). `%Y %m %d %H %M %S` match digit
+  * runs; `%Q` matches an arbitrary digit sequence (sequence number);
+  * `%*` matches anything.
+  */
+object FileNamePattern {
+
+  final case class Compiled(regex: Regex) {
+    def matches(name: String): Boolean = regex.pattern.matcher(name).matches()
+  }
+
+  def compile(pattern: String): Compiled = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val ch = pattern.charAt(i)
+      if (ch == '%' && i + 1 < pattern.length) {
+        pattern.charAt(i + 1) match {
+          case 'Y' => sb.append("(\\d{4})")
+          case 'm' | 'd' | 'H' | 'M' | 'S' => sb.append("(\\d{2})")
+          case 'Q' => sb.append("(\\d+)")
+          case '*' => sb.append(".*")
+          case '%' => sb.append("%")
+          case other => throw new ParameterError(s"bad filename pattern directive: %$other")
+        }
+        i += 2
+      } else {
+        sb.append(Regex.quote(ch.toString))
+        i += 1
+      }
+    }
+    Compiled(sb.toString.r)
+  }
+
+  /** Expand a date-templated persistent path (reference: :429-448). */
+  def expandPathTemplate(template: String, now: LocalDateTime): String =
+    template
+      .replace("%Y", now.format(DateTimeFormatter.ofPattern("yyyy")))
+      .replace("%m", now.format(DateTimeFormatter.ofPattern("MM")))
+      .replace("%d", now.format(DateTimeFormatter.ofPattern("dd")))
+}
