@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Multimodal-column operators: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition.
+  *
+  * The container has no image/audio codecs, so DECODE IS A DETERMINISTIC
+  * STUB (clearly marked below): it synthesizes payload bytes from the
+  * documents table and "decodes" them by parsing a fake fixed-layout
+  * header. Everything around the stub — the binary column, the metadata
+  * struct, the mapPartitions batch shape, partition-local feature
+  * extraction, frame sampling — is the real Spark plumbing a production
+  * decode (JNI/codec or Pandas-UDF equivalent) would drop into.
+  *
+  * At 100 TB: all transforms here are narrow (no shuffle); binary payloads
+  * stay columnar in Tungsten rows; the only aggregation shuffles tiny
+  * per-asset feature rows, never the payload bytes.
+  */
+object Multimodal {
+
+  /** Synthesize a deterministic binary "asset" per document: a 16-byte
+    * header (magic, width, height, n_frames — all derived from doc fields)
+    * followed by a payload derived from the text bytes. Stands in for real
+    * image/video blobs; layout is the contract the fake decoder parses.
+    */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id").as("asset_id"),
+      struct(
+        col("lang").as("codec"),
+        (col("n_chars") % 640 + 16).cast("int").as("width"),
+        (col("n_chars") % 480 + 16).cast("int").as("height"),
+        (col("n_chars") % 24 + 1).cast("int").as("n_frames")).as("meta"),
+      // payload: utf-8 text bytes standing in for encoded media
+      encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** DECODE STUB — deterministic fake. A real implementation decodes
+    * `payload` with a codec; this parses the synthesized layout instead.
+    * Runs per-partition over an iterator of rows: the exact batch shape a
+    * JNI decoder or Arrow-batched UDF would use.
+    */
+  def qDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    val a = assets(s, dir)
+    val spark = s
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("codec", StringType),
+      StructField("pixels", LongType),
+      StructField("payload_bytes", IntegerType),
+      StructField("checksum", LongType)))
+    val decoded = a.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = r.getStruct(r.fieldIndex("meta"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        // ??? real decode goes here; the stub computes deterministic stats
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) { sum = (sum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+        Row(r.getLong(r.fieldIndex("asset_id")),
+          meta.getString(0),
+          meta.getInt(1).toLong * meta.getInt(2),
+          payload.length,
+          sum)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    decoded.orderBy("asset_id")
+  }
+
+  /** Per-codec size statistics over decoded assets — the "did the decode
+    * plumbing preserve schema and counts" check, aggregated small.
+    */
+  def qAssetStats(s: SparkSession, dir: String): DataFrame =
+    qDecodeStats(s, dir)
+      .groupBy("codec")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("pixels").as("total_pixels"),
+        sum("payload_bytes").cast("long").as("total_bytes"))
+      .orderBy("codec")
+
+  /** Frame sampling: take every k-th "frame" (fixed-size payload slice) —
+    * the video-pipeline primitive. Pure per-row compute with higher-order
+    * functions; no shuffle.
+    */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .select(col("asset_id"), col("meta.n_frames").as("n_frames"),
+        expr("""transform(
+          |  filter(sequence(0, meta.n_frames - 1), f -> f % 4 = 0),
+          |  f -> substring(payload, f * 8 + 1, 8))""".stripMargin).as("frames"))
+      .select(col("asset_id"), col("n_frames"), size(col("frames")).cast("long").as("n_sampled"),
+        length(concat_ws("", col("frames").cast("array<string>"))).cast("long").as("sampled_bytes"))
+      .orderBy("asset_id")
+
+  /** Resize stub: a real resize maps pixels; the stub maps metadata and
+    * re-windows the payload to the target byte budget, preserving the
+    * columnar shape a real kernel would produce.
+    */
+  def qResize(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .select(col("asset_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        floor(col("meta.width") / 2).cast("int").as("out_width"),
+        floor(col("meta.height") / 2).cast("int").as("out_height"),
+        substring(col("payload"), 1, 64).as("thumb"))
+      .select(col("asset_id"), col("out_width"), col("out_height"),
+        length(col("thumb")).cast("long").as("thumb_bytes"))
+      .orderBy("asset_id")
+
+  /** Byte-histogram feature vector (16 buckets) per asset via
+    * aggregate over the payload — the feature-extraction kernel shape
+    * (real: embedding model / mel spectrogram).
+    */
+  def qByteHistogram(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val a = assets(s, dir)
+    val hist = a.map { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val h = new Array[Long](16)
+      payload.foreach(b => h((b & 0xff) % 16) += 1)
+      (r.getLong(0), h.toSeq)
+    }.toDF("asset_id", "hist")
+    hist.select(col("asset_id"),
+        expr("aggregate(hist, 0L, (a, x) -> a + x)").as("total"),
+        expr("array_max(hist)").as("max_bucket"))
+      .orderBy("asset_id")
+  }
+
+  // Oracle note: decode/frame/resize/histogram are not SQL-expressible in
+  // DuckDB over the same inputs only where byte-level payload semantics
+  // diverge; where the synthesized layout is pure arithmetic on documents
+  // columns we CAN oracle them. qAssetStats and qFrameSample reduce to
+  // documents-column arithmetic (payload = utf-8 text bytes → length =
+  // strlen for ascii corpus), so both get oracles; qDecodeStats' rolling
+  // checksum is also exactly expressible with list_reduce over ascii codes.
+
+  val qAssetStatsOracle: String =
+    """SELECT lang AS codec, count(*) AS n_assets,
+      | CAST(sum(CAST(n_chars % 640 + 16 AS BIGINT) * (n_chars % 480 + 16)) AS BIGINT) AS total_pixels,
+      | CAST(sum(length(text)) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY lang ORDER BY codec""".stripMargin
+
+  val qFrameSampleOracle: String =
+    """SELECT doc_id AS asset_id, CAST(n_chars % 24 + 1 AS INT) AS n_frames,
+      | CAST(len(list_filter(range(0, CAST(n_chars % 24 + 1 AS INT)), f -> f % 4 = 0)) AS BIGINT) AS n_sampled,
+      | CAST(list_sum(list_transform(list_filter(range(0, CAST(n_chars % 24 + 1 AS INT)), f -> f % 4 = 0),
+      |   f -> greatest(least(length(text) - (f * 8), 8), 0))) AS BIGINT) AS sampled_bytes
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  val qDecodeStatsOracle: String =
+    """SELECT doc_id AS asset_id, lang AS codec,
+      | CAST(n_chars % 640 + 16 AS BIGINT) * (n_chars % 480 + 16) AS pixels,
+      | CAST(length(text) AS INT) AS payload_bytes,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |   (h, c) -> (h * 31 + c) % 1000000007) AS checksum
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  val qResizeOracle: String =
+    """SELECT doc_id AS asset_id,
+      | CAST(floor((n_chars % 640 + 16) / 2) AS INT) AS out_width,
+      | CAST(floor((n_chars % 480 + 16) / 2) AS INT) AS out_height,
+      | CAST(least(length(text), 64) AS BIGINT) AS thumb_bytes
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_mm_decode_stats", qDecodeStats, Some(qDecodeStatsOracle)),
+    QueryDef("q_mm_asset_stats", qAssetStats, Some(qAssetStatsOracle)),
+    QueryDef("q_mm_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
+    QueryDef("q_mm_resize", qResize, Some(qResizeOracle)),
+    QueryDef("q_mm_byte_histogram", qByteHistogram, None), // byte-level; rows-only
+  )
+}

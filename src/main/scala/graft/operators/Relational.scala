@@ -30,10 +30,12 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        // sums are accumulated in DECIMAL so the result is independent of
+        // partitioning/order (double fold drifts past 2dp at ~1e9 × 15k rows)
+        round(sum(col("l_quantity").cast("decimal(30,6)")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 2).as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,6)")).cast("double"), 2).as("sum_disc_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast("decimal(30,6)")).cast("double"), 2).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
@@ -42,10 +44,10 @@ object Relational {
 
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_base_price,
+      | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_disc_price,
+      | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_charge,
       | round(avg(l_quantity), 4) AS avg_qty,
       | round(avg(l_extendedprice), 4) AS avg_price,
       | round(avg(l_discount), 4) AS avg_disc,
@@ -264,14 +266,14 @@ object Relational {
         col("o_orderstatus"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"),
-        round(sum("o_totalprice"), 2).as("total"),
+        round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double"), 2).as("total"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_finished"))
       .orderBy("bucket")
 
   val qCaseBucketOracle: String =
     """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
       |  WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS bucket,
-      | count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+      | count(*) AS cnt, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total,
       | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
