@@ -54,41 +54,68 @@ object Dedup {
   private def aCoef(i: Int): Long = 1103L * (i + 1) + 7
   private def bCoef(i: Int): Long = 12289L * (i + 1) + 3
 
-  /** Distinct word-bigram shingles of `text` (Spark SQL expression). */
-  private val gramsSpark =
-    """array_distinct(transform(
-      | slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-      | (w, i) -> concat(w, '_', element_at(split(text, ' '), i + 2))))""".stripMargin
-
-  private val gramsDuck =
-    """list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-      | i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]))""".stripMargin
-
-  /** Polynomial char hash of a shingle: h = fold(7, (h, c) -> (h*131 + ascii(c)) mod P).
-    * Character access via explicit 1-based index so both engines fold in
-    * the same order with the same arithmetic.
+  /** Distinct word-bigram shingles over a pre-split word array `ws`.
+    * The split is bound ONCE in a prior projection (see [[withWords]]) —
+    * an inline `split(text)` inside the lambda would re-tokenize the whole
+    * document per element, O(words²) per doc. zip_with over two slices
+    * keeps the lambda body to a single concat.
     */
-  private val shingleHashSpark =
-    s"""s -> aggregate(
-      |  transform(sequence(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),
-      |  CAST(7 AS BIGINT), (h, c) -> (h * 131 + c) % $P)""".stripMargin
+  private[operators] val gramsSpark =
+    """array_distinct(zip_with(
+      | slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+      | (a, b) -> concat(a, '_', b)))""".stripMargin
 
-  private val shingleHashDuck =
-    s"""s -> list_reduce(list_prepend(CAST(7 AS BIGINT),
-      |  list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
-      |  (h, c) -> (h * 131 + c) % $P)""".stripMargin
+  /** Same shingles in DuckDB, over a pre-split `ws` column (list indexing
+    * on a bound column, not per-element re-split).
+    */
+  private[operators] val gramsDuck =
+    "list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i + 1]))"
+
+  /** DuckDB FROM clause binding `ws` = split words of documents.text. */
+  private[operators] val duckWords =
+    "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"
+
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+
+  /** Polynomial hash of a shingle over (length, first 3 chars, last 3
+    * chars) — a fixed-arity Horner fold, NOT a per-character lambda loop.
+    * Spark's higher-order functions never enter whole-stage codegen, so a
+    * per-char `aggregate(...)` costs an interpreted lambda call per
+    * character per shingle; this scalar form is one codegen'd expression.
+    * Max intermediate ≈ 131^6·126 ≈ 6.6e13 — no Long overflow before % P.
+    * `substr`/`ascii`/`greatest`/`length` behave identically in Spark and
+    * DuckDB (ascii('') = 0 for the out-of-range positions of short grams).
+    */
+  private def shingleHashScalar(g: String): String =
+    s"""CAST(((((((CAST(length($g) AS BIGINT) * 131 + ascii(substr($g, 1, 1))) * 131
+      |  + ascii(substr($g, 2, 1))) * 131
+      |  + ascii(substr($g, 3, 1))) * 131
+      |  + ascii(substr($g, greatest(length($g) - 2, 1), 1))) * 131
+      |  + ascii(substr($g, greatest(length($g) - 1, 1), 1))) * 131
+      |  + ascii(substr($g, length($g), 1))) % $P AS BIGINT)""".stripMargin
+
+  /** The 32 permuted-min aggregates over exploded shingle hashes. Each is
+    * plain codegen'd arithmetic + a hash-aggregate `min` with map-side
+    * partial aggregation — the shuffle carries one 32-column row per doc
+    * per map partition, not the shingles.
+    */
+  private def mhAggs = (0 until NumHashes).map { i =>
+    min(expr(s"(${aCoef(i)} * h + ${bCoef(i)}) % $P")).as(f"mh$i%02d")
+  }
 
   /** MinHash signatures (32 permutations) over distinct word-bigram
-    * shingles. Narrow per-row compute; the building block for LSH.
+    * shingles. Shingles are EXPLODED to rows so hashing and the 32 mins
+    * run fully inside whole-stage codegen (a `transform`/`array_min`
+    * formulation would pay ~NumHashes × shingles interpreted lambda calls
+    * per doc). explode_outer keeps zero-shingle docs (null signature),
+    * matching the oracle's list_min(empty) = NULL.
     */
   def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr(s"transform($gramsSpark, $shingleHashSpark)").as("ths"))
-    val mhCols = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P))").as(f"mh$i%02d")
-    }
-    d.select(col("doc_id") +: mhCols: _*).orderBy("doc_id")
+    val hashed = withWords(t(s, dir, "documents"))
+      .select(col("doc_id"), explode_outer(expr(gramsSpark)).as("g"))
+      .select(col("doc_id"), expr(shingleHashScalar("g")).as("h"))
+    hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).orderBy("doc_id")
   }
 
   val qMinhashSigOracle: String = {
@@ -96,8 +123,8 @@ object Dedup {
       s"list_min(list_transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P)) AS mh${"%02d".format(i)}"
     }.mkString(",\n ")
     s"""SELECT doc_id, $cols
-      |FROM (SELECT doc_id, list_transform($gramsDuck, $shingleHashDuck) AS ths
-      |      FROM documents) sub
+      |FROM (SELECT doc_id, list_transform($gramsDuck, g -> ${shingleHashScalar("g")}) AS ths
+      |      FROM $duckWords) sub
       |ORDER BY doc_id""".stripMargin
   }
 
@@ -108,14 +135,24 @@ object Dedup {
     * this is the 100 TB-safe shape (no all-pairs comparison).
     */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = qMinhashSig(s, dir)
-    val grams = t(s, dir, "documents")
+    // grams are persisted (reused by the signature pass + both verify
+    // joins); the signature is computed codegen-only (explode + hash-agg,
+    // see qMinhashSig) and the tiny band table is persisted so the band
+    // self-join doesn't recompute it. At scale these persisted projections
+    // are the standard LSH "signature table" — ~1% the width of the corpus.
+    val grams = withWords(t(s, dir, "documents"))
       .select(col("doc_id"), expr(gramsSpark).as("grams"))
+      .persist()
+    val sig = grams
+      .select(col("doc_id"), explode_outer(col("grams")).as("g"))
+      .select(col("doc_id"), expr(shingleHashScalar("g")).as("h"))
+      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       concat_ws(",", (0 until NumHashes / Bands).map(r => col(f"mh${b * (NumHashes / Bands) + r}%02d")): _*)
     }
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_sig")))
+      .persist()
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a.join(b,
@@ -140,9 +177,9 @@ object Dedup {
       s"list_min(list_transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P)) AS mh${"%02d".format(i)}"
     }.mkString(", ")
     s"""WITH ths AS (
-      |  SELECT doc_id, list_transform($gramsDuck, $shingleHashDuck) AS ths,
+      |  SELECT doc_id, list_transform($gramsDuck, g -> ${shingleHashScalar("g")}) AS ths,
       |         $gramsDuck AS grams
-      |  FROM documents),
+      |  FROM $duckWords),
       |sig AS (SELECT doc_id, grams, $mhExprs FROM ths),
       |bands2 AS (
       |  SELECT doc_id, band_idx,
@@ -165,11 +202,8 @@ object Dedup {
     * (consecutive doc ids) — the exact-verification kernel of near-dedup.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("""array_distinct(transform(
-          | slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-          | (w, i) -> concat(w, '_', element_at(split(text, ' '), i + 2))))""".stripMargin).as("grams"))
+    val grams = withWords(t(s, dir, "documents"))
+      .select(col("doc_id"), expr(gramsSpark).as("grams"))
     val a = grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a")
     val b = grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b")
     a.join(b, col("doc_b") === col("doc_a") + 1)
@@ -180,11 +214,9 @@ object Dedup {
   }
 
   val qNgramJaccardOracle: String =
-    """WITH grams AS (
-      |  SELECT doc_id, list_distinct(
-      |    list_transform(range(1, len(string_split(text, ' '))),
-      |      i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1])) AS grams
-      |  FROM documents)
+    s"""WITH grams AS (
+      |  SELECT doc_id, $gramsDuck AS grams
+      |  FROM $duckWords)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  round(len(list_intersect(a.grams, b.grams)) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS bigram_jaccard
       |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1

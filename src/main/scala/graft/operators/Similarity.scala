@@ -21,13 +21,15 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** cosine(a, b) with element promotion to double; fold order is index
-    * order in both engines.
+  /** cosine numerator/denominator with element promotion to double; fold
+    * order is index order in both engines. Kept as separate dot / norm
+    * expressions so norms can be precomputed per row (once) instead of per
+    * candidate pair.
     */
-  private val cosExpr =
-    """aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-      | / (sqrt(aggregate(qv, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-      |  * sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin
+  private val dotExpr =
+    "aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  private val normExpr =
+    "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
 
   /** Brute-force cosine top-10 for each of 3 query vectors (vec_id 0..2)
     * against the rest of the corpus. The query side is broadcast; ranking
@@ -37,11 +39,13 @@ object Similarity {
     */
   def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
     val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     val scored = e.filter(col("vec_id") >= 3)
       .crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id"), round(expr(cosExpr), 4).as("cos_sim"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -72,12 +76,17 @@ object Similarity {
     * the quadratic term to cell size.
     */
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    // Norms are precomputed per vector BEFORE the pair join: per-pair work
+    // drops from three array folds to one (the dot product). Same double
+    // arithmetic, so the oracle match is unaffected.
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("label"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding"), col("label"))
+      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("label"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding"), col("label"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("label"), col("id_a"), col("id_b"), round(expr(cosExpr), 4).as("cos_sim"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        round(expr(dotExpr) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy("id_a", "id_b")
   }
