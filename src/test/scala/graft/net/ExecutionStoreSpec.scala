@@ -1,0 +1,131 @@
+package graft.net
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{JobResult, ParameterError}
+import graft.runner.LogFilePath
+
+/** State machine + DB-queue semantics (reference:
+  * test/test_databasetaskqueue.rb and lib/bricolage/dao/jobexecution.rb)
+  * and log path templating (reference: test/test_logfilepath.rb:160-170).
+  */
+class ExecutionStoreSpec extends AnyFunSuite {
+
+  private def ref(n: String) = JobRef("subsys", n, isNet = false)
+
+  test("enqueue creates waiting executions in sequence order") {
+    val store = new ExecutionStore()
+    store.enqueueJob("subsys/net1", ref("job1"), 1)
+    store.enqueueJob("subsys/net1", ref("job2"), 2)
+    val q = store.enqueuedJobs("subsys/net1")
+    assert(q.map(_.jobName) == Seq("job1", "job2"))
+    assert(q.forall(_.status == ExecutionStatus.Waiting))
+  }
+
+  test("legal transitions waiting -> running -> succeeded, with audit trail") {
+    val store = new ExecutionStore()
+    val e = store.enqueueJob("n", ref("j"), 1)
+    store.transitionToRunning(e.id)
+    assert(store.get(e.id).get.startedAt.isDefined)
+    store.transitionToSucceeded(e.id)
+    assert(store.get(e.id).get.status == ExecutionStatus.Succeeded)
+    assert(store.stateTransitions.map(_.status) ==
+      Seq("waiting", "running", "succeeded"))
+  }
+
+  test("illegal transitions raise") {
+    val store = new ExecutionStore()
+    val e = store.enqueueJob("n", ref("j"), 1)
+    intercept[IllegalJobStateException](store.transitionToSucceeded(e.id))
+    store.transitionToRunning(e.id)
+    intercept[IllegalJobStateException](store.transitionToRunning(e.id))
+  }
+
+  test("failed job can re-run (failed -> running)") {
+    val store = new ExecutionStore()
+    val e = store.enqueueJob("n", ref("j"), 1)
+    store.transitionToRunning(e.id)
+    store.transitionToFailed(e.id, "boom")
+    assert(store.get(e.id).get.message == "boom")
+    store.transitionToRunning(e.id)
+    assert(store.get(e.id).get.status == ExecutionStatus.Running)
+  }
+
+  test("queue consume stops at first failure; restore skips succeeded") {
+    val store = new ExecutionStore()
+    val q = new DatabaseTaskQueue(store, "subsys/net1", "host:1")
+    Seq("a", "b", "c").foreach(n => q.enqueue(ref(n)))
+    val r = q.consumeEach { j =>
+      if (j.name == "b") JobResult.failure("b failed") else JobResult.success
+    }
+    assert(!r.success)
+    assert(store.enqueuedJobs("subsys/net1").map(_.jobName) == Seq("b", "c"))
+    // restart: a fresh queue restores only the unfinished jobs
+    val q2 = new DatabaseTaskQueue(store, "subsys/net1", "host:2")
+    assert(q2.restoreJobnet())
+    assert(q2.queued.map(_.name) == Seq("b", "c"))
+    assert(q2.consumeEach(_ => JobResult.success).success)
+    assert(store.enqueuedJobs("subsys/net1").isEmpty)
+  }
+
+  test("unexpected exception still writes failed state") {
+    val store = new ExecutionStore()
+    val q = new DatabaseTaskQueue(store, "n", "host:1")
+    q.enqueue(ref("a"))
+    intercept[RuntimeException](q.consumeEach(_ => throw new RuntimeException("kaboom")))
+    assert(store.all.head.status == ExecutionStatus.Failed)
+  }
+
+  test("jobnet lock excludes a second executor") {
+    val store = new ExecutionStore()
+    val q1 = new DatabaseTaskQueue(store, "n", "host:1", enableLock = true)
+    q1.enqueue(ref("a"))
+    store.lock("n", "host:9")
+    intercept[IllegalJobStateException](q1.consumeEach(_ => JobResult.success))
+    store.unlock("n", "host:9")
+    assert(q1.consumeEach(_ => JobResult.success).success)
+  }
+
+  test("cancelJobnet cancels all non-terminal executions") {
+    val store = new ExecutionStore()
+    store.enqueueJob("n", ref("a"), 1)
+    store.enqueueJob("n", ref("b"), 2)
+    store.cancelJobnet("n", "operator cancel")
+    assert(store.all.forall(_.status == ExecutionStatus.Canceled))
+    assert(store.enqueuedJobs("n").isEmpty)
+  }
+
+  test("store persists and reloads across instances") {
+    val p = Files.createTempDirectory("graft-exec").resolve("state.tsv")
+    val s1 = new ExecutionStore(Some(p))
+    val e = s1.enqueueJob("n", ref("a\tweird\nname"), 1)
+    s1.transitionToRunning(e.id)
+    s1.transitionToFailed(e.id, "msg with\ttab")
+    val s2 = new ExecutionStore(Some(p))
+    val reloaded = s2.get(e.id).get
+    assert(reloaded.jobName == "a\tweird\nname")
+    assert(reloaded.status == ExecutionStatus.Failed)
+    assert(reloaded.message == "msg with\ttab")
+    // ids keep incrementing after reload
+    assert(s2.enqueueJob("n", ref("b"), 2).id > e.id)
+  }
+
+  test("log path %{std} expansion") {
+    val lp = new LogFilePath("/log/%{std}.log")
+    val t = LocalDateTime.of(2024, 8, 7, 9, 30, 15, 123000000)
+    val out = lp.format(JobRef("subsys", "job1", false), "subsys/net1", t, t)
+    assert(out == "/log/20240807/subsys::net1/20240807_093015123/subsys-job1.log")
+  }
+
+  test("log path individual variables and bad variable") {
+    val t = LocalDateTime.of(2024, 1, 2, 3, 4, 5, 0)
+    val jt = LocalDateTime.of(2024, 1, 1, 0, 0, 0, 0)
+    val lp = new LogFilePath("%{job_start_date}/%{net}/%{job}")
+    assert(lp.format(JobRef("ss", "j", false), "net9", t, jt) == "20240102/net9/j")
+    intercept[ParameterError](
+      new LogFilePath("%{nope}").format(JobRef("ss", "j", false), "n", t, jt))
+  }
+}
