@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Idiomatic Structured Streaming counterparts to the batch-faithful
+  * [[StreamingLoadJobClass]] (SURVEY §2.11 option (b)) plus the streaming
+  * operators a training-data pipeline needs: watermarked windowed
+  * aggregation and custom sessionization state.
+  *
+  * Scale notes: the file source lists the queue directory incrementally
+  * and the checkpoint records per-file progress — Spark's native
+  * exactly-once-per-file replaces the reference's load-log join dedup
+  * (jobclass/streaming_load.rb:282-330). State stores (windows, sessions)
+  * are partitioned by grouping key across executors and spill via RocksDB
+  * if configured; watermarks bound state growth.
+  */
+object StructuredStreams {
+
+  /** Exactly-once micro-batch load: stream new files under `queueDir`
+    * into parquet `destDir`, applying an optional per-batch SQL transform
+    * (the work-table step of the reference — `$work_table` is exposed as
+    * a temp view named `work_table`). `Trigger.AvailableNow` drains
+    * everything pending, then stops — the reference's one-shot semantics.
+    */
+  def loadAvailableNow(
+      spark: SparkSession,
+      queueDir: String,
+      schema: StructType,
+      format: String,
+      destDir: String,
+      checkpointDir: String,
+      transformSql: Option[String] = None): StreamingQuery = {
+    val src = spark.readStream.schema(schema).format(format)
+      .load(queueDir)
+    val q = src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = transformSql match {
+          case Some(sql) =>
+            batch.createOrReplaceTempView("work_table")
+            batch.sparkSession.sql(sql)
+          case None => batch
+        }
+        out.write.mode("append").parquet(destDir)
+        ()
+      }
+      .start()
+    q
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * count + sum(value) per (window, event_type). Late data beyond the
+    * watermark is dropped; closed windows leave the state store.
+    */
+  def windowedEventStats(events: DataFrame, watermark: String,
+      windowLength: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, closed: Boolean)
+
+  /** Custom per-key state: gap-based sessionization via
+    * flatMapGroupsWithState. A session closes when no event arrives
+    * within `gapMs` (event-time timeout keyed by watermark); closed
+    * sessions are emitted, open ones stay in the state store.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.n, closed = true))
+          } else {
+            val ts = rows.map(_.ts.getTime).toSeq.sorted
+            // fold new events into (possibly multiple) sessions
+            var out = List.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out ::= Session(userId, s.start, s.last, s.n, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

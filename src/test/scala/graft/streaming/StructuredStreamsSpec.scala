@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Structured Streaming layer: AvailableNow exactly-once load, watermark +
+  * window aggregation, flatMapGroupsWithState sessionization.
+  */
+class StructuredStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  test("loadAvailableNow drains queue once; re-run loads only new files") {
+    val queue = tmp("ss-queue")
+    val dest = tmp("ss-dest").resolve("out").toString
+    val ckpt = tmp("ss-ckpt").toString
+    val schema = StructType.fromDDL("id INT, name STRING")
+
+    Files.writeString(queue.resolve("f1.json"), """{"id":1,"name":"a"}""" + "\n")
+    Files.writeString(queue.resolve("f2.json"), """{"id":2,"name":"b"}""" + "\n")
+    StructuredStreams.loadAvailableNow(spark, queue.toString, schema, "json",
+      dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == 2)
+
+    // second run: same files are NOT reloaded, a new file is
+    Files.writeString(queue.resolve("f3.json"), """{"id":3,"name":"c"}""" + "\n")
+    StructuredStreams.loadAvailableNow(spark, queue.toString, schema, "json",
+      dest, ckpt).awaitTermination()
+    val rows = spark.read.parquet(dest)
+    assert(rows.count() == 3)
+    assert(rows.agg(sum("id")).head.getLong(0) == 6)
+  }
+
+  test("loadAvailableNow applies the work_table SQL transform per batch") {
+    val queue = tmp("ss-queue2")
+    val dest = tmp("ss-dest2").resolve("out").toString
+    val ckpt = tmp("ss-ckpt2").toString
+    val schema = StructType.fromDDL("id INT, name STRING")
+    Files.writeString(queue.resolve("f1.json"),
+      """{"id":1,"name":"a"}""" + "\n" + """{"id":2,"name":"b"}""" + "\n")
+    StructuredStreams.loadAvailableNow(spark, queue.toString, schema, "json",
+      dest, ckpt,
+      Some("SELECT id * 10 AS id, upper(name) AS name FROM work_table"))
+      .awaitTermination()
+    val rows = spark.read.parquet(dest).orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 20))
+    assert(rows.map(_.getString(1)).toSeq == Seq("A", "B"))
+  }
+
+  test("windowed aggregation with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val agg = StructuredStreams.windowedEventStats(events, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    in.addData(
+      (Timestamp.valueOf("2024-08-07 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-08-07 10:45:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-08-07 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").orderBy("window_start", "event_type").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("value_sum") == 3.0)
+    assert(rows(1).getAs[String]("event_type") == "view")
+  }
+
+  test("sessionization: gap split within a batch, state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StructuredStreams.Event]
+    val sessions = StructuredStreams.sessionize(in.toDS(), gapMs = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: two bursts 10 minutes apart -> first session closes in-batch
+    in.addData(
+      StructuredStreams.Event(1L, ts("2024-08-07 10:00:00"), "a"),
+      StructuredStreams.Event(1L, ts("2024-08-07 10:00:30"), "a"),
+      StructuredStreams.Event(1L, ts("2024-08-07 10:10:00"), "a"))
+    q.processAllAvailable()
+    val closed1 = spark.table("sessions").filter("closed").collect()
+    assert(closed1.length == 1)
+    assert(closed1(0).getAs[Long]("n_events") == 2)
+    // advance watermark far past the open session's timeout -> it closes
+    in.addData(StructuredStreams.Event(2L, ts("2024-08-07 12:00:00"), "b"))
+    q.processAllAvailable()
+    in.addData(StructuredStreams.Event(2L, ts("2024-08-07 12:30:00"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessions").filter("closed").collect()
+    assert(all.exists(r => r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("n_events") == 1))
+  }
+}
