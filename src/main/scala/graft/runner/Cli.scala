@@ -1,0 +1,156 @@
+package graft.runner
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{EmbeddedFunctions, JobFile, JobResult, ParameterError, Variables}
+import graft.ds.{DataSourceRegistry, FileDataSource, FsDataSource, SparkDataSource}
+import graft.jobclass.JobContext
+import graft.net.{FileTaskQueue, MemoryTaskQueue, TaskQueue}
+
+/** CLI entry points mirroring the reference's two binaries
+  * (`bin/bricolage` → Application.main, application.rb:37-91;
+  * `bin/bricolage-jobnet` → JobNetRunner.main, jobnetrunner.rb:40-93).
+  *
+  * Context loading (reference: lib/bricolage/context.rb:96-133):
+  * `<home>/datasource.yml` configures datasources (defaults provided),
+  * `<home>/variable.yml` and `<home>/<subsys>/variable.yml` add global
+  * variables (ERB-style `<%= %>` helpers preprocessed).
+  */
+object Cli {
+
+  def buildSpark(appName: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def loadVariables(home: Path, subsys: String): Variables = {
+    def fromFile(p: Path): Variables =
+      if (!Files.exists(p)) Variables.empty
+      else Variables.fromMap(
+        JobFile.parseYamlMap(EmbeddedFunctions.preprocess(Files.readString(p)))
+          .map { case (k, v) => k -> String.valueOf(v) })
+    val global = fromFile(home.resolve("variable.yml"))
+    val sub =
+      if (subsys.isEmpty) Variables.empty
+      else fromFile(home.resolve(subsys).resolve("variable.yml"))
+    global.union(sub)
+  }
+
+  def loadContext(home: Path, subsys: String, spark: => SparkSession): JobContext = {
+    val dsFile = home.resolve("datasource.yml")
+    val registry =
+      if (Files.exists(dsFile))
+        DataSourceRegistry.fromConfig(
+          JobFile.parseYamlMap(Files.readString(dsFile)), spark)
+      else
+        new DataSourceRegistry(Map(
+          "sql"  -> new SparkDataSource("sql", spark, "default"),
+          "fs"   -> new FsDataSource("fs", home),
+          "file" -> new FileDataSource("file", home)))
+    JobContext(registry, home, subsys, loadVariables(home, subsys))
+  }
+
+  final case class Options(
+      home: Path,
+      varAssigns: Variables,
+      jobOptions: Map[String, String],
+      queuePath: Option[Path],
+      clearQueue: Boolean,
+      dryRun: Boolean,
+      target: Option[Path])
+
+  /** Parse `[--home=PATH] [-v name=value]... [--opt=value]... [--queue=PATH]
+    * [--clear-queue] [--dry-run] file`.
+    */
+  def parseArgs(args: Seq[String]): Options = {
+    var home = Paths.get(sys.env.getOrElse("BRICOLAGE_HOME", "."))
+    var vars = Variables.empty
+    var jobOpts = Map.empty[String, String]
+    var queue: Option[Path] = None
+    var clear = false
+    var dry = false
+    var target: Option[Path] = None
+    val it = args.iterator
+    while (it.hasNext) {
+      it.next() match {
+        case a if a.startsWith("--home=") => home = Paths.get(a.drop(7))
+        case "-v" =>
+          if (!it.hasNext) throw new ParameterError("-v requires name=value")
+          val kv = it.next()
+          kv.split("=", 2) match {
+            case Array(k, v) => vars = vars.add(k, v)
+            case _ => throw new ParameterError(s"bad -v argument: $kv")
+          }
+        case a if a.startsWith("--queue=") => queue = Some(Paths.get(a.drop(8)))
+        case "--clear-queue" => clear = true
+        case "--dry-run" | "-n" => dry = true
+        case a if a.startsWith("--") && a.contains("=") =>
+          val Array(k, v) = a.drop(2).split("=", 2)
+          jobOpts += (k -> v)
+        case a if a.startsWith("--") => jobOpts += (a.drop(2) -> "true")
+        case a if target.isEmpty => target = Some(Paths.get(a))
+        case a => throw new ParameterError(s"unexpected argument: $a")
+      }
+    }
+    Options(home, vars, jobOpts, queue, clear, dry, target)
+  }
+}
+
+/** `runMain graft.runner.BricolageMain [options] job-file` — run ONE job. */
+object BricolageMain {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parseArgs(args.toSeq)
+    val jobPath = opts.target.getOrElse(
+      throw new ParameterError("usage: BricolageMain [options] job-file"))
+    // subsystem = the job file's parent directory name under home
+    val subsys = Option(jobPath.toAbsolutePath.getParent)
+      .filter(_ != opts.home.toAbsolutePath)
+      .map(_.getFileName.toString).getOrElse("")
+    lazy val spark = Cli.buildSpark(s"graft-${jobPath.getFileName}")
+    val ctx = Cli.loadContext(opts.home, subsys, spark)
+    if (opts.dryRun) {
+      val jf = JobFile.load(jobPath)
+      new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions, opts.varAssigns)
+        .compile().foreach(a => println(a))
+      sys.exit(0)
+    }
+    val result = Application.runJobFile(jobPath, ctx, opts.jobOptions, opts.varAssigns)
+    if (!result.success) System.err.println(result.message)
+    sys.exit(result.exitCode)
+  }
+}
+
+/** `runMain graft.runner.JobNetMain [options] net-file` — run a DAG. */
+object JobNetMain {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parseArgs(args.toSeq)
+    val netPath = opts.target.getOrElse(
+      throw new ParameterError("usage: JobNetMain [options] jobnet-file"))
+    val subsys = Option(netPath.toAbsolutePath.getParent)
+      .filter(_ != opts.home.toAbsolutePath)
+      .map(_.getFileName.toString).getOrElse("")
+    lazy val spark = Cli.buildSpark(s"graft-net-${netPath.getFileName}")
+    val ctx = Cli.loadContext(opts.home, subsys, spark)
+    val queue: TaskQueue = opts.queuePath match {
+      case Some(p) =>
+        // --clear-queue discards persisted progress before restore
+        // (reference: jobnetrunner.rb:63-66)
+        if (opts.clearQueue) Files.deleteIfExists(p)
+        new FileTaskQueue(p)
+      case None => new MemoryTaskQueue
+    }
+    val result = new JobNetRunner(ctx).run(netPath, queue, opts.varAssigns)
+    if (!result.success) System.err.println(result.message)
+    sys.exit(result.exitCode)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.runner
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core.ParameterError
+
+/** CLI argument parsing and context/variable loading
+  * (reference: application.rb:37-43 option parse, context.rb:96-133).
+  */
+class CliSpec extends AnyFunSuite {
+
+  test("parseArgs: home, -v vars, job options, queue, flags, target") {
+    val o = Cli.parseArgs(Seq("--home=/tmp/h", "-v", "a=1", "-v", "b=x=y",
+      "--dest-table=t.d", "--force", "--queue=/tmp/q", "--clear-queue",
+      "--dry-run", "job.sql.job"))
+    assert(o.home.toString == "/tmp/h")
+    assert(o.varAssigns.get("a").contains("1"))
+    assert(o.varAssigns.get("b").contains("x=y"))
+    assert(o.jobOptions == Map("dest-table" -> "t.d", "force" -> "true"))
+    assert(o.queuePath.get.toString == "/tmp/q")
+    assert(o.clearQueue && o.dryRun)
+    assert(o.target.get.toString == "job.sql.job")
+  }
+
+  test("parseArgs rejects bad -v and extra positional args") {
+    intercept[ParameterError](Cli.parseArgs(Seq("-v", "noequals", "f")))
+    intercept[ParameterError](Cli.parseArgs(Seq("a.job", "b.job")))
+  }
+
+  test("loadVariables: subsystem overrides global; ERB date helpers expand") {
+    val home = Files.createTempDirectory("cli-home")
+    Files.createDirectories(home.resolve("ss"))
+    Files.writeString(home.resolve("variable.yml"),
+      "data_date: <%= today - 1 %>\nwho: global\n")
+    Files.writeString(home.resolve("ss/variable.yml"), "who: subsys\n")
+    val vars = Cli.loadVariables(home, "ss")
+    assert(vars("who") == "subsys")
+    assert(vars("data_date") == java.time.LocalDate.now().minusDays(1).toString)
+  }
+
+  test("loadContext builds registry from datasource.yml") {
+    val home = Files.createTempDirectory("cli-home2")
+    Files.writeString(home.resolve("datasource.yml"),
+      """sql:
+        |  type: spark
+        |  schema: cli_test
+        |work:
+        |  type: fs
+        |  base: /tmp/cli-work
+        |""".stripMargin)
+    val ctx = Cli.loadContext(home, "", SparkTestBase.spark)
+    assert(ctx.registry.spark("sql").defaultSchema == "cli_test")
+    assert(ctx.registry.fs("work").base.toString == "/tmp/cli-work")
+  }
+}
