@@ -306,6 +306,45 @@ object Relational {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** CUBE over (mktsegment, orderstatus): all 4 grouping combinations in
+    * one pass — Catalyst expands to a single Expand + hash aggregate, so
+    * the input is scanned once regardless of grouping-set count.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(cubeSql)
+  }
+
+  private val cubeSql =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      | coalesce(o_orderstatus, 'ALL') AS status,
+      | count(*) AS n_orders,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+      |ORDER BY segment, status""".stripMargin
+
+  val qCubeOracle: String = cubeSql
+
+  /** Explicit GROUPING SETS: per-clerk and per-priority totals in one
+    * scan, distinguished via GROUPING() flags.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(groupingSetsSql)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(o_orderstatus, '-') AS status, coalesce(o_orderpriority, '-') AS priority,
+      | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      | count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  val qGroupingSetsOracle: String = groupingSetsSql
+
   /** Scalar-subquery filter: orders above the (rounded) global average.
     * Expressed as a broadcast cross join of the 1-row aggregate — the
     * distributed form of a scalar subquery (no driver-side collect).
@@ -401,6 +440,8 @@ object Relational {
     QueryDef("q_intersect", qIntersect, Some(qIntersectOracle)),
     QueryDef("q_case_bucket", qCaseBucket, Some(qCaseBucketOracle)),
     QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
+    QueryDef("q_cube", qCube, Some(qCubeOracle)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)),
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
