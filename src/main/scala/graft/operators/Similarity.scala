@@ -21,15 +21,14 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** cosine numerator/denominator with element promotion to double; fold
-    * order is index order in both engines. Kept as separate dot / norm
-    * expressions so norms can be precomputed per row (once) instead of per
+  /** cosine numerator/denominator via the native codegen'd expressions in
+    * [[graft.functions.VectorFunctions]] (double promotion, index-order
+    * accumulation — bit-identical to the DuckDB oracle's fold). Norms are
+    * separate so they can be precomputed per row (once) instead of per
     * candidate pair.
     */
-  private val dotExpr =
-    "aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-  private val normExpr =
-    "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+  private val dotExpr = "vec_dot(qv, embedding)"
+  private val normExpr = "vec_norm(embedding)"
 
   /** Brute-force cosine top-10 for each of 3 query vectors (vec_id 0..2)
     * against the rest of the corpus. The query side is broadcast; ranking
@@ -38,6 +37,7 @@ object Similarity {
     * pre-aggregate per-partition top-k first).
     */
   def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
     val q = e.filter(col("vec_id") < 3)
@@ -79,6 +79,7 @@ object Similarity {
     // Norms are precomputed per vector BEFORE the pair join: per-pair work
     // drops from three array folds to one (the dot product). Same double
     // arithmetic, so the oracle match is unaffected.
+    graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("label"), col("nrm").as("nrm_a"))

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** vec_dot / vec_norm: codegen and interpreted paths must match the
+  * higher-order-function formulation exactly (same double accumulation
+  * order), and null arrays must propagate null.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def df = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    Seq(
+      (1L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (2L, Some(Array(0.5f, -1.5f)), Some(Array(2.0f, 2.0f))),
+      (3L, None, Some(Array(1.0f))),
+      (4L, Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("id", "qv", "embedding")
+  }
+
+  test("vec_dot matches the aggregate/zip_with fold and handles nulls") {
+    val rows = df.select(col("id"),
+        expr("vec_dot(qv, embedding)").as("fast"),
+        expr("aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)").as("hof"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 32.0 && rows(0).getDouble(2) == 32.0)
+    assert(rows(1).getDouble(1) == -2.0)
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).getDouble(1) == 0.0)
+  }
+
+  test("vec_norm matches sqrt of the squared fold") {
+    val rows = df.select(col("id"),
+        expr("vec_norm(embedding)").as("fast"),
+        expr("sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))").as("hof"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else assert(r.getDouble(1) == r.getDouble(2))
+    }
+  }
+
+  test("interpreted eval path (codegen disabled) agrees") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r = df.filter("id = 1")
+        .select(expr("vec_dot(qv, embedding)"), expr("vec_norm(qv)")).head
+      assert(r.getDouble(0) == 32.0)
+      assert(r.getDouble(1) == math.sqrt(14.0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
