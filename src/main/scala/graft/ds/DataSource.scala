@@ -75,6 +75,13 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
     */
   def vacuum(t: TableSpec, sortOnly: Boolean = false): Unit = ()
 
+  /** Plan text for a statement (reference: psqldatasource.rb:273-296
+    * generates `explain <stmt>` for select/insert/update/delete kinds).
+    */
+  def explain(stmt: String): String =
+    spark.sql(stmt).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+
   def analyze(t: TableSpec): Unit = {
     sql(s"ANALYZE TABLE ${qualify(t)} COMPUTE STATISTICS")
     ()

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k as a typed Aggregator: each partition keeps at most k
+  * (score, id) pairs, partials merge pairwise — so per-group top-k costs a
+  * size-k buffer per group per partition instead of a full
+  * partition-by/sort window over every row. At 100 TB this is the
+  * difference between shuffling k rows per group and shuffling (then
+  * sorting) the whole table.
+  *
+  * Ties break toward the smaller id, matching
+  * `row_number() OVER (ORDER BY score DESC, id)`.
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  private def ordered(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    // fast path: below the current k-th element, skip the sort
+    if (buf.size >= k && {
+      val (ls, li) = buf.last
+      in._1 < ls || (in._1 == ls && in._2 > li)
+    }) buf
+    else ordered(buf :+ in)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    ordered(a ++ b)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    bufferEncoder
+}
+
+object TopKAggregator {
+  /** Typed column for `KeyValueGroupedDataset.agg`. */
+  def topK(k: Int): TypedColumn[(Double, Long), Seq[(Double, Long)]] =
+    new TopKAggregator(k).toColumn
+}

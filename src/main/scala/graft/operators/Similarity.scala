@@ -111,13 +111,20 @@ object Similarity {
     * the candidate-generation structure of approximate NN at scale.
     */
   def qLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
-    // plane p, component j: ((p*131 + j*37) % 19) - 9  (deterministic, zero-mean-ish)
-    val bucket = expr(
-      """aggregate(sequence(0, 7), 0L, (acc, p) ->
-        |  acc + CASE WHEN aggregate(zip_with(embedding, sequence(0, 63),
-        |      (v, j) -> CAST(v AS DOUBLE) * CAST((p * 131 + j * 37) % 19 - 9 AS DOUBLE)),
-        |    0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END)""".stripMargin)
+    // plane p, component j: ((p*131 + j*37) % 19) - 9 (deterministic,
+    // zero-mean-ish). Planes are materialized as float-array literals and
+    // dotted with the codegen'd vec_dot — the nested-HOF formulation paid
+    // 8×64 interpreted lambda calls per row. Same index-order double
+    // accumulation, so bucket assignment is unchanged.
+    def planeSql(p: Int): String =
+      (0 until 64).map(j => s"CAST(${(p * 131 + j * 37) % 19 - 9} AS FLOAT)")
+        .mkString("array(", ", ", ")")
+    val bucket = (0 until 8).map { p =>
+      expr(s"CASE WHEN vec_dot(embedding, ${planeSql(p)}) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    }.reduce(_ + _)
     e.select(col("vec_id"), col("label"), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))

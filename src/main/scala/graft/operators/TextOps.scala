@@ -71,14 +71,19 @@ object TextOps {
     */
   def qLangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // tokenize once and bind each hit-count to a column: inlining the
+    // counts into the when-chain would re-split + re-filter per reference
     def hits(ws: Seq[String]) =
-      size(expr(s"filter(split(text, ' '), w -> w IN ${sqlList(ws)})"))
+      size(expr(s"filter(ws, w -> w IN ${sqlList(ws)})"))
     val dataish = Seq("data", "table", "row", "column")
     val queryish = Seq("query", "filter", "join", "sort")
     val streamish = Seq("stream", "batch", "window", "spark")
-    d.select(col("doc_id"), col("lang"),
-        when(hits(dataish) >= hits(queryish) && hits(dataish) >= hits(streamish), "dataish")
-          .when(hits(queryish) >= hits(streamish), "queryish")
+    d.withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), hits(dataish).as("h_data"),
+        hits(queryish).as("h_query"), hits(streamish).as("h_stream"))
+      .select(col("doc_id"), col("lang"),
+        when(col("h_data") >= col("h_query") && col("h_data") >= col("h_stream"), "dataish")
+          .when(col("h_query") >= col("h_stream"), "queryish")
           .otherwise("streamish").as("pred_domain"))
       .groupBy("lang", "pred_domain")
       .agg(count(lit(1)).as("n_docs"))
