@@ -30,12 +30,36 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
   def qualify(t: TableSpec): String =
     t.schema.getOrElse(defaultSchema) + "." + t.name
 
-  def sql(stmt: String): DataFrame =
+  /** Statements are logged with credentials masked
+    * (reference: postgresconnection.rb:267-274 — kept verbatim even though
+    * Spark-side SQL rarely embeds secrets).
+    */
+  var sqlLogging: Boolean = false
+
+  def sql(stmt: String): DataFrame = {
+    if (sqlLogging)
+      System.err.println(s"[$name] ${SparkDataSource.maskSecrets(stmt)}")
     try spark.sql(stmt)
     catch {
       case e: JobError   => throw e
       case e: Exception  => throw new JobFailure(s"SQL failed: ${e.getMessage}", e)
     }
+  }
+
+  /** Cursor-batch read parity (reference: postgresconnection.rb:151-155,
+    * 206-241 — `declare cursor` + `fetch N`, default 5000): stream the
+    * result through the driver in bounded batches without collecting.
+    */
+  def queryBatch(stmt: String, batchSize: Int = 5000)(
+      f: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
+    val it = sql(stmt).toLocalIterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    while (it.hasNext) {
+      buf += it.next()
+      if (buf.size >= batchSize) { f(buf.toSeq); buf.clear() }
+    }
+    if (buf.nonEmpty) f(buf.toSeq)
+  }
 
   /** Run every statement of a bound SQL script; the last result wins
     * (reference: lib/bricolage/script.rb:44-50).
@@ -125,6 +149,12 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
   * get/put/delete/move. Backed by java.nio here; on a cluster the same
   * operations go through the Hadoop FileSystem API against s3a://.
   */
+object SparkDataSource {
+  /** reference: postgresconnection.rb:271-273 */
+  def maskSecrets(msg: String): String =
+    msg.replaceAll("(?is)\\bcredentials\\s+'.*?'", "credentials '****'")
+}
+
 final class FsDataSource(val name: String, val base: Path) extends DataSource {
 
   def url(rel: String): Path = base.resolve(rel)

@@ -246,4 +246,17 @@ class JobClassSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q2.queued.map(_.name) == Seq("boom", "ok2"))
     assert(runner.run(home.resolve("subsys/net_fail.jobnet"), q2).success)
   }
+
+  test("explain returns plan text; queryBatch streams bounded batches") {
+    assert(sds.explain("SELECT 1 AS one").contains("Physical Plan"))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sds.queryBatch("SELECT id FROM range(25)", batchSize = 10)(rows => sizes += rows.size)
+    assert(sizes.toSeq == Seq(10, 10, 5))
+  }
+
+  test("maskSecrets hides credentials in logged SQL") {
+    assert(SparkDataSource.maskSecrets(
+      "copy t from 's3://b/k' credentials 'aws_access_key_id=AKIA;secret=x' gzip")
+      == "copy t from 's3://b/k' credentials '****' gzip")
+  }
 }
