@@ -159,12 +159,15 @@ final class FsDataSource(val name: String, val base: Path) extends DataSource {
 
   def url(rel: String): Path = base.resolve(rel)
 
-  /** Prefix listing (reference: s3datasource.rb:127-140 `traverse`). */
-  def list(prefix: String): Seq[Path] = {
-    val dir = url(prefix)
-    if (!Files.isDirectory(dir)) Nil
-    else Files.walk(dir).iterator.asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-  }
+  /** Prefix listing with bounded retry (reference: s3datasource.rb:127-140
+    * `traverse` — 3 retries on transient errors, 1 s sleep).
+    */
+  def list(prefix: String): Seq[Path] =
+    graft.core.Retry.withRetry(limit = 3, sleepMs = 1000) {
+      val dir = url(prefix)
+      if (!Files.isDirectory(dir)) Nil
+      else Files.walk(dir).iterator.asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+    }
 
   def put(local: Path, rel: String): Unit = {
     val target = url(rel)

@@ -134,9 +134,16 @@ final class JobNetRunner(ctx: JobContext,
 
   /** Run the full net through a queue; a restart with the same file queue
     * skips completed jobs (reference: jobnetrunner.rb:61-72,156-172).
+    * With `logFiles` set, each job's stdout/stderr is redirected to its
+    * templated log path (reference: jobnetrunner.rb:174-187 +
+    * loglocator.rb).
     */
   def run(rootNet: Path, queue: TaskQueue = new MemoryTaskQueue,
-      cliVariables: Variables = Variables.empty): JobResult = {
+      cliVariables: Variables = Variables.empty,
+      logFiles: Option[LogFilePath] = None): JobResult = {
+    val jobnetStart = java.time.LocalDateTime.now()
+    val jobnetId = (if (ctx.subsys.isEmpty) "" else ctx.subsys + "/") +
+      rootNet.getFileName.toString.stripSuffix(".jobnet")
     val jobs = sequentialJobs(rootNet)
     // restore-or-enqueue: a non-empty restored queue resumes where it stopped
     if (queue.isEmpty) jobs.foreach(queue.enqueue)
@@ -150,8 +157,16 @@ final class JobNetRunner(ctx: JobContext,
     val result = queue.consumeEach { ref =>
       JobListener.fire(listeners)(_.beforeJob(ref))
       val jf = JobFile.load(jobFilePath(ref))
-      val r = new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables)
-        .execute()
+      def exec() =
+        new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables)
+          .execute()
+      val r = logFiles match {
+        case Some(lp) =>
+          val p = java.nio.file.Paths.get(
+            lp.format(ref, jobnetId, java.time.LocalDateTime.now(), jobnetStart))
+          LogLocator.redirect(p)(exec())
+        case None => exec()
+      }
       JobListener.fire(listeners)(_.afterJob(ref, r))
       r
     }

@@ -41,6 +41,41 @@ class CliSpec extends AnyFunSuite {
     assert(vars("data_date") == java.time.LocalDate.now().minusDays(1).toString)
   }
 
+  test("Retry.withRetry retries transient failures then succeeds, rethrows after limit") {
+    var calls = 0
+    val got = graft.core.Retry.withRetry(limit = 3, sleepMs = 1) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("transient")
+      "ok"
+    }
+    assert(got == "ok" && calls == 3)
+    intercept[java.io.IOException] {
+      graft.core.Retry.withRetry(limit = 2, sleepMs = 1) {
+        if (true) throw new java.io.IOException("always"); ""
+      }
+    }
+    // non-retriable errors propagate immediately
+    var n = 0
+    intercept[IllegalStateException] {
+      graft.core.Retry.withRetry(limit = 3, sleepMs = 1) {
+        n += 1; if (true) throw new IllegalStateException("fatal"); ""
+      }
+    }
+    assert(n == 1)
+  }
+
+  test("LogLocator.redirect captures println and System.out, then restores") {
+    val f = Files.createTempDirectory("log-loc").resolve("a/b/job.log")
+    val before = System.out
+    LogLocator.redirect(f) {
+      println("via console")
+      System.out.println("via system")
+    }
+    assert(System.out eq before)
+    val text = Files.readString(f)
+    assert(text.contains("via console") && text.contains("via system"))
+  }
+
   test("loadContext builds registry from datasource.yml") {
     val home = Files.createTempDirectory("cli-home2")
     Files.writeString(home.resolve("datasource.yml"),
