@@ -80,6 +80,28 @@ object JobClass {
     AdhocJobClass, WaitFileJobClass, graft.streaming.StreamingLoadJobClass,
   ).map(jc => jc.id -> jc).toMap
 
+  /** User-registered job classes (the reference's plugin model: out-of-repo
+    * classes like bricolage-mysql's my-import — jobclass.rb:12-18; custom
+    * registrations shadow built-ins, latest wins).
+    */
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[String, JobClass]()
+
+  def register(jc: JobClass): Unit = { custom.put(jc.id, jc); () }
+
   def get(id: String): JobClass =
-    registry.getOrElse(id, throw new ParameterError(s"no such job class: $id"))
+    Option(custom.get(id)).orElse(registry.get(id))
+      .getOrElse(throw new ParameterError(s"no such job class: $id"))
+}
+
+/** Define a job class from a plain function — the ScalaJobClass analogue
+  * of the reference's RubyJobClass (rubyjobclass.rb:7-48), which lets a
+  * user script contribute a job class without subclassing.
+  */
+final class ScalaJobClass(id: String, val declaredParams: Seq[Param])(
+    builder: (ParamValues, Variables, JobContext) => Seq[Action])
+    extends JobClass(id) {
+  def params: Seq[Param] = declaredParams
+  def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] =
+    builder(p, vars, ctx)
 }

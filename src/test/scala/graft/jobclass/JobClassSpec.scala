@@ -247,6 +247,19 @@ class JobClassSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runner.run(home.resolve("subsys/net_fail.jobnet"), q2).success)
   }
 
+  test("custom ScalaJobClass registers and runs through a .job file") {
+    var ran = Vector.empty[String]
+    JobClass.register(new ScalaJobClass("my-import",
+        Seq(graft.core.StringParam("src-name")))((p, vars, ctx) =>
+      Seq(Action("my-import") { ran :+= p.string("src-name") + "/" + vars("suffix") })))
+    val p = home.resolve("subsys/myimp.job")
+    java.nio.file.Files.writeString(p,
+      "class: my-import\nsrc-name: users\nsuffix: v1\n")
+    val r = graft.runner.Application.runJobFile(p, ctx)
+    assert(r.success)
+    assert(ran == Vector("users/v1"))
+  }
+
   test("explain returns plan text; queryBatch streams bounded batches") {
     assert(sds.explain("SELECT 1 AS one").contains("Physical Plan"))
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
