@@ -149,6 +149,16 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
   * get/put/delete/move. Backed by java.nio here; on a cluster the same
   * operations go through the Hadoop FileSystem API against s3a://.
   */
+/** SNS datasource parity (reference: lib/bricolage/snsdatasource.rb:6-38 —
+  * used as a logging device publishing job events to a topic). No network
+  * in this engine: a log-appender stub with a pluggable sink
+  * (SURVEY §2.4 maps SNS to "log appender").
+  */
+final class SnsDataSource(val name: String,
+    sink: String => Unit = m => System.err.println(s"[sns] $m")) extends DataSource {
+  def publish(message: String): Unit = sink(message)
+}
+
 object SparkDataSource {
   /** reference: postgresconnection.rb:271-273 */
   def maskSecrets(msg: String): String =
@@ -242,6 +252,7 @@ object DataSourceRegistry {
         case "fs"      => new FsDataSource(name, Paths.get(opts.getOrElse("base", ".")))
         case "file"    => new FileDataSource(name, Paths.get(opts.getOrElse("base", ".")))
         case "generic" => new GenericDataSource(name)
+        case "sns"     => new SnsDataSource(name)
         case other     => throw new JobError(s"unknown datasource type: $other")
       }
       name -> ds
