@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.QueryDef
 import graft.Tables.t
@@ -31,13 +30,14 @@ object Similarity {
   private val normExpr = "vec_norm(embedding)"
 
   /** Brute-force cosine top-10 for each of 3 query vectors (vec_id 0..2)
-    * against the rest of the corpus. The query side is broadcast; ranking
-    * is a window partitioned by query id (shuffle keyed on 3 values, but
-    * each partition only holds that query's scored rows — at real scale,
-    * pre-aggregate per-partition top-k first).
+    * against the rest of the corpus. The query side is broadcast (map-side
+    * scoring, no corpus shuffle); ranking uses the bounded
+    * [[graft.functions.TopKAggregator]] so only k candidates per query per
+    * partition ever shuffle.
     */
   def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    import s.implicits._
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
     val q = e.filter(col("vec_id") < 3)
@@ -46,10 +46,19 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
         round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+    // ranking via the bounded top-k Aggregator: each map partition keeps
+    // only k pairs per query, so the shuffle carries k rows per (query,
+    // partition) instead of every scored row — the 100 TB shape (a window
+    // row_number would shuffle + sort the full scored set). Tie-breaks
+    // match row_number() OVER (ORDER BY cos_sim DESC, vec_id).
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(graft.functions.TopKAggregator.topK(10))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item._2").as("vec_id"),
+        col("item._1").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
       .orderBy("query_id", "rk")
   }
 
