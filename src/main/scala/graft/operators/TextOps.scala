@@ -37,6 +37,30 @@ object TextOps {
       | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** BPE-ish subword token counting: greedy regex word-pieces (≤4-char
+    * letter runs, ≤3-digit runs, single punctuation) approximate a BPE
+    * merge table's output length — the cheap token-budget estimator a
+    * pipeline runs before real tokenization. Greedy alternation behaves
+    * identically in Java regex (Spark) and RE2 (DuckDB).
+    */
+  private val bpePattern = "[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"
+
+  def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("long").as("nchars"),
+        size(expr(s"regexp_extract_all(lower(text), '$bpePattern', 0)")).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("total_bpe_tokens"),
+        round(sum(col("nchars")) / sum(col("ntok")).cast("double"), 4).as("chars_per_token"))
+      .orderBy("lang")
+
+  val qBpeTokensOracle: String =
+    s"""SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(regexp_extract_all(lower(text), '$bpePattern'))) AS BIGINT) AS total_bpe_tokens,
+      | round(CAST(sum(length(text)) AS DOUBLE) / sum(len(regexp_extract_all(lower(text), '$bpePattern'))), 4) AS chars_per_token
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-document quality score: type/token ratio, stopword ratio, mean
     * word length — the standard cheap quality heuristics applied before
     * expensive model-based filtering in a data pipeline.
@@ -129,6 +153,7 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreOracle)),
     QueryDef("q_lang_id", qLangId, Some(qLangIdOracle)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintOracle)),
