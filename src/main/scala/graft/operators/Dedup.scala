@@ -44,6 +44,45 @@ object Dedup {
     """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, length(text) AS text_len
       |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin
 
+  /** Digest-keyed exact dedup — the 100 TB variant of [[qDedupExact]]:
+    * group on md5(text) so the shuffle carries a 32-char key instead of
+    * the full document (grouping on raw text ships the corpus through the
+    * exchange). md5 hex output is identical in Spark and DuckDB.
+    */
+  def qDedupDigest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("digest"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("digest", "keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  val qDedupDigestOracle: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
+
+  /** Normalization pre-pass for dedup: lowercase, strip punctuation,
+    * collapse whitespace — groups near-identical formatting variants
+    * before hashing. Count docs per normalized form.
+    */
+  def qNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("keep_doc_id"), col("n_variants"),
+        length(col("norm")).cast("long").as("norm_len"))
+      .orderBy("keep_doc_id")
+
+  val qNormalizeOracle: String =
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_variants,
+      | length(norm) AS norm_len
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |      FROM documents) sub
+      |GROUP BY norm ORDER BY keep_doc_id""".stripMargin
+
   private val P = 2147483647L // 2^31 - 1
   private val NumHashes = 32
   private val Bands = 4 // 4 bands × 8 rows: band-collision prob j^8 keeps
@@ -252,6 +291,8 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
+    QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),
+    QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
