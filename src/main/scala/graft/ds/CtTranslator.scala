@@ -8,10 +8,16 @@ import graft.core.JobError
   * date/timestamp plus physical attributes `encode`, `distkey`, `sortkey`).
   *
   * Mapping (SURVEY §1.2): encode → dropped (Parquet self-encodes);
-  * distkey(k) → bucket/repartition hint returned to the caller;
-  * sortkey(k…) → sortWithinPartitions hint.
+  * distkey(k) → `CLUSTERED BY (k) INTO n BUCKETS` (co-located storage, so
+  * equi-joins/aggregations on k skip the exchange — Redshift's DISTKEY
+  * semantics); sortkey(k…) → `SORTED BY` within each bucket.
   */
 object CtTranslator {
+
+  /** Buckets per table when distkey is present; at cluster scale size this
+    * to data volume (buckets ≈ executors × a small factor).
+    */
+  var defaultBuckets: Int = 8
 
   final case class Translated(createSql: String, distKey: Option[String],
       sortKeys: Seq[String])
@@ -47,6 +53,10 @@ object CtTranslator {
       s = s.replaceFirst("""(?is)create\s+table\s+[\$\w\.]+""",
         java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE $t"))
     }
-    Translated(s + " USING parquet", distKey, sortKeys)
+    val bucketSpec = distKey.map { k =>
+      val sorted = if (sortKeys.nonEmpty) s" SORTED BY (${sortKeys.mkString(", ")})" else ""
+      s" CLUSTERED BY ($k)$sorted INTO $defaultBuckets BUCKETS"
+    }.getOrElse("")
+    Translated(s + " USING parquet" + bucketSpec, distKey, sortKeys)
   }
 }
