@@ -65,23 +65,26 @@ object Dedup {
     * before hashing. Count docs per normalized form.
     */
   def qNormalize(s: SparkSession, dir: String): DataFrame =
+    // one regex pass ('[^a-z0-9]+' subsumes punctuation-strip + whitespace
+    // collapse), and the groupBy keys on the md5 digest of the normalized
+    // text so the shuffle carries 32 chars + length, never the document
     t(s, dir, "documents")
       .select(col("doc_id"),
-        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-          " +", " ")).as("norm"))
-      .groupBy("norm")
-      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_variants"))
-      .select(col("keep_doc_id"), col("n_variants"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .select(col("doc_id"), md5(encode(col("norm"), "UTF-8")).as("norm_digest"),
         length(col("norm")).cast("long").as("norm_len"))
+      .groupBy("norm_digest", "norm_len")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_variants"))
+      .select("keep_doc_id", "n_variants", "norm_len")
       .orderBy("keep_doc_id")
 
   val qNormalizeOracle: String =
-    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_variants,
-      | length(norm) AS norm_len
-      |FROM (SELECT doc_id,
-      |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-      |      FROM documents) sub
-      |GROUP BY norm ORDER BY keep_doc_id""".stripMargin
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_variants, norm_len
+      |FROM (SELECT doc_id, md5(norm) AS norm_digest, length(norm) AS norm_len
+      |      FROM (SELECT doc_id,
+      |              trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |            FROM documents) n) sub
+      |GROUP BY norm_digest, norm_len ORDER BY keep_doc_id""".stripMargin
 
   private val P = 2147483647L // 2^31 - 1
   private val NumHashes = 32

@@ -363,6 +363,35 @@ object Relational {
       |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 0) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Batch sessionization: gap > 30 min starts a new session, detected
+    * with a lag window; per-user session/event counts. The event-time
+    * comparison uses microseconds so both engines agree exactly.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val qSessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g)
+      |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Event-time hourly aggregation with JSON extraction from props. */
   def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -444,6 +473,7 @@ object Relational {
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)),
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
+    QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
     QueryDef("q_string_funcs", qStringFuncs, Some(qStringFuncsOracle)),
     QueryDef("q_having", qHaving, Some(qHavingOracle)),
