@@ -10,9 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT + codegen + parquet footer caches, so the first
-    // timed query isn't charged for JVM startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // untimed warmup: run EVERY query once at sf0.001 so whole-stage
+    // codegen compiles (identical plan shapes -> generated-code cache
+    // hits) and JIT warms; the timed runs then measure data processing,
+    // not Janino compilation (~1-3s per fresh plan shape)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
