@@ -64,11 +64,19 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
 
   /** Execute compiled actions sequentially; the failed action maps to the
     * reference's exit taxonomy (reference: job.rb:151-185,
-    * script.rb:44-50,78-86). No fork: a failed job must not kill the runner.
+    * script.rb:44-50,78-86). No fork: a failed job must not kill the
+    * runner. Per-action elapsed time is logged (the reference's
+    * `\timing on` psql prologue — psqldatasource.rb:255-264,
+    * logger.rb:41-52).
     */
   def execute(): JobResult =
     try {
-      compile().foreach(_.run())
+      compile().foreach { a =>
+        val t0 = System.nanoTime()
+        a.run()
+        System.err.println(
+          f"[job $id] ${a.label}: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
       JobResult.success
     } catch {
       case e: Throwable => JobResult.forException(e)
