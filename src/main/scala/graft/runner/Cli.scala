@@ -33,17 +33,27 @@ object Cli {
     s
   }
 
+  /** Variable layering (reference: context.rb:96-133): builtin vars <
+    * bricolage.yml (system options) < variable.yml, each with global then
+    * subsystem scope; all files are ERB-preprocessed.
+    */
   def loadVariables(home: Path, subsys: String): Variables = {
     def fromFile(p: Path): Variables =
       if (!Files.exists(p)) Variables.empty
       else Variables.fromMap(
         JobFile.parseYamlMap(EmbeddedFunctions.preprocess(Files.readString(p)))
           .map { case (k, v) => k -> String.valueOf(v) })
-    val global = fromFile(home.resolve("variable.yml"))
-    val sub =
-      if (subsys.isEmpty) Variables.empty
-      else fromFile(home.resolve(subsys).resolve("variable.yml"))
-    global.union(sub)
+    def scoped(basename: String): Variables = {
+      val global = fromFile(home.resolve(basename))
+      val sub =
+        if (subsys.isEmpty) Variables.empty
+        else fromFile(home.resolve(subsys).resolve(basename))
+      global.union(sub)
+    }
+    val builtin = Variables(
+      "bricolage_env" -> sys.env.getOrElse("BRICOLAGE_ENV", "development"),
+      "bricolage_home" -> home.toString)
+    builtin.union(scoped("bricolage.yml")).union(scoped("variable.yml"))
   }
 
   def loadContext(home: Path, subsys: String, spark: => SparkSession): JobContext = {

@@ -41,6 +41,18 @@ class CliSpec extends AnyFunSuite {
     assert(vars("data_date") == java.time.LocalDate.now().minusDays(1).toString)
   }
 
+  test("loadVariables: builtin < bricolage.yml < variable.yml layering") {
+    val home = Files.createTempDirectory("cli-home3")
+    Files.writeString(home.resolve("bricolage.yml"),
+      "log_dir: /var/log/graft\nwho: system\n")
+    Files.writeString(home.resolve("variable.yml"), "who: user\n")
+    val vars = Cli.loadVariables(home, "")
+    assert(vars("log_dir") == "/var/log/graft")
+    assert(vars("who") == "user")
+    assert(vars("bricolage_home") == home.toString)
+    assert(vars.contains("bricolage_env"))
+  }
+
   test("Retry.withRetry retries transient failures then succeeds, rethrows after limit") {
     var calls = 0
     val got = graft.core.Retry.withRetry(limit = 3, sleepMs = 1) {
