@@ -100,6 +100,7 @@ object InsertDeltaJobClass extends JobClass("insert-delta") {
     DestTableParam(),
     SrcTableParam(),
     StringParam("delete-cond"),
+    StringParam("partitioned-by", optional = true),
     OptionalBoolParam("vacuum"), OptionalBoolParam("analyze"),
   )
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
@@ -108,14 +109,32 @@ object InsertDeltaJobClass extends JobClass("insert-delta") {
     val cond = vars.expand(p.string("delete-cond"))
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
     Seq(Action("insert-delta") {
-      ds.stagedOverwrite(dest) { wk =>
-        // keep rows NOT matching the delete condition
-        ds.sql(s"CREATE TABLE ${ds.qualify(wk)} USING parquet AS " +
-          s"SELECT * FROM ${ds.qualify(dest)} WHERE NOT ($cond)")
-        // re-run the user INSERT against the staged table
-        val retargeted = stmt.replace(java.util.regex.Pattern.quote(ds.qualify(dest)),
-          ds.qualify(wk))
-        ds.execScript(retargeted)
+      p.stringOpt("partitioned-by") match {
+        case Some(_) if ds.tableExists(dest) =>
+          // Partitioned dest: dynamic INSERT OVERWRITE rewrites ONLY the
+          // partitions the delta touches — at 100 TB a whole-table staged
+          // rewrite per daily reload is the classic scale failure. The
+          // delete-cond is implicit: overwritten partitions drop their old
+          // rows (the reference's DELETE WHERE targets the same reload
+          // window).
+          val spark = ds.spark
+          val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try {
+            val insertSql = stmt.statements.mkString(";\n")
+              .replaceFirst("(?i)insert\\s+into", "INSERT OVERWRITE TABLE")
+            ds.sql(insertSql)
+          } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        case _ =>
+          ds.stagedOverwrite(dest) { wk =>
+            // keep rows NOT matching the delete condition
+            ds.sql(s"CREATE TABLE ${ds.qualify(wk)} USING parquet AS " +
+              s"SELECT * FROM ${ds.qualify(dest)} WHERE NOT ($cond)")
+            // re-run the user INSERT against the staged table
+            val retargeted = stmt.replace(java.util.regex.Pattern.quote(ds.qualify(dest)),
+              ds.qualify(wk))
+            ds.execScript(retargeted)
+          }
       }
       if (p.bool("analyze")) ds.analyze(dest)
     })

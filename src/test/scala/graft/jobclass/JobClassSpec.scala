@@ -121,6 +121,25 @@ class JobClassSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq(("2024-08-06", 1), ("2024-08-07", 20)))
   }
 
+  test("insert-delta with partitioned-by overwrites only touched partitions") {
+    spark.sql("DROP TABLE IF EXISTS app.delta_p")
+    spark.sql("CREATE TABLE app.delta_p (v INT) USING parquet PARTITIONED BY (dt STRING)")
+    spark.sql("INSERT INTO app.delta_p VALUES (1, '2024-08-06'), (2, '2024-08-07')")
+    val job =
+      """/* class: insert-delta
+        |data-source: sql
+        |dest-table: app.delta_p
+        |partitioned-by: dt
+        |delete-cond: "dt = '$data_date'" */
+        |INSERT INTO app.delta_p SELECT 20, '$data_date';""".stripMargin
+    assert(run("deltap.sql.job", job).success)
+    assert(run("deltap.sql.job", job).success) // idempotent re-run
+    val rows = spark.sql("SELECT dt, v FROM app.delta_p ORDER BY dt").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // 08-06 untouched, 08-07 partition replaced (not appended)
+    assert(rows == Seq(("2024-08-06", 1), ("2024-08-07", 20)))
+  }
+
   test("rebuild-rename swaps atomically and keeps old data on failure") {
     write("big.ct", "create table big (v int);")
     spark.sql("DROP TABLE IF EXISTS app.big")
