@@ -173,11 +173,20 @@ object Multimodal {
       | CAST(least(length(text), 64) AS BIGINT) AS thumb_bytes
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** Exact for the ASCII corpus: UTF-8 payload bytes == ascii codes, so
+    * per-bucket counts are expressible as list arithmetic in DuckDB.
+    */
+  val qByteHistogramOracle: String =
+    """SELECT doc_id AS asset_id, CAST(length(text) AS BIGINT) AS total,
+      | list_max(list_transform(range(0, 16), b ->
+      |   len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) % 16 = b)))) AS max_bucket
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_mm_decode_stats", qDecodeStats, Some(qDecodeStatsOracle)),
     QueryDef("q_mm_asset_stats", qAssetStats, Some(qAssetStatsOracle)),
     QueryDef("q_mm_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
     QueryDef("q_mm_resize", qResize, Some(qResizeOracle)),
-    QueryDef("q_mm_byte_histogram", qByteHistogram, None), // byte-level; rows-only
+    QueryDef("q_mm_byte_histogram", qByteHistogram, Some(qByteHistogramOracle)),
   )
 }
