@@ -154,9 +154,39 @@ object Similarity {
       |SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
       |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Per-vector int8 quantization (min/max affine, 0..255): the storage
+    * transform that shrinks a 100 TB float corpus 4×. Output keeps the
+    * exact per-vector range and the INTEGER sum of quantized codes —
+    * integer arithmetic, so the check is order-independent and exact.
+    */
+  def qQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))").as("mn"),
+        expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))").as("mx"),
+        col("embedding"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("""CASE WHEN mx = mn THEN 0L ELSE
+          | aggregate(embedding, 0L,
+          |   (acc, x) -> acc + floor((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0D) + 0.5D))
+          |END""".stripMargin).as("q_sum"))
+      .orderBy("vec_id")
+
+  val qQuantizeOracle: String =
+    """SELECT vec_id,
+      | list_min(list_transform(embedding, x -> x::DOUBLE)) AS mn,
+      | list_max(list_transform(embedding, x -> x::DOUBLE)) AS mx,
+      | CASE WHEN list_max(list_transform(embedding, x -> x::DOUBLE)) = list_min(list_transform(embedding, x -> x::DOUBLE)) THEN 0
+      |  ELSE CAST(list_sum(list_transform(embedding, x ->
+      |    floor((x::DOUBLE - list_min(list_transform(embedding, y -> y::DOUBLE)))
+      |      / ((list_max(list_transform(embedding, y -> y::DOUBLE)) - list_min(list_transform(embedding, y -> y::DOUBLE))) / 255.0) + 0.5))) AS BIGINT)
+      | END AS q_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
     QueryDef("q_embedding_near_dup", qEmbeddingNearDup, Some(qEmbeddingNearDupOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
+    QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
   )
 }

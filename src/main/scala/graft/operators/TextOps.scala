@@ -61,6 +61,31 @@ object TextOps {
       | round(CAST(sum(length(text)) AS DOUBLE) / sum(len(regexp_extract_all(lower(text), '$bpePattern'))), 4) AS chars_per_token
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Fixed-size overlapping chunking (256-char window, 64-char stride
+    * overlap) — context-window preparation for training. Chunk generation
+    * is a per-row sequence+substring expansion (narrow, codegen'd); the
+    * output keeps (doc, chunk index, text) so downstream ops can shuffle
+    * chunks instead of documents.
+    */
+  def qChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(CAST(ceil((length(text) - 64) / 192.0) AS INT), 1)), " +
+            "i -> substring(text, (i - 1) * 192 + 1, 256))")).as(Seq("chunk_pos", "chunk")))
+      .select(col("doc_id"), (col("chunk_pos") + 1).cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        substring(col("chunk"), 1, 16).as("chunk_head"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val qChunkOracle: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      | CAST(length(substr(text, (i - 1) * 192 + 1, 256)) AS BIGINT) AS chunk_len,
+      | substr(text, (i - 1) * 192 + 1, 16) AS chunk_head
+      |FROM documents,
+      | LATERAL unnest(range(1, greatest(CAST(ceil((length(text) - 64) / 192.0) AS INT), 1) + 1)) AS u(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Per-document quality score: type/token ratio, stopword ratio, mean
     * word length — the standard cheap quality heuristics applied before
     * expensive model-based filtering in a data pipeline.
@@ -154,6 +179,7 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensOracle)),
+    QueryDef("q_chunk", qChunk, Some(qChunkOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreOracle)),
     QueryDef("q_lang_id", qLangId, Some(qLangIdOracle)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintOracle)),
