@@ -66,6 +66,16 @@ object StructuredStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming deduplication bounded by the watermark: state for an id is
+    * held only while late duplicates can still arrive, so the state store
+    * cannot grow without bound (the streaming counterpart of the batch
+    * exact-dedup operators).
+    */
+  def dedupWithinWatermark(events: DataFrame, idCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

@@ -77,6 +77,27 @@ class StructuredStreamsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = StructuredStreams.dedupWithinWatermark(
+      in.toDF().toDF("id", "ts"), "id", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    in.addData((1L, Timestamp.valueOf("2024-08-07 10:00:00")),
+      (1L, Timestamp.valueOf("2024-08-07 10:00:05")),
+      (2L, Timestamp.valueOf("2024-08-07 10:01:00")))
+    q.processAllAvailable()
+    // duplicate of id 1 in a later batch, still within the watermark
+    in.addData((1L, Timestamp.valueOf("2024-08-07 10:02:00")),
+      (3L, Timestamp.valueOf("2024-08-07 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sessionization: gap split within a batch, state carries across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
