@@ -86,6 +86,28 @@ object TextOps {
       | LATERAL unnest(range(1, greatest(CAST(ceil((length(text) - 64) / 192.0) AS INT), 1) + 1)) AS u(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Redaction scrub — the PII-masking shape (here: digit runs → <NUM>):
+    * count and length deltas per language so the pipeline can audit how
+    * much content masking removed. Pure narrow regexp transforms.
+    */
+  def qScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_masked"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))).cast("long").as("len_delta"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_masked").as("total_masked"),
+        sum("len_delta").as("total_len_delta"))
+      .orderBy("lang")
+
+  val qScrubOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS total_masked,
+      | CAST(sum(length(text) - length(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))) AS BIGINT) AS total_len_delta
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-document quality score: type/token ratio, stopword ratio, mean
     * word length — the standard cheap quality heuristics applied before
     * expensive model-based filtering in a data pipeline.
@@ -180,6 +202,7 @@ object TextOps {
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensOracle)),
     QueryDef("q_chunk", qChunk, Some(qChunkOracle)),
+    QueryDef("q_scrub", qScrub, Some(qScrubOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreOracle)),
     QueryDef("q_lang_id", qLangId, Some(qLangIdOracle)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintOracle)),
