@@ -86,6 +86,26 @@ object Dedup {
       |            FROM documents) n) sub
       |GROUP BY norm_digest, norm_len ORDER BY keep_doc_id""".stripMargin
 
+  /** Deterministic content-hash sampling: keep a doc iff the first md5
+    * hex digit of its text falls under the rate (4/16 = 25%). Unlike
+    * rand()-based sampling this is reproducible across engines, runs, and
+    * partitionings — the only sane way to subsample 100 TB and be able to
+    * re-derive the same subset. Per-language acceptance stats.
+    */
+  def qHashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        (substring(md5(encode(col("text"), "UTF-8")), 1, 1) < "4").as("sampled"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1).otherwise(0)).cast("long").as("n_sampled"))
+      .orderBy("lang")
+
+  val qHashSampleOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN substr(md5(text), 1, 1) < '4' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   private val P = 2147483647L // 2^31 - 1
   private val NumHashes = 32
   private val Bands = 4 // 4 bands × 8 rows: band-collision prob j^8 keeps
@@ -296,6 +316,7 @@ object Dedup {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
+    QueryDef("q_hash_sample", qHashSample, Some(qHashSampleOracle)),
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
