@@ -13,6 +13,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
+  test("GraftExtensions makes vec_dot resolve without manual registration") {
+    import spark.implicits._
+    // SparkTestBase sets spark.sql.extensions=graft.functions.GraftExtensions;
+    // no VectorFunctions.register call here
+    val r = Seq((Array(2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("qv", "embedding")
+      .selectExpr("vec_dot(qv, embedding)").head
+    assert(r.getDouble(0) == 23.0)
+  }
+
   private def df = {
     import spark.implicits._
     VectorFunctions.register(spark)
