@@ -165,9 +165,34 @@ object SparkDataSource {
     msg.replaceAll("(?is)\\bcredentials\\s+'.*?'", "credentials '****'")
 }
 
-final class FsDataSource(val name: String, val base: Path) extends DataSource {
+/** Object-store surface shared by the local-FS and Hadoop-FS datasources —
+  * everything the load/unload/streaming-load job classes need, expressed
+  * over store-relative string paths so an s3a:// base works the same as a
+  * local directory (reference: lib/bricolage/s3datasource.rb:105-192).
+  */
+trait ObjectStore extends DataSource {
+  /** Absolute URL for a store-relative path (feedable to spark.read). */
+  def urlString(rel: String): String
+  /** Recursive file listing under `prefix`, as base-relative paths. */
+  def listRelative(prefix: String): Seq[String]
+  def put(local: Path, rel: String): Unit
+  def get(rel: String): Array[Byte]
+  def delete(rel: String): Unit
+  /** Dequeue-by-move, tolerating a missing source (eventual consistency —
+    * reference: streaming_load.rb:502-514).
+    */
+  def move(fromRel: String, toRel: String): Unit
+}
+
+final class FsDataSource(val name: String, val base: Path) extends DataSource
+    with ObjectStore {
 
   def url(rel: String): Path = base.resolve(rel)
+
+  def urlString(rel: String): String = url(rel).toString
+
+  def listRelative(prefix: String): Seq[String] =
+    list(prefix).map(f => base.relativize(f).toString)
 
   /** Prefix listing with bounded retry (reference: s3datasource.rb:127-140
     * `traverse` — 3 retries on transient errors, 1 s sleep).
@@ -190,15 +215,70 @@ final class FsDataSource(val name: String, val base: Path) extends DataSource {
 
   def delete(rel: String): Unit = { Files.deleteIfExists(url(rel)); () }
 
-  /** Dequeue-by-move (reference: streaming_load.rb:502-514, tolerating
-    * missing keys for eventual consistency).
-    */
   def move(fromRel: String, toRel: String): Unit = {
     val from = url(fromRel)
     if (Files.exists(from)) {
       val to = url(toRel)
       Files.createDirectories(to.getParent)
       Files.move(from, to, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+}
+
+/** Hadoop-FileSystem-backed object store: the same operations against any
+  * Hadoop-compatible URI — `file:`, `hdfs:`, `s3a:` — so the S3 paths of
+  * the reference run unchanged on a real cluster. Listing carries the
+  * reference's 3-retry discipline (s3datasource.rb:127-140).
+  */
+final class HadoopFsDataSource(val name: String, baseUri: String)
+    extends DataSource with ObjectStore {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private val base = new HPath(baseUri)
+  private lazy val fsys: FileSystem = base.getFileSystem(new Configuration())
+
+  private def abs(rel: String): HPath = new HPath(base, rel)
+
+  def urlString(rel: String): String = abs(rel).toString
+
+  def listRelative(prefix: String): Seq[String] =
+    graft.core.Retry.withRetry(limit = 3, sleepMs = 1000) {
+      val dir = abs(prefix)
+      if (!fsys.exists(dir)) Nil
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fsys.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile)
+            out += base.toUri.relativize(st.getPath.toUri).getPath
+        }
+        out.toSeq.sorted
+      }
+    }
+
+  def put(local: Path, rel: String): Unit = {
+    val target = abs(rel)
+    fsys.mkdirs(target.getParent)
+    fsys.copyFromLocalFile(false, true, new HPath(local.toUri), target)
+  }
+
+  def get(rel: String): Array[Byte] = {
+    val in = fsys.open(abs(rel))
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
+  def delete(rel: String): Unit = { fsys.delete(abs(rel), false); () }
+
+  def move(fromRel: String, toRel: String): Unit = {
+    val from = abs(fromRel)
+    if (fsys.exists(from)) {
+      val to = abs(toRel)
+      fsys.mkdirs(to.getParent)
+      fsys.rename(from, to)
       ()
     }
   }
@@ -231,6 +311,10 @@ final class DataSourceRegistry(sources: Map[String, DataSource]) {
     case s: FsDataSource => s
     case _ => throw new JobError(s"not a fs datasource: $name")
   }
+  def store(name: String): ObjectStore = get(name) match {
+    case s: ObjectStore => s
+    case _ => throw new JobError(s"not an object-store datasource: $name")
+  }
   def file(name: String): FileDataSource = get(name) match {
     case s: FileDataSource => s
     case _ => throw new JobError(s"not a file datasource: $name")
@@ -250,6 +334,9 @@ object DataSourceRegistry {
       val ds: DataSource = opts.getOrElse("type", "generic") match {
         case "spark"   => new SparkDataSource(name, spark, opts.getOrElse("schema", "default"))
         case "fs"      => new FsDataSource(name, Paths.get(opts.getOrElse("base", ".")))
+        case "hadoopfs" | "s3" =>
+          new HadoopFsDataSource(name, opts.getOrElse("base",
+            throw new JobError(s"datasource $name: 'base' URI required")))
         case "file"    => new FileDataSource(name, Paths.get(opts.getOrElse("base", ".")))
         case "generic" => new GenericDataSource(name)
         case "sns"     => new SnsDataSource(name)

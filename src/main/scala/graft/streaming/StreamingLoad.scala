@@ -9,7 +9,7 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ds.{FsDataSource, SparkDataSource}
+import graft.ds.{ObjectStore, SparkDataSource}
 import graft.jobclass.{Action, JobClass, JobContext, LoadOptions}
 
 /** Exactly-once micro-batch load from a filesystem object queue
@@ -48,7 +48,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
   )
 
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
-    val fs = ctx.registry.fs(p.stringOpt("src-ds").getOrElse("fs"))
+    val fs = ctx.registry.store(p.stringOpt("src-ds").getOrElse("fs"))
     val ds = sparkDs(p, ctx, "dest-ds")
     val dest = p.table("dest-table")
     val work = p.stringOpt("work-table").map(TableSpec.parse)
@@ -58,9 +58,10 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     val queuePath = vars.expand(p.string("queue-path"))
     val pattern = p.stringOpt("file-name").map(FileNamePattern.compile)
 
-    def listCandidates(): Seq[Path] =
-      fs.list(queuePath).filter { f =>
-        pattern.forall(_.matches(f.getFileName.toString))
+    // base-relative candidate paths (works over local FS or s3a the same)
+    def listCandidates(): Seq[String] =
+      fs.listRelative(queuePath).filter { rel =>
+        pattern.forall(_.matches(rel.split('/').last))
       }
 
     if (p.bool("noop"))
@@ -79,7 +80,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
         import spark.implicits._
         ensureLogTable(ds, log)
         // dedup join (reference :294-312): candidates ⟕ log on data_file
-        val cand = candidates.map(_.toString).toDF("data_file")
+        val cand = candidates.map(fs.urlString).toDF("data_file")
         val loaded = ds.table(log).select(col("data_file"))
         val newFiles = cand.join(loaded, Seq("data_file"), "left_anti")
           .as[String].collect().toSeq.sorted
@@ -140,15 +141,15 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
         | job_process_id STRING, start_time TIMESTAMP, end_time TIMESTAMP,
         | target_table STRING, data_file STRING) USING parquet""".stripMargin)
 
-  private def dequeue(fs: FsDataSource, queuePath: String, files: Seq[Path],
+  private def dequeue(fs: ObjectStore, queuePath: String, files: Seq[String],
       p: ParamValues, vars: Variables): Unit = {
     val persistent = p.stringOpt("persistent-path").map(vars.expand)
       .getOrElse(queuePath.stripSuffix("/") + "_done")
     val stamp = LocalDateTime.now()
     files.foreach { f =>
-      val rel = fs.url(queuePath).relativize(f).toString
+      val rel = f.stripPrefix(queuePath.stripSuffix("/") + "/")
       val destDir = FileNamePattern.expandPathTemplate(persistent, stamp)
-      fs.move(queuePath.stripSuffix("/") + "/" + rel, destDir.stripSuffix("/") + "/" + rel)
+      fs.move(f, destDir.stripSuffix("/") + "/" + rel)
     }
   }
 }
