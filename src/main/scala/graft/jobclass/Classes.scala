@@ -271,9 +271,9 @@ object LoadJobClass extends JobClass("load") {
   )
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx, "dest-ds")
-    val src = ctx.registry.fs(p.stringOpt("src-ds").getOrElse("fs"))
+    val src = ctx.registry.store(p.stringOpt("src-ds").getOrElse("fs"))
     val dest = p.table("dest-table")
-    val path = src.url(vars.expand(p.string("src-file"))).toString
+    val path = src.urlString(vars.expand(p.string("src-file")))
     Seq(Action("load") {
       if (p.bool("drop")) {
         ds.dropForce(dest)
@@ -312,9 +312,9 @@ object UnloadJobClass extends JobClass("unload") {
   )
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
-    val fs = ctx.registry.fs(p.stringOpt("dest-ds").getOrElse("fs"))
+    val fs = ctx.registry.store(p.stringOpt("dest-ds").getOrElse("fs"))
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
-    val dest = fs.url(vars.expand(p.string("dest-file"))).toString
+    val dest = fs.urlString(vars.expand(p.string("dest-file")))
     Seq(Action("unload") {
       val df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
       val w = df.write.mode(SaveMode.Overwrite)
@@ -341,7 +341,7 @@ object FsPutJobClass extends JobClass("fs-put") {
   )
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val fileDs = ctx.registry.file(p.stringOpt("src-ds").getOrElse("file"))
-    val fs = ctx.registry.fs(p.stringOpt("dest-ds").getOrElse("fs"))
+    val fs = ctx.registry.store(p.stringOpt("dest-ds").getOrElse("fs"))
     val pattern = vars.expand(p.string("src-file"))
     val destRel = vars.expand(p.string("dest-file"))
     Seq(Action("fs-put") {
