@@ -118,38 +118,48 @@ object Cli {
 
 /** `runMain graft.runner.BricolageMain [options] job-file` — run ONE job. */
 object BricolageMain {
-  def main(args: Array[String]): Unit = {
-    val opts = Cli.parseArgs(args.toSeq)
+  /** Testable core: returns the process exit code (0/1/2,
+    * reference: jobresult.rb:26-28). `sparkOverride` lets tests inject a
+    * shared session instead of building one.
+    */
+  def run(args: Seq[String],
+      sparkOverride: Option[SparkSession] = None): Int = {
+    val opts = Cli.parseArgs(args)
     val jobPath = opts.target.getOrElse(
       throw new ParameterError("usage: BricolageMain [options] job-file"))
     // subsystem = the job file's parent directory name under home
     val subsys = Option(jobPath.toAbsolutePath.getParent)
       .filter(_ != opts.home.toAbsolutePath)
       .map(_.getFileName.toString).getOrElse("")
-    lazy val spark = Cli.buildSpark(s"graft-${jobPath.getFileName}")
+    lazy val spark = sparkOverride.getOrElse(
+      Cli.buildSpark(s"graft-${jobPath.getFileName}"))
     val ctx = Cli.loadContext(opts.home, subsys, spark)
     if (opts.dryRun) {
       val jf = JobFile.load(jobPath)
       new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions, opts.varAssigns)
         .compile().foreach(a => println(a))
-      sys.exit(0)
+      return 0
     }
     val result = Application.runJobFile(jobPath, ctx, opts.jobOptions, opts.varAssigns)
     if (!result.success) System.err.println(result.message)
-    sys.exit(result.exitCode)
+    result.exitCode
   }
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 }
 
 /** `runMain graft.runner.JobNetMain [options] net-file` — run a DAG. */
 object JobNetMain {
-  def main(args: Array[String]): Unit = {
-    val opts = Cli.parseArgs(args.toSeq)
+  def run(args: Seq[String],
+      sparkOverride: Option[SparkSession] = None): Int = {
+    val opts = Cli.parseArgs(args)
     val netPath = opts.target.getOrElse(
       throw new ParameterError("usage: JobNetMain [options] jobnet-file"))
     val subsys = Option(netPath.toAbsolutePath.getParent)
       .filter(_ != opts.home.toAbsolutePath)
       .map(_.getFileName.toString).getOrElse("")
-    lazy val spark = Cli.buildSpark(s"graft-net-${netPath.getFileName}")
+    lazy val spark = sparkOverride.getOrElse(
+      Cli.buildSpark(s"graft-net-${netPath.getFileName}"))
     val ctx = Cli.loadContext(opts.home, subsys, spark)
     val queue: TaskQueue = opts.queuePath match {
       case Some(p) =>
@@ -161,6 +171,8 @@ object JobNetMain {
     }
     val result = new JobNetRunner(ctx).run(netPath, queue, opts.varAssigns)
     if (!result.success) System.err.println(result.message)
-    sys.exit(result.exitCode)
+    result.exitCode
   }
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 }

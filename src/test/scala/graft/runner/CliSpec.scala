@@ -88,6 +88,40 @@ class CliSpec extends AnyFunSuite {
     assert(text.contains("via console") && text.contains("via system"))
   }
 
+  test("BricolageMain and JobNetMain run end-to-end from files, exit codes map") {
+    val spark = graft.SparkTestBase.spark
+    spark.sql("CREATE DATABASE IF NOT EXISTS cli_e2e")
+    spark.sql("DROP TABLE IF EXISTS cli_e2e.t")
+    val home = Files.createTempDirectory("cli-e2e")
+    Files.createDirectories(home.resolve("etl"))
+    Files.writeString(home.resolve("datasource.yml"),
+      "sql:\n  type: spark\n  schema: cli_e2e\n")
+    Files.writeString(home.resolve("etl/mk.sql.job"),
+      """/* class: adhoc
+        |data-source: sql */
+        |CREATE TABLE cli_e2e.t USING parquet AS SELECT $n AS v;""".stripMargin)
+    Files.writeString(home.resolve("etl/chk.sql.job"),
+      """/* class: adhoc
+        |data-source: sql */
+        |SELECT assert_true(v = 7) FROM cli_e2e.t;""".stripMargin)
+    Files.writeString(home.resolve("etl/net.jobnet"), "mk -> chk\n")
+
+    // single job with a -v variable
+    assert(BricolageMain.run(Seq(s"--home=$home", "-v", "n=7",
+      home.resolve("etl/mk.sql.job").toString), Some(spark)) == 0)
+    // full jobnet with a file queue
+    val q = home.resolve("net.queue")
+    spark.sql("DROP TABLE IF EXISTS cli_e2e.t")
+    assert(JobNetMain.run(Seq(s"--home=$home", "-v", "n=7", s"--queue=$q",
+      home.resolve("etl/net.jobnet").toString), Some(spark)) == 0)
+    assert(spark.sql("SELECT v FROM cli_e2e.t").head.getInt(0) == 7)
+    // a failing job yields exit code 1 (JobFailure)
+    Files.writeString(home.resolve("etl/bad.sql.job"),
+      "/* class: adhoc\ndata-source: sql */\nSELECT * FROM cli_e2e.nope;")
+    assert(BricolageMain.run(Seq(s"--home=$home",
+      home.resolve("etl/bad.sql.job").toString), Some(spark)) == 1)
+  }
+
   test("loadContext builds registry from datasource.yml") {
     val home = Files.createTempDirectory("cli-home2")
     Files.writeString(home.resolve("datasource.yml"),
