@@ -124,22 +124,33 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
   /** Transaction emulation (reference: psqldatasource.rb:386-390 +
     * SURVEY §4.3): run `body` against a staged `_wk` table, then atomically
     * publish via catalog rename — the reference's own zero-downtime idiom
-    * (rebuild-rename.rb:28-50). On failure the work table is dropped; a
-    * mid-crash can leave `<name>_wk`, same as the reference leaving
-    * `<name>_old`.
+    * (rebuild-rename.rb:28-50). On failure before the publish renames the
+    * work table is dropped; on failure DURING publish the handler restores
+    * `dest` from `_old` and keeps `_wk` (it may hold the only copy of the
+    * new data), same as the reference leaving `<name>_old` behind.
     */
   def stagedOverwrite(dest: TableSpec)(body: TableSpec => Unit): Unit = {
     val wk = TableSpec(dest.schema, dest.name + "_wk")
     val old = TableSpec(dest.schema, dest.name + "_old")
     dropForce(wk)
+    var publishing = false
     try {
       body(wk)
       dropForce(old)
+      publishing = true
       if (tableExists(dest)) renameTable(dest, old)
       renameTable(wk, dest)
+      publishing = false
       dropForce(old)
     } catch {
-      case e: Throwable => dropForce(wk); throw e
+      case e: Throwable =>
+        try {
+          if (publishing) {
+            // dest may have been renamed away: bring it back; never drop wk
+            if (!tableExists(dest) && tableExists(old)) renameTable(old, dest)
+          } else dropForce(wk)
+        } catch { case _: Throwable => () } // original failure stays primary
+        throw e
     }
   }
 }

@@ -63,22 +63,34 @@ object JobNet {
     * JobNet.
     */
   def flatten(root: JobNet, loader: JobRef => JobNet): Seq[(JobRef, JobRef)] = {
-    val visited = mutable.Set.empty[String]
+    // Cycle detection tracks the CURRENT expansion path only; a subnet
+    // referenced from two parents (legal diamond) is expanded once and its
+    // (start, end) closure reused (reference memoizes subnet loads,
+    // jobnet.rb:66-83, and finds true cycles via tsort).
+    val path = mutable.LinkedHashSet.empty[String]
+    val memo = mutable.Map.empty[String, (JobRef, JobRef)]
+    val allEdges = mutable.ArrayBuffer.empty[(JobRef, JobRef)]
 
-    def expand(net: JobNet): (Seq[(JobRef, JobRef)], JobRef, JobRef) = {
-      if (!visited.add(net.ref.toString))
-        throw new JobError(s"circular jobnet reference: ${net.ref}")
+    def expand(net: JobNet): (JobRef, JobRef) = {
+      val key = net.ref.toString
+      memo.get(key) match {
+        case Some(se) => se
+        case None => expandFresh(net, key)
+      }
+    }
+
+    def expandFresh(net: JobNet, key: String): (JobRef, JobRef) = {
+      if (!path.add(key))
+        throw new JobError(
+          s"circular jobnet reference: ${(path.toSeq :+ key).mkString(" -> ")}")
       val start = JobRef(net.ref.subsys, s"@${net.ref.name}@start", isNet = false)
       val end = JobRef(net.ref.subsys, s"@${net.ref.name}@end", isNet = false)
       val nodes = net.nodes
       val edges = mutable.ArrayBuffer.empty[(JobRef, JobRef)]
       // map each node to (entry, exit) — nets expand to their own closure
       val entryExit = nodes.map { n =>
-        if (n.isNet) {
-          val sub = expand(loader(n))
-          edges ++= sub._1
-          n.toString -> (sub._2, sub._3)
-        } else n.toString -> (n, n)
+        if (n.isNet) n.toString -> expand(loader(n))
+        else n.toString -> (n, n)
       }.toMap
       net.edges.foreach { case (a, b) =>
         edges += ((entryExit(a.toString)._2, entryExit(b.toString)._1))
@@ -91,10 +103,14 @@ object JobNet {
         if (!inDeg.contains(n.toString)) edges += ((start, entry))
         if (!outDeg.contains(n.toString)) edges += ((exit, end))
       }
-      (edges.toSeq, start, end)
+      path.remove(key)
+      memo(key) = (start, end)
+      allEdges ++= edges
+      (start, end)
     }
 
-    expand(root)._1
+    expand(root)
+    allEdges.toSeq
   }
 }
 
@@ -109,6 +125,19 @@ final class JobDAG(edges: Seq[(JobRef, JobRef)]) {
 
   private val succ: Map[String, Seq[JobRef]] =
     edges.groupBy(_._1.toString).view.mapValues(_.map(_._2)).toMap
+
+  /** Orphan diagnostic (reference: jobnet.rb:157-165 check_orphan — a
+    * non-dummy node with an empty dependency list is malformed). Flatten's
+    * dummy-start closure gives every real node a precedent, so nets built
+    * through `flatten` can't trip this; hand-built edge lists can.
+    */
+  def checkOrphans(): Unit = {
+    val hasPrecedent = edges.map(_._2.toString).toSet
+    nodes.filterNot(n => n.name.startsWith("@") || hasPrecedent.contains(n.toString))
+      .foreach { ref =>
+        throw new ParameterError(s"found orphan job in the jobnet: $ref")
+      }
+  }
 
   /** Kahn topological sort; raises on cycles (reference: jobnet.rb:148-155). */
   def sequentialJobs: Seq[JobRef] = {

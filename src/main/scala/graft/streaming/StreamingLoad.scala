@@ -12,22 +12,34 @@ import graft.core._
 import graft.ds.{ObjectStore, SparkDataSource}
 import graft.jobclass.{Action, JobClass, JobContext, LoadOptions}
 
-/** Exactly-once micro-batch load from a filesystem object queue
+/** Micro-batch load from a filesystem object queue
   * (reference: jobclass/streaming_load.rb — the only "streaming" in the
   * reference; SURVEY §2.11). Batch-faithful port:
   *
-  *  1. list queue objects matching a filename pattern with `%Y%m%d...%Q`
-  *     time captures (reference: :415-473);
-  *  2. dedup against the load log with a right-outer join on `data_file`
-  *     (reference: :294-312) — the join runs as a Spark job;
-  *  3. load new files into the work table, insert into dest
-  *     (reference: :202-237), append the new entries to the load log with a
-  *     NOT-IN anti-join guard (:314-330);
-  *  4. dequeue = move each object to the persistent path (:502-514).
+  *  1. snapshot the queue ONCE: list objects matching a filename pattern
+  *     with `%Y%m%d...%Q` time captures (reference: :415-473);
+  *  2. partition the snapshot against the load log on `data_file`
+  *     (reference: :137-153, 166-196 partition_loaded_objects) — the join
+  *     runs as a Spark job; `loaded` objects (left over from a crashed
+  *     prior run) are dequeued immediately, `not_loaded` go on to load;
+  *  3. load new files into the work table in bounded batches, insert into
+  *     dest (reference: :202-237), append each batch to the load log with a
+  *     NOT-IN anti-join guard (:314-330), then dequeue that batch;
+  *  4. dequeue = move each object to the persistent path (:502-514). Only
+  *     objects recorded in the load log are ever moved — a file that
+  *     arrives mid-load stays queued for the next run.
   *
-  * Modes `noop/load-only/dequeue-only/skip-work` (:28-31) are honored. The
-  * idiomatic alternative (Structured Streaming `Trigger.AvailableNow` with a
-  * checkpoint replacing the load log) plugs in behind the same job class.
+  * Modes `noop/load-only/dequeue-only/skip-work` (:28-31) are honored.
+  *
+  * Delivery semantics: the reference wraps dest-insert + log-append in one
+  * DB transaction; Spark-catalog parquet tables have no cross-table
+  * transaction, so a crash between a batch's dest insert and its log append
+  * re-loads that batch on rerun — **at-least-once on crash, exactly-once in
+  * normal operation** (the crashed batch's files stay in the queue because
+  * dequeue is log-driven). Smaller `batch-size` shrinks that window. For
+  * true exactly-once use the Structured Streaming path
+  * (`StructuredStreams`: `Trigger.AvailableNow` + checkpoint) behind the
+  * same job class.
   */
 object StreamingLoadJobClass extends JobClass("streaming_load") {
 
@@ -43,6 +55,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     EnumParam("format", Seq("tsv", "csv", "json", "parquet"), Some("json")),
     KeyValuePairsParam("load-options"),
     SqlFileParam("sql-file", optional = true),
+    StringParam("batch-size", optional = true), // max files per load batch
     OptionalBoolParam("noop"), OptionalBoolParam("load-only"),
     OptionalBoolParam("dequeue-only"), OptionalBoolParam("skip-work"),
   )
@@ -64,28 +77,54 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
         pattern.forall(_.matches(rel.split('/').last))
       }
 
+    // Partition a queue snapshot against the load log on data_file
+    // (reference :294-312 partition_loaded_objects): returns
+    // (loaded, notLoaded) as store-relative paths. Runs as a Spark join;
+    // only the snapshot-sized subsets come back to the driver.
+    def partitionBySnapshot(candidates: Seq[String]): (Seq[String], Seq[String]) = {
+      if (candidates.isEmpty) return (Nil, Nil)
+      val spark = ds.spark
+      import spark.implicits._
+      ensureLogTable(ds, log)
+      val cand = candidates.map(r => (r, fs.urlString(r))).toDF("rel", "data_file")
+      val logged = ds.table(log).select(col("data_file"))
+      val loadedRel = cand.join(logged, Seq("data_file"), "left_semi")
+        .select("rel").as[String].collect().toSeq.sorted
+      val newRel = cand.join(logged, Seq("data_file"), "left_anti")
+        .select("rel").as[String].collect().toSeq.sorted
+      (loadedRel, newRel)
+    }
+
+    val batchSize = p.stringOpt("batch-size").map(_.toInt).getOrElse(100000)
+
     if (p.bool("noop"))
       return Seq(Action("streaming_load:noop") {
         listCandidates().foreach(f => println(s"[noop] would load $f"))
       })
     if (p.bool("dequeue-only"))
+      // reference :135-153: dequeue-only moves ONLY objects present in the
+      // load log; unloaded queue objects stay put.
       return Seq(Action("streaming_load:dequeue") {
-        dequeue(fs, queuePath, listCandidates(), p, vars)
+        val (loadedRel, _) = partitionBySnapshot(listCandidates())
+        dequeue(fs, queuePath, loadedRel, p, vars)
       })
 
     val loadAction = Action("streaming_load:load") {
-      val candidates = listCandidates()
-      if (candidates.nonEmpty) {
+      // ONE queue snapshot drives the whole run (reference :166-170):
+      // files arriving after this point are next run's work.
+      val (alreadyLoaded, newFiles) = partitionBySnapshot(listCandidates())
+      // leftovers from a crashed prior run: logged but never dequeued
+      if (!p.bool("load-only") && alreadyLoaded.nonEmpty)
+        dequeue(fs, queuePath, alreadyLoaded, p, vars)
+      if (newFiles.nonEmpty) {
         val spark = ds.spark
         import spark.implicits._
-        ensureLogTable(ds, log)
-        // dedup join (reference :294-312): candidates ⟕ log on data_file
-        val cand = candidates.map(fs.urlString).toDF("data_file")
-        val loaded = ds.table(log).select(col("data_file"))
-        val newFiles = cand.join(loaded, Seq("data_file"), "left_anti")
-          .as[String].collect().toSeq.sorted
-        if (newFiles.nonEmpty) {
-          val jobProcessId = java.util.UUID.randomUUID().toString
+        val jobProcessId = java.util.UUID.randomUUID().toString
+        // bounded batches keep the driver-side manifest and the
+        // crash-replay window small (reference loads one manifest per run;
+        // an unbounded queue would otherwise sit in driver memory)
+        newFiles.grouped(batchSize).foreach { batchRel =>
+          val batch = batchRel.map(fs.urlString)
           val startTime = java.sql.Timestamp.from(java.time.Instant.now())
           // load work table from the new files only (manifest semantics :207-237)
           ds.dropForce(work)
@@ -93,10 +132,10 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
           // options map through LoadOptions semantics
           val reader = spark.read.schema(ds.table(dest).schema)
           val df = p.string("format") match {
-            case "json"    => reader.json(newFiles: _*)
-            case "tsv"     => reader.option("sep", "\t").csv(newFiles: _*)
-            case "csv"     => reader.csv(newFiles: _*)
-            case "parquet" => reader.parquet(newFiles: _*)
+            case "json"    => reader.json(batch: _*)
+            case "tsv"     => reader.option("sep", "\t").csv(batch: _*)
+            case "csv"     => reader.csv(batch: _*)
+            case "parquet" => reader.parquet(batch: _*)
           }
           df.write.saveAsTable(ds.qualify(work))
           // insert into dest: user SQL over the work table, or SELECT *
@@ -113,7 +152,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
           }
           // append load log w/ NOT-IN guard (:314-330)
           val endTime = java.sql.Timestamp.from(java.time.Instant.now())
-          val entries = newFiles.toDF("data_file")
+          val entries = batch.toDF("data_file")
             .withColumn("job_process_id", lit(jobProcessId))
             .withColumn("start_time", lit(startTime))
             .withColumn("end_time", lit(endTime))
@@ -124,14 +163,13 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
             .select("job_process_id", "start_time", "end_time", "target_table", "data_file")
           guarded.write.mode(SaveMode.Append).insertInto(ds.qualify(log))
           ds.dropForce(work)
+          // dequeue this batch now that it is logged (reference :186-190)
+          if (!p.bool("load-only")) dequeue(fs, queuePath, batchRel, p, vars)
         }
       }
     }
 
-    if (p.bool("load-only")) Seq(loadAction)
-    else Seq(loadAction, Action("streaming_load:dequeue") {
-      dequeue(fs, queuePath, listCandidates(), p, vars)
-    })
+    Seq(loadAction)
   }
 
   private def ensureLogTable(ds: SparkDataSource, log: TableSpec): Unit =

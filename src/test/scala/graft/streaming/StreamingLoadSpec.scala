@@ -88,14 +88,25 @@ class StreamingLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 3)
   }
 
-  test("dequeue-only moves files without loading") {
+  test("dequeue-only moves only load-logged files; unloaded files stay queued") {
+    // reference streaming_load.rb:135-153 — dequeue-only partitions the
+    // queue against the load log and moves ONLY the loaded side.
     Files.writeString(fsBase.resolve("queue/track-20240809-0009.json"),
       """{"id": 9, "name": "x"}""" + "\n")
+    // log it via load-only (stays queued: load-only never dequeues)
+    val r0 = runJob("sl4a.job", jobText + "load-only: true\n")
+    assert(r0.success, r0.message)
     val before = trackCount
+    // a second, never-loaded file must survive dequeue-only
+    Files.writeString(fsBase.resolve("queue/track-20240809-0011.json"),
+      """{"id": 11, "name": "y"}""" + "\n")
     val r = runJob("sl4.job", jobText + "dequeue-only: true\n")
     assert(r.success, r.message)
-    assert(trackCount == before)
+    assert(trackCount == before) // dequeue-only never loads
     assert(!Files.exists(fsBase.resolve("queue/track-20240809-0009.json")))
+    assert(Files.exists(fsBase.resolve("queue/track-20240809-0011.json")))
+    // clean up the unloaded leftover so later tests see a clean queue
+    Files.delete(fsBase.resolve("queue/track-20240809-0011.json"))
   }
 
   test("user SQL transform over the work table ($work_table)") {
