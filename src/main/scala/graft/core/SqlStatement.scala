@@ -17,8 +17,8 @@ final class SqlStatement(val source: String, val declarations: Seq[String] = Nil
 
   private var bound: Option[String] = None
 
-  def bind(vars: Variables): SqlStatement = {
-    val expanded = vars.expand(EmbeddedFunctions.preprocess(source))
+  def bind(vars: Variables, erb: ErbContext = ErbContext.empty): SqlStatement = {
+    val expanded = vars.expand(EmbeddedFunctions.preprocess(source, erb))
     val s = new SqlStatement(source, declarations)
     s.bound = Some(expanded)
     s
@@ -120,29 +120,164 @@ object SqlStatement {
   }
 }
 
+/** Evaluation context for embedded expressions (reference: the ERB binding
+  * carries `app_home` / `base_dir` — embeddedcodeapi.rb:16-22, context.rb).
+  */
+final case class ErbContext(appHome: Option[java.nio.file.Path] = None,
+    baseDir: Option[java.nio.file.Path] = None)
+
+object ErbContext {
+  val empty: ErbContext = ErbContext()
+}
+
 /** Replacement for the reference's ERB preprocessing
-  * (reference: lib/bricolage/embeddedcodeapi.rb:5-48): a small registry of
-  * `<%= fn(args) %>` helpers covering the observed uses — date arithmetic
-  * (`<%= today - 1 %>`, variable.yml:1) and no-op vacuum-lock shims.
-  * Unknown expressions raise JobError (documented non-goal: arbitrary code).
+  * (reference: lib/bricolage/embeddedcodeapi.rb:5-48 + vacuumlock.rb:23-42):
+  * an evaluator for the `<%= expr %>` surface the reference's own fixtures
+  * and API expose —
+  *
+  *  - `Date.today`, `(Date.today ± N)`, with optional `.strftime('FMT')`
+  *    (test/home/subsys/variable.yml:1), plus the short `today ± N` form
+  *  - `date('STR')` / `ymd(expr)` (embeddedcodeapi.rb:29-35)
+  *  - `read_file_if_exist('PATH')` → file body or "" (:24-27)
+  *  - `user_home` / `*_relative_path('REL')` path helpers (:8-22)
+  *  - `all_tables` / `attribute_tables('ATTR')` → dest-table names scanned
+  *    from the `.ct` headers under each `app_home` subsystem dir (:37-45);
+  *    rendered one per line
+  *  - `psql_serialize_vacuum_begin/_end` → `;` (vacuum lock disabled — the
+  *    reference's own default, vacuumlock.rb:23-42) and lockfile shims
+  *  - `ENV['X']` with optional `|| "default"` (schema/database.yml:2-6)
+  *
+  * Anything outside this surface raises JobError (documented non-goal:
+  * arbitrary embedded code).
   */
 object EmbeddedFunctions {
+  import java.nio.file.{Files, Path, Paths}
   import java.time.LocalDate
+  import java.time.format.DateTimeFormatter
 
   private val Erb = """<%=\s*(.*?)\s*%>""".r
   private val TodayArith = """today\s*([+-])\s*(\d+)""".r
+  private val DateToday =
+    """\(?\s*Date\.today\s*(?:([+-])\s*(\d+))?\s*\)?(?:\.strftime\('([^']*)'\))?""".r
+  private val DateParse = """date\('([^']+)'\)(?:\.strftime\('([^']*)'\))?""".r
+  private val Ymd = """ymd\((.+)\)""".r
+  private val ReadFile = """read_file_if_exist\('([^']+)'\)""".r
+  private val RelPath = """(user_home_relative_path|app_home_relative_path|relative_path)\('([^']+)'\)""".r
+  private val EnvRef = """ENV\['(\w+)'\](?:\s*\|\|\s*"([^"]*)")?""".r
+  private val AttrTables = """attribute_tables\('([^']+)'\)""".r
 
-  def preprocess(source: String): String =
+  def preprocess(source: String, erb: ErbContext = ErbContext.empty): String =
     Erb.replaceAllIn(source, m => scala.util.matching.Regex.quoteReplacement(
-      eval(m.group(1))))
+      eval(m.group(1), erb)))
 
-  def eval(code: String): String = code.trim match {
-    case "today" | "today()"        => LocalDate.now().toString
-    case TodayArith(op, n)          =>
-      val d = n.toInt
-      (if (op == "+") LocalDate.now().plusDays(d) else LocalDate.now().minusDays(d)).toString
+  def eval(code: String, erb: ErbContext = ErbContext.empty): String = code.trim match {
+    case "today" | "today()" => LocalDate.now().toString
+    case TodayArith(op, n) => shiftToday(op, n).toString
+    case DateToday(op, n, fmt) =>
+      strftime(shiftToday(op, n), Option(fmt))
+    case DateParse(s, fmt) => strftime(LocalDate.parse(s), Option(fmt))
+    case Ymd(inner) => strftime(evalDate(inner.trim, erb), None)
+    case ReadFile(p) =>
+      val path = resolve(p, erb)
+      if (Files.exists(path)) Files.readString(path) else ""
+    case "user_home" => sys.props("user.home")
+    case RelPath(fn, rel) =>
+      val base = fn match {
+        case "user_home_relative_path" => Paths.get(sys.props("user.home"))
+        case "app_home_relative_path" =>
+          erb.appHome.getOrElse(throw new JobError("no app home in ERB context"))
+        case _ =>
+          erb.baseDir.orElse(erb.appHome)
+            .getOrElse(throw new JobError("no base dir in ERB context"))
+      }
+      base.resolve(rel).toString
+    case "all_tables" => ctTables(erb).map(_._1).mkString("\n")
+    case AttrTables(attr) =>
+      ctTables(erb).collect { case (t, attrs) if attrs.contains(attr) => t }
+        .mkString("\n")
+    case "psql_serialize_vacuum_begin" | "psql_serialize_vacuum_end" => ";"
     case "create_lockfile" | "release_lockfile" => "" // vacuum-lock shims: no-op
+    case EnvRef(name, default) =>
+      sys.env.get(name).orElse(Option(default)).getOrElse(
+        throw new JobError(s"undefined environment variable in ERB: $name"))
     case other =>
       throw new JobError(s"unsupported embedded expression: <%= $other %>")
+  }
+
+  private def shiftToday(op: String, n: String): LocalDate = {
+    val today = LocalDate.now()
+    if (op == null || n == null) today
+    else if (op == "+") today.plusDays(n.toLong)
+    else today.minusDays(n.toLong)
+  }
+
+  private def evalDate(code: String, erb: ErbContext): LocalDate = code match {
+    case DateToday(op, n, null) => shiftToday(op, n)
+    case DateParse(s, null) => LocalDate.parse(s)
+    case other => LocalDate.parse(eval(other, erb))
+  }
+
+  /** `%Y-%m-%d`-style strftime → java DateTimeFormatter (subset: the date
+    * directives a daily-batch template uses). None → ISO yyyy-MM-dd.
+    */
+  private def strftime(d: LocalDate, fmt: Option[String]): String = fmt match {
+    case None | Some("%F") | Some("%Y-%m-%d") => d.toString
+    case Some(f) =>
+      val out = new StringBuilder
+      var i = 0
+      while (i < f.length) {
+        val ch = f.charAt(i)
+        if (ch == '%' && i + 1 < f.length) {
+          f.charAt(i + 1) match {
+            case 'Y' => out ++= f"${d.getYear}%04d"
+            case 'y' => out ++= f"${d.getYear % 100}%02d"
+            case 'm' => out ++= f"${d.getMonthValue}%02d"
+            case 'd' => out ++= f"${d.getDayOfMonth}%02d"
+            case 'j' => out ++= f"${d.getDayOfYear}%03d"
+            case 'F' => out ++= d.toString
+            case '%' => out += '%'
+            case c => throw new JobError(s"unsupported strftime directive: %$c")
+          }
+          i += 2
+        } else { out += ch; i += 1 }
+      }
+      out.toString
+  }
+
+  private def resolve(p: String, erb: ErbContext): Path = {
+    val raw = Paths.get(p)
+    if (raw.isAbsolute) raw
+    else erb.baseDir.orElse(erb.appHome).map(_.resolve(p)).getOrElse(raw)
+  }
+
+  /** Scan the `.ct` headers under every app-home subsystem dir for
+    * dest-table + attributes (reference: embeddedcodeapi.rb:41-45 —
+    * a two-level glob of `.ct` files below `app_home`).
+    */
+  private def ctTables(erb: ErbContext): Seq[(String, Set[String])] = {
+    val home = erb.appHome.getOrElse(
+      throw new JobError("all_tables requires an app home in ERB context"))
+    if (!Files.isDirectory(home)) return Nil
+    val subdirs = Files.list(home).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    subdirs.flatMap { d =>
+      Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".ct")).toSeq
+        .sortBy(_.getFileName.toString)
+        .map { ct =>
+          val meta = SqlStatement.parseMetadata(Files.readString(ct))
+          val table = meta.getOrElse("dest-table",
+            ct.getFileName.toString.stripSuffix(".ct"))
+          val attrs = meta.get("attributes").toSet[String]
+            .flatMap(_.split("[,\\s]+")).filter(_.nonEmpty)
+          (table, attrs)
+        }
+    }.sortBy(_._1)
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
   }
 }

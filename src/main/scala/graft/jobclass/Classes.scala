@@ -29,7 +29,7 @@ object SqlJobClass extends JobClass("sql") {
   )
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     val dest = p.get("dest-table").map(_ => p.table("dest-table"))
     Seq(
       Some(Action("truncate") {
@@ -59,7 +59,7 @@ object InsertJobClass extends JobClass("insert") {
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
     val dest = p.table("dest-table")
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(
       Some(Action("truncate") { ds.truncate(dest) }).filter(_ => p.bool("truncate")),
       Some(Action("insert") {
@@ -107,7 +107,7 @@ object InsertDeltaJobClass extends JobClass("insert-delta") {
     val ds = sparkDs(p, ctx)
     val dest = p.table("dest-table")
     val cond = vars.expand(p.string("delete-cond"))
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(Action("insert-delta") {
       p.stringOpt("partitioned-by") match {
         case Some(_) if ds.tableExists(dest) =>
@@ -178,7 +178,7 @@ object CreateViewJobClass extends JobClass("createview") {
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
     val dest = p.table("dest-table")
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(Action("createview") {
       if (p.bool("drop")) ds.dropViewForce(dest)
       ds.sql(s"CREATE OR REPLACE VIEW ${ds.qualify(dest)} AS ${stmt.stripped}")
@@ -203,7 +203,7 @@ object RebuildDropJobClass extends JobClass("rebuild-drop") {
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
     val dest = p.table("dest-table")
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(Action("rebuild-drop") {
       ds.dropForce(dest)
       val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
@@ -232,7 +232,7 @@ object RebuildRenameJobClass extends JobClass("rebuild-rename") {
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
     val dest = p.table("dest-table")
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(Action("rebuild-rename") {
       // identical publish dance as the reference, via stagedOverwrite:
       // dummy-create dest if absent so the rename pair always succeeds
@@ -313,7 +313,7 @@ object UnloadJobClass extends JobClass("unload") {
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
     val fs = ctx.registry.store(p.stringOpt("dest-ds").getOrElse("fs"))
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     val dest = fs.urlString(vars.expand(p.string("dest-file")))
     Seq(Action("unload") {
       val df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
@@ -390,7 +390,7 @@ object AdhocJobClass extends JobClass("adhoc") {
   val params: Seq[Param] = Seq(SqlFileParam(), DataSourceParam("spark"))
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
-    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars)
+    val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(Action("adhoc") { ds.execScript(stmt); () })
   }
 }

@@ -64,9 +64,13 @@ abstract class JobClass(val id: String) {
       param: String = "data-source", default: String = "sql"): SparkDataSource =
     ctx.registry.spark(p.stringOpt(param).getOrElse(default))
 
-  /** Bind a SQL script against the job's variables. */
-  protected def bindSql(text: String, vars: Variables): SqlStatement =
-    new SqlStatement(text).bind(vars)
+  /** Bind a SQL script against the job's variables; ERB helpers see the
+    * job's home/subsystem dirs (reference binds EmbeddedCodeAPI the same way).
+    */
+  protected def bindSql(text: String, vars: Variables,
+      ctx: JobContext): SqlStatement =
+    new SqlStatement(text).bind(vars,
+      ErbContext(Some(ctx.home), Some(ctx.subsysDir)))
 }
 
 object JobClass {

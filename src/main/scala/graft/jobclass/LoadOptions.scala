@@ -9,16 +9,27 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * observed option set in fixtures — SURVEY §2.2).
   *
   * gzip            → codec inference (automatic from extension)
-  * maxerror N      → mode=PERMISSIVE + corrupt-record column, post-count check
+  * maxerror N      → mode=PERMISSIVE + corrupt-record column; rows that fail
+  *                   to parse are counted after the read and the load FAILS
+  *                   (JobFailure) when the count exceeds N; surviving rows
+  *                   exclude the corrupt ones (reference: the COPY aborts and
+  *                   stl_load_errors records the bad rows,
+  *                   psqldatasource.rb:476-601)
   * emptyasnull     → nullValue=""
   * dateformat/timeformat → dateFormat / timestampFormat
-  * removequotes    → csv quote handling
+  * removequotes    → strip surrounding quotes in DELIMITED (tsv) loads; a
+  *                   delimited load without it treats '"' as data
+  *                   (Redshift semantics — quoting is only interpreted in
+  *                   CSV format or under removequotes)
   * trimblanks      → post trim() on string columns
   * truncatecolumns → no-op (no varchar(n) limit on Spark STRING)
   * acceptinvchars / acceptanydate → permissive parse
   * statupdate/compupdate/encrypted/manifest → no-op shims
   */
 object LoadOptions {
+
+  /** Name unlikely to collide with user columns. */
+  private val CorruptCol = "_graft_corrupt_record"
 
   def read(spark: SparkSession, path: String, format: String,
       options: Map[String, Any], schema: StructType): DataFrame = {
@@ -27,10 +38,20 @@ object LoadOptions {
       options.get(k).map(String.valueOf).filter(_ != "false")
     def has(k: String): Boolean = opt(k).isDefined
 
-    val permissive = has("maxerror") || has("acceptinvchars") || has("acceptanydate")
+    val maxError = opt("maxerror").map(_.toLong)
+    val permissive =
+      maxError.isDefined || has("acceptinvchars") || has("acceptanydate")
 
-    var reader = spark.read.schema(schema)
-    if (permissive) reader = reader.option("mode", "PERMISSIVE")
+    // maxerror needs the corrupt-record column declared in the read schema
+    val readSchema =
+      if (maxError.isDefined && format != "parquet")
+        schema.add(CorruptCol, StringType, nullable = true)
+      else schema
+
+    var reader = spark.read.schema(readSchema)
+    if (permissive)
+      reader = reader.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
     else reader = reader.option("mode", "FAILFAST")
     opt("dateformat").foreach(f => reader = reader.option("dateFormat", cFormat(f)))
     opt("timeformat").foreach(f => reader = reader.option("timestampFormat", cFormat(f)))
@@ -38,13 +59,29 @@ object LoadOptions {
 
     var df = format match {
       case "tsv" =>
-        reader.option("sep", "\t").csv(path)
-      case "csv" =>
-        val r = if (has("removequotes")) reader.option("quote", "\"") else reader
-        r.csv(path)
+        // delimited load: quotes are literal data unless removequotes
+        val r =
+          if (has("removequotes")) reader.option("quote", "\"")
+          else reader.option("quote", "")
+        r.option("sep", "\t").csv(path)
+      case "csv" => reader.csv(path)
       case "json" => reader.json(path)
       case "parquet" => spark.read.parquet(path)
       case other => throw new graft.core.JobError(s"load: unknown format $other")
+    }
+
+    maxError.foreach { limit =>
+      if (format != "parquet") {
+        // cache so the error count and the downstream write share one parse
+        // (also: Spark disallows filtering on ONLY the corrupt column of an
+        // uncached CSV/JSON scan)
+        df = df.cache()
+        val bad = df.filter(col(CorruptCol).isNotNull).count()
+        if (bad > limit)
+          throw new graft.core.JobFailure(
+            s"load error count $bad exceeds maxerror $limit ($path)")
+        df = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+      }
     }
 
     if (has("trimblanks")) {

@@ -135,10 +135,44 @@ object DataMovement {
       |WHERE o_orderpriority <> 'X;Y'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** COPY `maxerror` enforcement (reference: psqldatasource.rb:476-601 — the
+    * load tolerates up to N bad rows, records them, and the good rows land):
+    * write lineitem as CSV with every `l_orderkey % 97 == 0` row corrupted,
+    * load through the real LoadOptions path under a generous maxerror, and
+    * aggregate the survivors. The oracle computes the same aggregate from the
+    * clean source with the bad keys filtered out — survivors must be exactly
+    * the parseable rows. (The over-threshold JobFailure path is unit-tested
+    * in LoadOptionsSpec.)
+    */
+  def qLoadMaxerror(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createDirectories(
+      Paths.get(sys.props("java.io.tmpdir"), "graft_load_maxerror")).toString
+    val src = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), round(col("l_quantity"), 2).as("qty"))
+    src.select(concat_ws(",", col("l_orderkey"),
+        when(col("l_orderkey") % 97 === 0, lit("not-a-number"))
+          .otherwise(col("qty").cast("string"))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(out)
+    val loaded = graft.jobclass.LoadOptions.read(s, out, "csv",
+      Map("maxerror" -> "1000000"),
+      org.apache.spark.sql.types.StructType.fromDDL("l_orderkey BIGINT, qty DOUBLE"))
+    loaded.groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").as("key_sum"),
+        round(sum("qty"), 2).as("qty_sum"))
+  }
+
+  val qLoadMaxerrorOracle: String =
+    """SELECT count(*) AS n_rows,
+      | CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      | round(sum(round(l_quantity, 2)), 2) AS qty_sum
+      |FROM lineitem WHERE l_orderkey % 97 <> 0""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_insert_delta", qInsertDelta, Some(qInsertDeltaOracle)),
     QueryDef("q_streaming_dedup", qStreamingDedup, Some(qStreamingDedupOracle)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripOracle)),
     QueryDef("q_multi_statement", qMultiStatement, Some(qMultiStatementOracle)),
+    QueryDef("q_load_maxerror", qLoadMaxerror, Some(qLoadMaxerrorOracle)),
   )
 }

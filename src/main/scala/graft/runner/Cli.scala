@@ -41,7 +41,8 @@ object Cli {
     def fromFile(p: Path): Variables =
       if (!Files.exists(p)) Variables.empty
       else Variables.fromMap(
-        JobFile.parseYamlMap(EmbeddedFunctions.preprocess(Files.readString(p)))
+        JobFile.parseYamlMap(EmbeddedFunctions.preprocess(Files.readString(p),
+            graft.core.ErbContext(Some(home), Some(p.getParent))))
           .map { case (k, v) => k -> String.valueOf(v) })
     def scoped(basename: String): Variables = {
       val global = fromFile(home.resolve(basename))

@@ -144,7 +144,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
               case Some(sf) =>
                 val stmt = bindSql(ctx.sqlText(sf, vars),
                   vars.add("work_table", ds.qualify(work))
-                    .add("dest_table", ds.qualify(dest)))
+                    .add("dest_table", ds.qualify(dest)), ctx)
                 ds.execScript(stmt)
               case None =>
                 ds.sql(s"INSERT INTO ${ds.qualify(dest)} SELECT * FROM ${ds.qualify(work)}")

@@ -167,6 +167,68 @@ class SqlStatementSpec extends AnyFunSuite {
     assert(out == s"where dt = '${java.time.LocalDate.now().minusDays(1)}'")
     intercept[JobError] { EmbeddedFunctions.eval("system('rm -rf /')") }
   }
+
+  test("ERB: the reference's own variable.yml line expands (Date.today - 1)") {
+    // verbatim from /root/reference/test/home/subsys/variable.yml:1
+    val out = EmbeddedFunctions.preprocess(
+      """data_date: "<%= (Date.today - 1).strftime('%Y-%m-%d') %>"""")
+    assert(out == s"""data_date: "${java.time.LocalDate.now().minusDays(1)}"""")
+  }
+
+  test("ERB: Date.today forms and strftime directives") {
+    val today = java.time.LocalDate.now()
+    assert(EmbeddedFunctions.eval("Date.today") == today.toString)
+    assert(EmbeddedFunctions.eval("(Date.today + 2).strftime('%F')")
+      == today.plusDays(2).toString)
+    assert(EmbeddedFunctions.eval("Date.today.strftime('%Y%m%d')")
+      == today.toString.replace("-", ""))
+    assert(EmbeddedFunctions.eval("date('2014-01-05').strftime('%y/%m/%d')")
+      == "14/01/05")
+    assert(EmbeddedFunctions.eval("ymd(date('2014-01-05'))") == "2014-01-05")
+    assert(EmbeddedFunctions.eval("ymd(Date.today - 1)")
+      == today.minusDays(1).toString)
+    intercept[JobError] { EmbeddedFunctions.eval("date('2014-01-05').strftime('%q')") }
+  }
+
+  test("ERB: vacuum-lock serialization helpers are ';' no-ops") {
+    // reference fixture raw-vacuum.sql.job:5-7; vacuumlock.rb:23-42 returns
+    // ';' when the lock is disabled (the default)
+    assert(EmbeddedFunctions.eval("psql_serialize_vacuum_begin") == ";")
+    assert(EmbeddedFunctions.eval("psql_serialize_vacuum_end") == ";")
+  }
+
+  test("ERB: ENV with || default (reference schema/database.yml form)") {
+    assert(EmbeddedFunctions.eval("""ENV['GRAFT_NO_SUCH_VAR'] || "localhost"""")
+      == "localhost")
+    assert(EmbeddedFunctions.eval("""ENV['HOME']""") == sys.env("HOME"))
+    intercept[JobError] { EmbeddedFunctions.eval("ENV['GRAFT_NO_SUCH_VAR']") }
+  }
+
+  test("ERB: read_file_if_exist and path helpers") {
+    val dir = java.nio.file.Files.createTempDirectory("erb")
+    java.nio.file.Files.writeString(dir.resolve("frag.sql"), "select 1")
+    val erb = ErbContext(appHome = Some(dir), baseDir = Some(dir))
+    assert(EmbeddedFunctions.eval("read_file_if_exist('frag.sql')", erb) == "select 1")
+    assert(EmbeddedFunctions.eval("read_file_if_exist('nope.sql')", erb) == "")
+    assert(EmbeddedFunctions.eval("app_home_relative_path('x/y')", erb)
+      == dir.resolve("x/y").toString)
+    assert(EmbeddedFunctions.eval("relative_path('z')", erb)
+      == dir.resolve("z").toString)
+    assert(EmbeddedFunctions.eval("user_home") == sys.props("user.home"))
+  }
+
+  test("ERB: all_tables / attribute_tables scan .ct headers") {
+    val home = java.nio.file.Files.createTempDirectory("erb-home")
+    val sub = home.resolve("subsys"); java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.writeString(sub.resolve("users.ct"),
+      "--dest-table: users\n--attributes: daily pii\n\ncreate table $dest_table (id int);\n")
+    java.nio.file.Files.writeString(sub.resolve("d.ct"),
+      "--dest-table: d\n\ncreate table $dest_table (x int);\n")
+    val erb = ErbContext(appHome = Some(home))
+    assert(EmbeddedFunctions.eval("all_tables", erb) == "d\nusers")
+    assert(EmbeddedFunctions.eval("attribute_tables('pii')", erb) == "users")
+    assert(EmbeddedFunctions.eval("attribute_tables('none')", erb) == "")
+  }
 }
 
 class JobFileSpec extends AnyFunSuite {

@@ -1,0 +1,59 @@
+package graft.jobclass
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.core.JobFailure
+
+/** COPY option-bag semantics (reference: psqldatasource.rb:476-601). */
+class LoadOptionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def writeLines(name: String, lines: String*): String = {
+    val dir = Files.createTempDirectory(name)
+    Files.writeString(dir.resolve("part-00000.csv"), lines.mkString("\n") + "\n")
+    dir.toString
+  }
+
+  test("maxerror: bad rows under the threshold are dropped, load succeeds") {
+    val path = writeLines("lo-ok", "1,10.5", "2,oops", "3,30.0", "4,bad")
+    val df = LoadOptions.read(spark, path, "csv",
+      Map("maxerror" -> "2"), StructType.fromDDL("id BIGINT, v DOUBLE"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10.5), (3L, 30.0)))
+  }
+
+  test("maxerror: error count above the threshold raises JobFailure") {
+    val path = writeLines("lo-fail", "1,10.5", "2,oops", "3,also-bad")
+    val e = intercept[JobFailure] {
+      LoadOptions.read(spark, path, "csv",
+        Map("maxerror" -> "1"), StructType.fromDDL("id BIGINT, v DOUBLE"))
+    }
+    assert(e.getMessage.contains("maxerror"))
+  }
+
+  test("no maxerror: FAILFAST fails on the first bad row") {
+    val path = writeLines("lo-ff", "1,10.5", "2,oops")
+    intercept[Exception] {
+      LoadOptions.read(spark, path, "csv", Map.empty,
+        StructType.fromDDL("id BIGINT, v DOUBLE")).collect()
+    }
+  }
+
+  test("removequotes strips surrounding quotes in tsv; without it quotes are data") {
+    val dir = Files.createTempDirectory("lo-rq")
+    Files.writeString(dir.resolve("d.tsv"), "1\t\"quoted value\"\n")
+    val schema = StructType.fromDDL("id BIGINT, v STRING")
+    val stripped = LoadOptions.read(spark, dir.toString, "tsv",
+      Map("removequotes" -> "true"), schema).head()
+    assert(stripped.getString(1) == "quoted value")
+    val literal = LoadOptions.read(spark, dir.toString, "tsv",
+      Map.empty, schema).head()
+    assert(literal.getString(1) == "\"quoted value\"")
+  }
+}
