@@ -156,7 +156,10 @@ final case class StringListParam(name: String, optional: Boolean = false)
     extends Param {
   def parseValue(v: Any, vars: Variables): Any = v match {
     case xs: Seq[_] => xs.map(x => str(x, vars))
-    case s: String  => s.split("[,\\s]+").toSeq.filter(_.nonEmpty).map(vars.expand)
+    // a plain string is ONE element unless comma-separated (reference
+    // allow_string wraps the string whole, parameters.rb:617-622 — the
+    // exec fixture's shell pipeline must not be split on spaces)
+    case s: String  => s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(vars.expand)
     case other      => throw new ParameterError(s"$name: bad list: $other")
   }
 }

@@ -34,7 +34,10 @@ object CtTranslator {
   )
 
   def translate(ct: String, tableNameOverride: Option[String] = None): Translated = {
-    var s = ct
+    // drop the `--key: value` metadata header + leading comment lines
+    // (reference .ct files open with `--dest-table: x`, e.g. users.ct:1)
+    var s = ct.linesIterator.dropWhile(l =>
+      l.trim.isEmpty || l.trim.startsWith("--")).mkString("\n")
     // drop per-column `encode xxx`
     s = s.replaceAll("""(?i)\s+encode\s+\w+""", "")
     // extract and drop table attributes

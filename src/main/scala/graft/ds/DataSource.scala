@@ -66,7 +66,14 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
     */
   def execScript(s: SqlStatement): Option[DataFrame] = {
     var last: Option[DataFrame] = None
-    s.statements.foreach { stmt => last = Some(sql(stmt)) }
+    s.statements.foreach { stmt =>
+      // VACUUM is storage maintenance — meaningless on immutable Parquet,
+      // honored as a logged no-op so reference scripts (raw-vacuum.sql.job)
+      // run unchanged (psqldatasource.rb:342-352, SURVEY §7.5)
+      if (stmt.split("\\s+", 2).headOption.exists(_.equalsIgnoreCase("vacuum")))
+        System.err.println(s"[$name] vacuum (no-op on parquet): $stmt")
+      else last = Some(sql(stmt))
+    }
     last
   }
 
@@ -198,7 +205,9 @@ trait ObjectStore extends DataSource {
 final class FsDataSource(val name: String, val base: Path) extends DataSource
     with ObjectStore {
 
-  def url(rel: String): Path = base.resolve(rel)
+  // a leading "/" means bucket-root-relative, as in S3 object keys
+  // (reference fixture load.job: `src-file: /search_backends/...`)
+  def url(rel: String): Path = base.resolve(rel.stripPrefix("/"))
 
   def urlString(rel: String): String = url(rel).toString
 
@@ -250,7 +259,7 @@ final class HadoopFsDataSource(val name: String, baseUri: String)
   private val base = new HPath(baseUri)
   private lazy val fsys: FileSystem = base.getFileSystem(new Configuration())
 
-  private def abs(rel: String): HPath = new HPath(base, rel)
+  private def abs(rel: String): HPath = new HPath(base, rel.stripPrefix("/"))
 
   def urlString(rel: String): String = abs(rel).toString
 

@@ -172,6 +172,7 @@ object CreateViewJobClass extends JobClass("createview") {
     SqlFileParam(),
     DataSourceParam("spark"),
     DestTableParam(),
+    SrcTableParam(),
     OptionalBoolParam("drop"),
     KeyValuePairsParam("grant"),
   )
@@ -181,7 +182,10 @@ object CreateViewJobClass extends JobClass("createview") {
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(Action("createview") {
       if (p.bool("drop")) ds.dropViewForce(dest)
-      ds.sql(s"CREATE OR REPLACE VIEW ${ds.qualify(dest)} AS ${stmt.stripped}")
+      // reference createview.rb:19 execs the user SQL verbatim — the script
+      // IS the `create view` statement; only a bare SELECT gets wrapped
+      if (stmt.kind == "create") ds.execScript(stmt)
+      else ds.sql(s"CREATE OR REPLACE VIEW ${ds.qualify(dest)} AS ${stmt.stripped}")
       ()
     })
   }
@@ -345,17 +349,30 @@ object FsPutJobClass extends JobClass("fs-put") {
     val pattern = vars.expand(p.string("src-file"))
     val destRel = vars.expand(p.string("dest-file"))
     Seq(Action("fs-put") {
-      val matcher = fileDs.baseDir.getFileSystem.getPathMatcher("glob:" + pattern)
-      val files = java.nio.file.Files.walk(fileDs.baseDir).iterator()
-      var found = false
-      files.forEachRemaining { f =>
-        if (Files.isRegularFile(f) && matcher.matches(fileDs.baseDir.relativize(f))) {
-          found = true
-          fs.put(f, destRel.stripSuffix("/") + "/" + f.getFileName.toString)
-          if (p.bool("remove")) Files.delete(f)
+      // absolute src-file (e.g. `$bricolage_home/data/test.txt`,
+      // reference fixture put.job): a direct single-file put, with
+      // dest-file as the exact object key (s3datasource.rb:150-160)
+      val abs = Paths.get(pattern)
+      if (abs.isAbsolute) {
+        if (!Files.isRegularFile(abs))
+          throw new JobFailure(s"fs-put: no such file: $pattern")
+        val key = if (destRel.endsWith("/"))
+          destRel + abs.getFileName.toString else destRel
+        fs.put(abs, key)
+        if (p.bool("remove")) Files.delete(abs)
+      } else {
+        val matcher = fileDs.baseDir.getFileSystem.getPathMatcher("glob:" + pattern)
+        val files = java.nio.file.Files.walk(fileDs.baseDir).iterator()
+        var found = false
+        files.forEachRemaining { f =>
+          if (Files.isRegularFile(f) && matcher.matches(fileDs.baseDir.relativize(f))) {
+            found = true
+            fs.put(f, destRel.stripSuffix("/") + "/" + f.getFileName.toString)
+            if (p.bool("remove")) Files.delete(f)
+          }
         }
+        if (!found) throw new JobFailure(s"fs-put: no files match $pattern")
       }
-      if (!found) throw new JobFailure(s"fs-put: no files match $pattern")
     })
   }
 }
@@ -370,7 +387,10 @@ object ExecJobClass extends JobClass("exec") {
     val argv = p("args").asInstanceOf[Seq[String]]
     val env = p.pairs("env").map { case (k, v) => k -> String.valueOf(v) }.toSeq
     Seq(Action("exec") {
-      val code = scala.sys.process.Process(argv, None, env: _*).!
+      // Ruby `system(*args)` runs a single-string command through the shell
+      // (reference fixture exec.job pipes through grep) — match that.
+      val cmd = if (argv.size == 1) Seq("sh", "-c", argv.head) else argv
+      val code = scala.sys.process.Process(cmd, None, env: _*).!
       if (code != 0) throw new JobFailure(s"exec: command failed with exit $code")
     })
   }

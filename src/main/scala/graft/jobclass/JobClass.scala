@@ -23,10 +23,14 @@ final case class JobContext(registry: DataSourceRegistry, home: Path,
     if (value.contains("\n") || value.trim.contains(" ")) return value
     val expanded = vars.expand(value)
     val p = subsysDir.resolve(expanded)
-    if (expanded.endsWith(".sql") || Files.exists(p)) {
-      if (!Files.exists(p)) throw new JobError(s"SQL file not found: $p")
-      Files.readString(p)
-    } else value
+    // a bare job id also resolves as `<id>.sql` (reference:
+    // job.rb:133-134 + filesystem.rb sql file lookup)
+    val pSql = subsysDir.resolve(expanded + ".sql")
+    if (Files.exists(p)) Files.readString(p)
+    else if (!expanded.endsWith(".sql") && Files.exists(pSql)) Files.readString(pSql)
+    else if (expanded.endsWith(".sql"))
+      throw new JobError(s"SQL file not found: $p")
+    else value
   }
 
   /** Read a .ct create-table file (reference: user-authored DDL, SURVEY §1.2). */
@@ -82,7 +86,8 @@ object JobClass {
     CreateViewJobClass, RebuildDropJobClass, RebuildRenameJobClass,
     LoadJobClass, UnloadJobClass, FsPutJobClass, ExecJobClass, NoopJobClass,
     AdhocJobClass, WaitFileJobClass, graft.streaming.StreamingLoadJobClass,
-  ).map(jc => jc.id -> jc).toMap
+  ).map(jc => jc.id -> jc).toMap +
+    ("s3-put" -> FsPutJobClass) // reference class name (jobclass/s3-put.rb)
 
   /** User-registered job classes (the reference's plugin model: out-of-repo
     * classes like bricolage-mysql's my-import — jobclass.rb:12-18; custom

@@ -44,13 +44,29 @@ object JobNet {
   def parse(text: String, ref: JobRef): JobNet = {
     val edges = mutable.ArrayBuffer.empty[(JobRef, JobRef)]
     val solo = mutable.ArrayBuffer.empty[JobRef]
-    text.linesIterator.foreach { raw =>
+    // a line starting with `->` continues from the previous line's last
+    // node (reference: jobnet.rb:316-330 — the source of DEPEND_PATTERN is
+    // optional; fixture net1.jobnet:2-3 uses this style)
+    var prev: Option[JobRef] = None
+    text.linesIterator.zipWithIndex.foreach { case (raw, lineNo) =>
       val line = raw.replaceAll("#.*$", "").trim
       if (line.nonEmpty) {
         val parts = line.split("->").map(_.trim)
-        if (parts.length == 1) solo += JobRef.parse(parts(0), ref.subsys)
-        else parts.sliding(2).foreach { case Array(a, b) =>
-          edges += ((JobRef.parse(a, ref.subsys), JobRef.parse(b, ref.subsys)))
+        if (parts.length == 1) {
+          val node = JobRef.parse(parts(0), ref.subsys)
+          solo += node
+          prev = Some(node)
+        } else {
+          val heads: Seq[JobRef] =
+            if (parts(0).isEmpty)
+              Seq(prev.getOrElse(throw new ParameterError(
+                s"syntax error at ${ref}:${lineNo + 1}: '->' must follow any job")))
+            else Seq(JobRef.parse(parts(0), ref.subsys))
+          val rest = parts.drop(1).map(JobRef.parse(_, ref.subsys))
+          (heads ++ rest).sliding(2).foreach { case Seq(a, b) =>
+            edges += ((a, b))
+          }
+          prev = Some(rest.last)
         }
       }
     }

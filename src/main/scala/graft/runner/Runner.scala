@@ -50,9 +50,18 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
         declared + ("sql-file" -> sql)
       case _ => declared
     }
+    // sql-file defaults to the job id, resolved as `<id>.sql` next to the
+    // job file (reference: job.rb:133-134 provide_sql_file_by_job_id,
+    // fixture separated.job/separated.sql)
+    val withSqlDefault =
+      if (jc.params.exists { case p: SqlFileParam => !p.optional; case _ => false }
+          && !withInline.contains("sql-file")) {
+        val base = id.stripSuffix(".job").stripSuffix(".sql")
+        withInline + ("sql-file" -> base)
+      } else withInline
     val globals = ctx.globalVariables
     val params = new ParamDecls(jc.params)
-      .materialize(withInline, cliOptions, globals.resolve())
+      .materialize(withSqlDefault, cliOptions, globals.resolve())
     val restVars = Variables.fromMap(rest.map { case (k, v) => k -> String.valueOf(v) })
     val vars = globals
       .union(params.publishedVariables)

@@ -45,13 +45,20 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
 
   val params: Seq[Param] = Seq(
     DataSourceParam("fs", "src-ds", optional = true),
+    DataSourceParam("fs", "s3-ds", optional = true), // reference name (:18)
     StringParam("queue-path"),
     StringParam("persistent-path", optional = true),
     StringParam("file-name", optional = true), // pattern w/ %Y%m%d%H%M%S%Q
     DataSourceParam("spark", "dest-ds", optional = true),
+    DataSourceParam("spark", "redshift-ds", optional = true), // reference name (:22)
     DestTableParam(),
     StringParam("work-table", optional = true),
     StringParam("log-table", optional = true),
+    // manifest-bucket knobs (reference :15-17); our manifest is the explicit
+    // file list passed to the reader, so ctl-* only affect bookkeeping
+    DataSourceParam("fs", "ctl-ds", optional = true),
+    StringParam("ctl-prefix", optional = true),
+    OptionalBoolParam("keep-ctl"),
     EnumParam("format", Seq("tsv", "csv", "json", "parquet"), Some("json")),
     KeyValuePairsParam("load-options"),
     SqlFileParam("sql-file", optional = true),
@@ -61,8 +68,10 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
   )
 
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
-    val fs = ctx.registry.store(p.stringOpt("src-ds").getOrElse("fs"))
-    val ds = sparkDs(p, ctx, "dest-ds")
+    val fs = ctx.registry.store(
+      p.stringOpt("src-ds").orElse(p.stringOpt("s3-ds")).getOrElse("fs"))
+    val ds = ctx.registry.spark(
+      p.stringOpt("dest-ds").orElse(p.stringOpt("redshift-ds")).getOrElse("sql"))
     val dest = p.table("dest-table")
     val work = p.stringOpt("work-table").map(TableSpec.parse)
       .getOrElse(TableSpec(dest.schema, dest.name + "_wk"))
@@ -126,8 +135,6 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
         newFiles.grouped(batchSize).foreach { batchRel =>
           val batch = batchRel.map(fs.urlString)
           val startTime = java.sql.Timestamp.from(java.time.Instant.now())
-          // load work table from the new files only (manifest semantics :207-237)
-          ds.dropForce(work)
           // explicit file list = the reference's manifest (:207-226); COPY
           // options map through LoadOptions semantics
           val reader = spark.read.schema(ds.table(dest).schema)
@@ -137,9 +144,15 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
             case "csv"     => reader.csv(batch: _*)
             case "parquet" => reader.parquet(batch: _*)
           }
-          df.write.saveAsTable(ds.qualify(work))
-          // insert into dest: user SQL over the work table, or SELECT *
-          if (!p.bool("skip-work")) {
+          if (p.bool("skip-work")) {
+            // reference :31: "Skip work table and load directly into
+            // dest-table" — one append, no staging
+            df.write.mode(SaveMode.Append).insertInto(ds.qualify(dest))
+          } else {
+            // load work table from the new files only (:165,202-237), then
+            // commit via user SQL or INSERT SELECT *
+            ds.dropForce(work)
+            df.write.saveAsTable(ds.qualify(work))
             p.stringOpt("sql-file") match {
               case Some(sf) =>
                 val stmt = bindSql(ctx.sqlText(sf, vars),
@@ -149,6 +162,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
               case None =>
                 ds.sql(s"INSERT INTO ${ds.qualify(dest)} SELECT * FROM ${ds.qualify(work)}")
             }
+            ds.dropForce(work)
           }
           // append load log w/ NOT-IN guard (:314-330)
           val endTime = java.sql.Timestamp.from(java.time.Instant.now())
@@ -162,7 +176,6 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
             Seq("data_file"), "left_anti")
             .select("job_process_id", "start_time", "end_time", "target_table", "data_file")
           guarded.write.mode(SaveMode.Append).insertInto(ds.qualify(log))
-          ds.dropForce(work)
           // dequeue this batch now that it is logged (reference :186-190)
           if (!p.bool("load-only")) dequeue(fs, queuePath, batchRel, p, vars)
         }
