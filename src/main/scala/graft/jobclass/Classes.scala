@@ -319,12 +319,29 @@ object UnloadJobClass extends JobClass("unload") {
     val fs = ctx.registry.store(p.stringOpt("dest-ds").getOrElse("fs"))
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     val dest = fs.urlString(vars.expand(p.string("dest-file")))
+    // UNLOAD option bag (reference: psqldatasource.rb:441-469 appends the
+    // raw option list after the per-format delimiter default):
+    //   gzip → output codec; header → csv/tsv header row;
+    //   delimiter X → separator override; addquotes → quote every field;
+    //   parallel off → single output file (Redshift writes one slice);
+    //   allowoverwrite / manifest / escape → shims (overwrite is already
+    //   the write mode; no manifest; Spark handles escaping natively)
+    val opts = p.pairs("options")
+    def has(k: String): Boolean =
+      opts.get(k).map(String.valueOf).exists(_ != "false")
     Seq(Action("unload") {
-      val df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
-      val w = df.write.mode(SaveMode.Overwrite)
+      var df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
+      if (has("parallel") && String.valueOf(opts("parallel")).equalsIgnoreCase("off"))
+        df = df.coalesce(1)
+      var w = df.write.mode(SaveMode.Overwrite)
+      if (has("gzip")) w = w.option("compression", "gzip")
       p.string("format") match {
-        case "tsv"     => w.option("sep", "\t").csv(dest)
-        case "csv"     => w.csv(dest)
+        case "tsv" | "csv" =>
+          val sep = opts.get("delimiter").map(String.valueOf)
+            .getOrElse(if (p.string("format") == "tsv") "\t" else ",")
+          if (has("header")) w = w.option("header", "true")
+          if (has("addquotes")) w = w.option("quoteAll", "true")
+          w.option("sep", sep).csv(dest)
         case "json"    => w.json(dest)
         case "parquet" => w.parquet(dest)
       }

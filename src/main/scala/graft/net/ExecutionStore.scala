@@ -41,13 +41,35 @@ final case class StateTransition(
 
 class IllegalJobStateException(msg: String) extends JobFailure(msg)
 
+/** Store surface for job executions — the reference's DAO layer
+  * (lib/bricolage/dao/jobexecution.rb + dao/jobnet.rb). Two backends:
+  * [[ExecutionStore]] (in-process, optional TSV durability, single-writer)
+  * and [[JdbcExecutionStore]] (embedded Derby with the reference's SQL
+  * idioms — state-guarded UPDATEs and `executor_id is null` optimistic
+  * locks — the multi-runner coordination path).
+  */
+trait ExecutionStoreApi {
+  def all: Seq[JobExecution]
+  def stateTransitions: Seq[StateTransition]
+  def get(id: Long): Option[JobExecution]
+  def enqueueJob(jobnet: String, ref: JobRef, sequence: Int): JobExecution
+  def enqueuedJobs(jobnet: String): Seq[JobExecution]
+  def transitionToRunning(id: Long): JobExecution
+  def transitionToSucceeded(id: Long): JobExecution
+  def transitionToFailed(id: Long, message: String): JobExecution
+  def cancelJobnet(jobnet: String, message: String): Unit
+  def lock(key: String, executorId: String): Unit
+  def unlock(key: String, executorId: String): Unit
+  def lockedBy(key: String): Option[String]
+}
+
 /** Durable store for job executions. In the reference this is a set of
   * PostgreSQL tables with optimistic `executor_id` locks
   * (lib/bricolage/dao/job.rb:129-166, dao/jobnet.rb:289-305); here it is an
   * in-process store with optional TSV-file durability (atomic tmp+rename,
   * same discipline as [[FileTaskQueue]]). Single-writer per store file.
   */
-final class ExecutionStore(path: Option[Path] = None) {
+final class ExecutionStore(path: Option[Path] = None) extends ExecutionStoreApi {
 
   import ExecutionStatus._
 
@@ -213,7 +235,7 @@ final class ExecutionStore(path: Option[Path] = None) {
   * jobs; optional jobnet/job locks are keyed by executor id.
   */
 final class DatabaseTaskQueue(
-    store: ExecutionStore,
+    store: ExecutionStoreApi,
     jobnetId: String,
     executorId: String,
     enableLock: Boolean = false) extends TaskQueue {

@@ -1,0 +1,268 @@
+package graft.net
+
+import java.sql.{Connection, DriverManager, ResultSet, Statement, Timestamp}
+import java.time.Instant
+
+/** JDBC-backed execution store (reference: the PostgreSQL DAO layer —
+  * schema/Schemafile:16-33 `job_executions` + `job_execution_states`,
+  * dao/jobexecution.rb:148-213 state-guarded updates, dao/jobnet.rb:289-305
+  * `update ... set executor_id = ? where ... executor_id is null` optimistic
+  * locking). Backed here by embedded Derby (ships with Spark for the Hive
+  * metastore), but every statement is plain ANSI SQL + JDBC, so pointing
+  * the URL at a server-side database gives real multi-runner coordination:
+  * the state guards and lock updates are WHERE-clause atomic, not
+  * process-local synchronization.
+  *
+  * URL example: `jdbc:derby:/path/to/db;create=true`.
+  */
+final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
+    with AutoCloseable {
+
+  import ExecutionStatus._
+
+  private val conn: Connection = DriverManager.getConnection(jdbcUrl)
+  conn.setAutoCommit(true)
+  init()
+
+  def close(): Unit = conn.close()
+
+  private def init(): Unit = synchronized {
+    val rs = conn.getMetaData.getTables(null, null, "JOB_EXECUTIONS", null)
+    val exists = rs.next(); rs.close()
+    if (!exists) {
+      val st = conn.createStatement()
+      // reference: schema/Schemafile:16-26
+      st.executeUpdate(
+        """CREATE TABLE job_executions (
+          | job_execution_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          | jobnet VARCHAR(512) NOT NULL,
+          | subsys VARCHAR(256) NOT NULL,
+          | job_name VARCHAR(256) NOT NULL,
+          | execution_sequence INT NOT NULL,
+          | status VARCHAR(16) NOT NULL,
+          | message VARCHAR(4000) NOT NULL,
+          | submitted_at TIMESTAMP NOT NULL,
+          | started_at TIMESTAMP,
+          | finished_at TIMESTAMP)""".stripMargin)
+      // reference: schema/Schemafile:27-33
+      st.executeUpdate(
+        """CREATE TABLE job_execution_states (
+          | state_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          | job_execution_id BIGINT NOT NULL,
+          | status VARCHAR(16) NOT NULL,
+          | message VARCHAR(4000) NOT NULL,
+          | created_at TIMESTAMP NOT NULL)""".stripMargin)
+      // lock rows carry the holder; NULL executor_id = free
+      // (reference: dao/jobnet.rb:289-305)
+      st.executeUpdate(
+        """CREATE TABLE execution_locks (
+          | lock_key VARCHAR(512) PRIMARY KEY,
+          | executor_id VARCHAR(128),
+          | locked_at TIMESTAMP)""".stripMargin)
+      st.close()
+    }
+  }
+
+  private def rowToExec(rs: ResultSet): JobExecution =
+    JobExecution(
+      rs.getLong("job_execution_id"), rs.getString("jobnet"),
+      rs.getString("subsys"), rs.getString("job_name"),
+      rs.getInt("execution_sequence"), rs.getString("status"),
+      rs.getString("message"), rs.getTimestamp("submitted_at").toInstant,
+      Option(rs.getTimestamp("started_at")).map(_.toInstant),
+      Option(rs.getTimestamp("finished_at")).map(_.toInstant))
+
+  private def record(id: Long, status: String, message: String): Unit = {
+    val ps = conn.prepareStatement(
+      """INSERT INTO job_execution_states
+        | (job_execution_id, status, message, created_at)
+        | VALUES (?, ?, ?, ?)""".stripMargin)
+    ps.setLong(1, id); ps.setString(2, status); ps.setString(3, message)
+    ps.setTimestamp(4, Timestamp.from(Instant.now()))
+    ps.executeUpdate(); ps.close()
+  }
+
+  def all: Seq[JobExecution] = synchronized {
+    val st = conn.createStatement()
+    val rs = st.executeQuery(
+      "SELECT * FROM job_executions ORDER BY job_execution_id")
+    val out = Iterator.continually(rs).takeWhile(_.next()).map(rowToExec).toSeq
+    rs.close(); st.close(); out
+  }
+
+  def stateTransitions: Seq[StateTransition] = synchronized {
+    val st = conn.createStatement()
+    val rs = st.executeQuery(
+      "SELECT * FROM job_execution_states ORDER BY state_id")
+    val out = Iterator.continually(rs).takeWhile(_.next()).map(r =>
+      StateTransition(r.getLong("job_execution_id"), r.getString("status"),
+        r.getString("message"), r.getTimestamp("created_at").toInstant)).toSeq
+    rs.close(); st.close(); out
+  }
+
+  def get(id: Long): Option[JobExecution] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT * FROM job_executions WHERE job_execution_id = ?")
+    ps.setLong(1, id)
+    val rs = ps.executeQuery()
+    val out = if (rs.next()) Some(rowToExec(rs)) else None
+    rs.close(); ps.close(); out
+  }
+
+  /** Reuse an existing non-terminal execution for (jobnet, job), else
+    * INSERT a waiting one (reference: dao/jobexecution.rb enqueue upsert).
+    */
+  def enqueueJob(jobnet: String, ref: JobRef, sequence: Int): JobExecution =
+    synchronized {
+      val sel = conn.prepareStatement(
+        """SELECT * FROM job_executions
+          | WHERE jobnet = ? AND subsys = ? AND job_name = ?
+          |   AND status IN ('waiting', 'running', 'failed')
+          | ORDER BY job_execution_id""".stripMargin)
+      sel.setString(1, jobnet); sel.setString(2, ref.subsys); sel.setString(3, ref.name)
+      val rs = sel.executeQuery()
+      val existing = if (rs.next()) Some(rowToExec(rs)) else None
+      rs.close(); sel.close()
+      existing.getOrElse {
+        val ins = conn.prepareStatement(
+          """INSERT INTO job_executions
+            | (jobnet, subsys, job_name, execution_sequence, status, message, submitted_at)
+            | VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+          Statement.RETURN_GENERATED_KEYS)
+        ins.setString(1, jobnet); ins.setString(2, ref.subsys)
+        ins.setString(3, ref.name); ins.setInt(4, sequence)
+        ins.setString(5, Waiting); ins.setString(6, "")
+        ins.setTimestamp(7, Timestamp.from(Instant.now()))
+        ins.executeUpdate()
+        val keys = ins.getGeneratedKeys
+        keys.next()
+        val id = keys.getLong(1)
+        keys.close(); ins.close()
+        record(id, Waiting, "")
+        get(id).get
+      }
+    }
+
+  def enqueuedJobs(jobnet: String): Seq[JobExecution] = synchronized {
+    val ps = conn.prepareStatement(
+      """SELECT * FROM job_executions
+        | WHERE jobnet = ? AND status IN ('waiting', 'running', 'failed')
+        | ORDER BY execution_sequence, job_execution_id""".stripMargin)
+    ps.setString(1, jobnet)
+    val rs = ps.executeQuery()
+    val out = Iterator.continually(rs).takeWhile(_.next()).map(rowToExec).toSeq
+    rs.close(); ps.close(); out
+  }
+
+  /** State-guarded transition: the UPDATE's WHERE carries the legal source
+    * states, so the check-and-set is one atomic statement (reference:
+    * dao/jobexecution.rb:155-185 — `update ... where status in (...)`).
+    */
+  private def transition(id: Long, from: Seq[String], to: String,
+      message: String, setStarted: Boolean, setFinished: Boolean): JobExecution =
+    synchronized {
+      val marks = from.map(_ => "?").mkString(", ")
+      val sets = new StringBuilder("status = ?, message = ?")
+      if (setStarted) sets ++= ", started_at = ?, finished_at = NULL"
+      if (setFinished) sets ++= ", finished_at = ?"
+      val ps = conn.prepareStatement(
+        s"UPDATE job_executions SET $sets WHERE job_execution_id = ? AND status IN ($marks)")
+      var i = 0
+      def next(): Int = { i += 1; i }
+      ps.setString(next(), to); ps.setString(next(), message)
+      if (setStarted || setFinished)
+        ps.setTimestamp(next(), Timestamp.from(Instant.now()))
+      ps.setLong(next(), id)
+      from.foreach(s => ps.setString(next(), s))
+      val n = ps.executeUpdate()
+      ps.close()
+      if (n == 0) {
+        val cur = get(id).getOrElse(
+          throw new IllegalJobStateException(s"no such job execution: $id"))
+        throw new IllegalJobStateException(
+          s"illegal transition ${cur.status} -> $to: job_execution_id=$id")
+      }
+      record(id, to, message)
+      get(id).get
+    }
+
+  def transitionToRunning(id: Long): JobExecution =
+    transition(id, Seq(Waiting, Failed), Running, "",
+      setStarted = true, setFinished = false)
+
+  def transitionToSucceeded(id: Long): JobExecution =
+    transition(id, Seq(Running), Succeeded, "",
+      setStarted = false, setFinished = true)
+
+  def transitionToFailed(id: Long, message: String): JobExecution =
+    transition(id, Seq(Running), Failed, message,
+      setStarted = false, setFinished = true)
+
+  def cancelJobnet(jobnet: String, message: String): Unit = synchronized {
+    val affected = enqueuedJobs(jobnet).map(_.id)
+    val ps = conn.prepareStatement(
+      """UPDATE job_executions SET status = ?, message = ?, finished_at = ?
+        | WHERE jobnet = ? AND status IN ('waiting', 'running', 'failed')""".stripMargin)
+    ps.setString(1, Canceled); ps.setString(2, message)
+    ps.setTimestamp(3, Timestamp.from(Instant.now())); ps.setString(4, jobnet)
+    ps.executeUpdate(); ps.close()
+    affected.foreach(record(_, Canceled, message))
+    val del = conn.prepareStatement(
+      "DELETE FROM execution_locks WHERE lock_key = ? OR lock_key LIKE ?")
+    del.setString(1, jobnet); del.setString(2, jobnet + "#%")
+    del.executeUpdate(); del.close()
+  }
+
+  /** The reference's optimistic lock: claim succeeds only when the row's
+    * executor_id is NULL (or already ours) — one atomic UPDATE
+    * (dao/jobnet.rb:289-305).
+    */
+  def lock(key: String, executorId: String): Unit = synchronized {
+    // ensure the lock row exists (free); a racing INSERT loses harmlessly
+    try {
+      val ins = conn.prepareStatement(
+        "INSERT INTO execution_locks (lock_key) VALUES (?)")
+      ins.setString(1, key)
+      ins.executeUpdate(); ins.close()
+    } catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+    val upd = conn.prepareStatement(
+      """UPDATE execution_locks SET executor_id = ?, locked_at = ?
+        | WHERE lock_key = ? AND (executor_id IS NULL OR executor_id = ?)""".stripMargin)
+    upd.setString(1, executorId); upd.setTimestamp(2, Timestamp.from(Instant.now()))
+    upd.setString(3, key); upd.setString(4, executorId)
+    val n = upd.executeUpdate()
+    upd.close()
+    if (n == 0)
+      throw new IllegalJobStateException(
+        s"already locked by ${lockedBy(key).getOrElse("?")}: $key")
+  }
+
+  def unlock(key: String, executorId: String): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "UPDATE execution_locks SET executor_id = NULL WHERE lock_key = ? AND executor_id = ?")
+    ps.setString(1, key); ps.setString(2, executorId)
+    ps.executeUpdate(); ps.close()
+  }
+
+  def lockedBy(key: String): Option[String] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT executor_id FROM execution_locks WHERE lock_key = ?")
+    ps.setString(1, key)
+    val rs = ps.executeQuery()
+    val out = if (rs.next()) Option(rs.getString(1)) else None
+    rs.close(); ps.close(); out
+  }
+}
+
+object JdbcExecutionStore {
+  /** Derby writes a derby.log in the working dir unless told otherwise. */
+  def quietDerby(): Unit =
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/derby.log")
+
+  def embedded(dbDir: java.nio.file.Path): JdbcExecutionStore = {
+    quietDerby()
+    new JdbcExecutionStore(s"jdbc:derby:$dbDir;create=true")
+  }
+}

@@ -81,19 +81,39 @@ object Similarity {
 
   /** Near-duplicate embedding pairs within each label partition (IVF-style
     * coarse partitioning: `label` plays the centroid-assignment role).
-    * Pair generation is a same-label self-join — at 100 TB, buckets bound
-    * the quadratic term to cell size.
+    *
+    * Pair generation is a TRIANGLE-BLOCKED same-label self-join: each
+    * vector hashes into one of `blocks` sub-cells, and every unordered
+    * block pair (lo, hi) is its own join key, so one hot label at 100 TB
+    * decomposes into B(B+1)/2 bounded tasks of ~(cell/B)² work instead of
+    * one O(cell²) task — the exact-output form of the SkewUtils salting
+    * idiom (each side replicates B times; a pair meets at exactly one key,
+    * enforced by the (block_a, block_b) = (lo, hi) filter). Unlike an
+    * LSH-bucket candidate join this is lossless: the pair set is identical
+    * to the naive self-join, so the oracle match is exact. Size B so a
+    * block pair fits one task; recall stays 100% at any B.
     */
-  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  def qEmbeddingNearDup(s: SparkSession, dir: String, blocks: Int = 4): DataFrame = {
     // Norms are precomputed per vector BEFORE the pair join: per-pair work
     // drops from three array folds to one (the dot product). Same double
     // arithmetic, so the oracle match is unaffected.
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("label"), col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding"), col("label"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label"))
+      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"),
+        pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+      // replicate each row once per peer block k; the key is the unordered
+      // block pair so (x in i, y in j) meets exactly at key (min(i,j), max(i,j))
+      .withColumn("k", explode(sequence(lit(0), lit(blocks - 1))))
+      .withColumn("lo", least(col("blk"), col("k")))
+      .withColumn("hi", greatest(col("blk"), col("k")))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
+      col("label"), col("nrm").as("nrm_a"), col("blk").as("blk_a"), col("lo"), col("hi"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding"),
+      col("label"), col("nrm").as("nrm_b"), col("blk").as("blk_b"), col("lo"), col("hi"))
+    a.join(b, Seq("label", "lo", "hi"))
+      // keep each pair exactly once: the two blocks must BE the key pair
+      .filter((col("blk_a") === col("lo") && col("blk_b") === col("hi")) ||
+              (col("blk_a") === col("hi") && col("blk_b") === col("lo")))
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         round(expr(dotExpr) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
@@ -185,7 +205,8 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
-    QueryDef("q_embedding_near_dup", qEmbeddingNearDup, Some(qEmbeddingNearDupOracle)),
+    QueryDef("q_embedding_near_dup", (s, d) => qEmbeddingNearDup(s, d),
+      Some(qEmbeddingNearDupOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
   )

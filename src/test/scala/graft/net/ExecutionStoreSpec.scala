@@ -11,94 +11,105 @@ import graft.runner.LogFilePath
 /** State machine + DB-queue semantics (reference:
   * test/test_databasetaskqueue.rb and lib/bricolage/dao/jobexecution.rb)
   * and log path templating (reference: test/test_logfilepath.rb:160-170).
+  * Every backend-generic case runs against BOTH stores: the in-process
+  * TSV store and the JDBC (embedded Derby) store with the reference's SQL
+  * locking idioms.
   */
 class ExecutionStoreSpec extends AnyFunSuite {
 
   private def ref(n: String) = JobRef("subsys", n, isNet = false)
 
-  test("enqueue creates waiting executions in sequence order") {
-    val store = new ExecutionStore()
-    store.enqueueJob("subsys/net1", ref("job1"), 1)
-    store.enqueueJob("subsys/net1", ref("job2"), 2)
-    val q = store.enqueuedJobs("subsys/net1")
-    assert(q.map(_.jobName) == Seq("job1", "job2"))
-    assert(q.forall(_.status == ExecutionStatus.Waiting))
-  }
+  private def backends: Seq[(String, () => ExecutionStoreApi)] = Seq(
+    "tsv" -> (() => new ExecutionStore()),
+    "jdbc" -> (() => JdbcExecutionStore.embedded(
+      Files.createTempDirectory("graft-derby").resolve("db"))))
 
-  test("legal transitions waiting -> running -> succeeded, with audit trail") {
-    val store = new ExecutionStore()
-    val e = store.enqueueJob("n", ref("j"), 1)
-    store.transitionToRunning(e.id)
-    assert(store.get(e.id).get.startedAt.isDefined)
-    store.transitionToSucceeded(e.id)
-    assert(store.get(e.id).get.status == ExecutionStatus.Succeeded)
-    assert(store.stateTransitions.map(_.status) ==
-      Seq("waiting", "running", "succeeded"))
-  }
+  for ((kind, mk) <- backends) {
 
-  test("illegal transitions raise") {
-    val store = new ExecutionStore()
-    val e = store.enqueueJob("n", ref("j"), 1)
-    intercept[IllegalJobStateException](store.transitionToSucceeded(e.id))
-    store.transitionToRunning(e.id)
-    intercept[IllegalJobStateException](store.transitionToRunning(e.id))
-  }
-
-  test("failed job can re-run (failed -> running)") {
-    val store = new ExecutionStore()
-    val e = store.enqueueJob("n", ref("j"), 1)
-    store.transitionToRunning(e.id)
-    store.transitionToFailed(e.id, "boom")
-    assert(store.get(e.id).get.message == "boom")
-    store.transitionToRunning(e.id)
-    assert(store.get(e.id).get.status == ExecutionStatus.Running)
-  }
-
-  test("queue consume stops at first failure; restore skips succeeded") {
-    val store = new ExecutionStore()
-    val q = new DatabaseTaskQueue(store, "subsys/net1", "host:1")
-    Seq("a", "b", "c").foreach(n => q.enqueue(ref(n)))
-    val r = q.consumeEach { j =>
-      if (j.name == "b") JobResult.failure("b failed") else JobResult.success
+    test(s"[$kind] enqueue creates waiting executions in sequence order") {
+      val store = mk()
+      store.enqueueJob("subsys/net1", ref("job1"), 1)
+      store.enqueueJob("subsys/net1", ref("job2"), 2)
+      val q = store.enqueuedJobs("subsys/net1")
+      assert(q.map(_.jobName) == Seq("job1", "job2"))
+      assert(q.forall(_.status == ExecutionStatus.Waiting))
     }
-    assert(!r.success)
-    assert(store.enqueuedJobs("subsys/net1").map(_.jobName) == Seq("b", "c"))
-    // restart: a fresh queue restores only the unfinished jobs
-    val q2 = new DatabaseTaskQueue(store, "subsys/net1", "host:2")
-    assert(q2.restoreJobnet())
-    assert(q2.queued.map(_.name) == Seq("b", "c"))
-    assert(q2.consumeEach(_ => JobResult.success).success)
-    assert(store.enqueuedJobs("subsys/net1").isEmpty)
+
+    test(s"[$kind] legal transitions waiting -> running -> succeeded, with audit trail") {
+      val store = mk()
+      val e = store.enqueueJob("n", ref("j"), 1)
+      store.transitionToRunning(e.id)
+      assert(store.get(e.id).get.startedAt.isDefined)
+      store.transitionToSucceeded(e.id)
+      assert(store.get(e.id).get.status == ExecutionStatus.Succeeded)
+      assert(store.stateTransitions.map(_.status) ==
+        Seq("waiting", "running", "succeeded"))
+    }
+
+    test(s"[$kind] illegal transitions raise") {
+      val store = mk()
+      val e = store.enqueueJob("n", ref("j"), 1)
+      intercept[IllegalJobStateException](store.transitionToSucceeded(e.id))
+      store.transitionToRunning(e.id)
+      intercept[IllegalJobStateException](store.transitionToRunning(e.id))
+    }
+
+    test(s"[$kind] failed job can re-run (failed -> running)") {
+      val store = mk()
+      val e = store.enqueueJob("n", ref("j"), 1)
+      store.transitionToRunning(e.id)
+      store.transitionToFailed(e.id, "boom")
+      assert(store.get(e.id).get.message == "boom")
+      store.transitionToRunning(e.id)
+      assert(store.get(e.id).get.status == ExecutionStatus.Running)
+    }
+
+    test(s"[$kind] queue consume stops at first failure; restore skips succeeded") {
+      val store = mk()
+      val q = new DatabaseTaskQueue(store, "subsys/net1", "host:1")
+      Seq("a", "b", "c").foreach(n => q.enqueue(ref(n)))
+      val r = q.consumeEach { j =>
+        if (j.name == "b") JobResult.failure("b failed") else JobResult.success
+      }
+      assert(!r.success)
+      assert(store.enqueuedJobs("subsys/net1").map(_.jobName) == Seq("b", "c"))
+      // restart: a fresh queue restores only the unfinished jobs
+      val q2 = new DatabaseTaskQueue(store, "subsys/net1", "host:2")
+      assert(q2.restoreJobnet())
+      assert(q2.queued.map(_.name) == Seq("b", "c"))
+      assert(q2.consumeEach(_ => JobResult.success).success)
+      assert(store.enqueuedJobs("subsys/net1").isEmpty)
+    }
+
+    test(s"[$kind] unexpected exception still writes failed state") {
+      val store = mk()
+      val q = new DatabaseTaskQueue(store, "n", "host:1")
+      q.enqueue(ref("a"))
+      intercept[RuntimeException](q.consumeEach(_ => throw new RuntimeException("kaboom")))
+      assert(store.all.head.status == ExecutionStatus.Failed)
+    }
+
+    test(s"[$kind] jobnet lock excludes a second executor") {
+      val store = mk()
+      val q1 = new DatabaseTaskQueue(store, "n", "host:1", enableLock = true)
+      q1.enqueue(ref("a"))
+      store.lock("n", "host:9")
+      intercept[IllegalJobStateException](q1.consumeEach(_ => JobResult.success))
+      store.unlock("n", "host:9")
+      assert(q1.consumeEach(_ => JobResult.success).success)
+    }
+
+    test(s"[$kind] cancelJobnet cancels all non-terminal executions") {
+      val store = mk()
+      store.enqueueJob("n", ref("a"), 1)
+      store.enqueueJob("n", ref("b"), 2)
+      store.cancelJobnet("n", "operator cancel")
+      assert(store.all.forall(_.status == ExecutionStatus.Canceled))
+      assert(store.enqueuedJobs("n").isEmpty)
+    }
   }
 
-  test("unexpected exception still writes failed state") {
-    val store = new ExecutionStore()
-    val q = new DatabaseTaskQueue(store, "n", "host:1")
-    q.enqueue(ref("a"))
-    intercept[RuntimeException](q.consumeEach(_ => throw new RuntimeException("kaboom")))
-    assert(store.all.head.status == ExecutionStatus.Failed)
-  }
-
-  test("jobnet lock excludes a second executor") {
-    val store = new ExecutionStore()
-    val q1 = new DatabaseTaskQueue(store, "n", "host:1", enableLock = true)
-    q1.enqueue(ref("a"))
-    store.lock("n", "host:9")
-    intercept[IllegalJobStateException](q1.consumeEach(_ => JobResult.success))
-    store.unlock("n", "host:9")
-    assert(q1.consumeEach(_ => JobResult.success).success)
-  }
-
-  test("cancelJobnet cancels all non-terminal executions") {
-    val store = new ExecutionStore()
-    store.enqueueJob("n", ref("a"), 1)
-    store.enqueueJob("n", ref("b"), 2)
-    store.cancelJobnet("n", "operator cancel")
-    assert(store.all.forall(_.status == ExecutionStatus.Canceled))
-    assert(store.enqueuedJobs("n").isEmpty)
-  }
-
-  test("store persists and reloads across instances") {
+  test("tsv store persists and reloads across instances") {
     val p = Files.createTempDirectory("graft-exec").resolve("state.tsv")
     val s1 = new ExecutionStore(Some(p))
     val e = s1.enqueueJob("n", ref("a\tweird\nname"), 1)
@@ -111,6 +122,32 @@ class ExecutionStoreSpec extends AnyFunSuite {
     assert(reloaded.message == "msg with\ttab")
     // ids keep incrementing after reload
     assert(s2.enqueueJob("n", ref("b"), 2).id > e.id)
+  }
+
+  test("jdbc store persists and reloads across connections") {
+    val db = Files.createTempDirectory("graft-derby-p").resolve("db")
+    val s1 = JdbcExecutionStore.embedded(db)
+    val e = s1.enqueueJob("n", ref("a"), 1)
+    s1.transitionToRunning(e.id)
+    s1.transitionToFailed(e.id, "boom")
+    s1.close()
+    val s2 = JdbcExecutionStore.embedded(db)
+    assert(s2.get(e.id).get.status == ExecutionStatus.Failed)
+    assert(s2.enqueueJob("n2", ref("b"), 1).id > e.id)
+    s2.close()
+  }
+
+  test("jdbc lock survives reconnection (durable executor_id row)") {
+    val db = Files.createTempDirectory("graft-derby-l").resolve("db")
+    val s1 = JdbcExecutionStore.embedded(db)
+    s1.lock("net9", "host:1")
+    s1.close()
+    val s2 = JdbcExecutionStore.embedded(db)
+    assert(s2.lockedBy("net9").contains("host:1"))
+    intercept[IllegalJobStateException](s2.lock("net9", "host:2"))
+    s2.unlock("net9", "host:1")
+    s2.lock("net9", "host:2")
+    s2.close()
   }
 
   test("log path %{std} expansion") {
