@@ -25,9 +25,12 @@ sealed abstract class Param {
 
   def defaultValue: Option[Any] = None
 
-  /** Variables this parameter publishes when bound to `value`. */
+  /** Variables this parameter publishes when bound to `value`; hyphens
+    * become underscores so `vacuum-sort` publishes `$vacuum_sort`
+    * (reference: parameters.rb:290-293 — variable_name = name.gsub('-','_')).
+    */
   def toVariables(value: Any): Map[String, String] =
-    if (publish) Map(name -> String.valueOf(value)) else Map.empty
+    if (publish) Map(name.replace('-', '_') -> String.valueOf(value)) else Map.empty
 
   protected def str(v: Any, vars: Variables): String = vars.expand(String.valueOf(v))
 }
@@ -52,8 +55,8 @@ final case class BoolParam(name: String, optional: Boolean = true) extends Param
 /** Bool that may be absent (absent ≠ false for some job classes)
   * (reference: parameters.rb:369-386).
   */
-final case class OptionalBoolParam(name: String, default: Boolean = false)
-    extends Param {
+final case class OptionalBoolParam(name: String, default: Boolean = false,
+    override val publish: Boolean = false) extends Param {
   val optional = true
   def parseValue(v: Any, vars: Variables): Any = v match {
     case b: Boolean => b
@@ -65,7 +68,8 @@ final case class OptionalBoolParam(name: String, default: Boolean = false)
 }
 
 /** YYYY-MM-DD (reference: parameters.rb:388-416). */
-final case class DateParam(name: String, optional: Boolean = false) extends Param {
+final case class DateParam(name: String, optional: Boolean = false,
+    override val publish: Boolean = false) extends Param {
   def parseValue(v: Any, vars: Variables): Any = {
     val s = str(v, vars)
     try LocalDate.parse(s, DateTimeFormatter.ISO_LOCAL_DATE)
@@ -75,7 +79,8 @@ final case class DateParam(name: String, optional: Boolean = false) extends Para
 
 /** One of a fixed value set (reference: parameters.rb:418-444). */
 final case class EnumParam(name: String, values: Seq[String],
-    default: Option[String] = None) extends Param {
+    default: Option[String] = None,
+    override val publish: Boolean = false) extends Param {
   val optional: Boolean = default.isDefined
   def parseValue(v: Any, vars: Variables): Any = {
     val s = str(v, vars)
@@ -128,9 +133,11 @@ final case class SrcTableParam(name: String = "src-tables",
     case other => throw new ParameterError(s"$name: bad src-tables: $other")
   }
   override def parseOption(s: String, vars: Variables): Any =
-    s.split("=", 2) match {
+    // reference CLI form is `--src-table=VAR:TABLE` (parameters.rb:531-536);
+    // `VAR=TABLE` is accepted too
+    s.split("[:=]", 2) match {
       case Array(k, v) => Map(k -> TableSpec.parse(vars.expand(v)))
-      case _ => throw new ParameterError(s"$name: bad option (want var=table): '$s'")
+      case _ => throw new ParameterError(s"$name: bad option (want var:table): '$s'")
     }
   override def toVariables(value: Any): Map[String, String] = value match {
     case m: Map[_, _] => m.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }.toMap
@@ -152,8 +159,8 @@ final case class SrcFileParam(name: String = "src-file",
 /** List of strings; job file gives a YAML list, CLI a comma-separated value
   * (reference: parameters.rb:606-636).
   */
-final case class StringListParam(name: String, optional: Boolean = false)
-    extends Param {
+final case class StringListParam(name: String, optional: Boolean = false,
+    override val publish: Boolean = false) extends Param {
   def parseValue(v: Any, vars: Variables): Any = v match {
     case xs: Seq[_] => xs.map(x => str(x, vars))
     // a plain string is ONE element unless comma-separated (reference
@@ -162,6 +169,11 @@ final case class StringListParam(name: String, optional: Boolean = false)
     case s: String  => s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(vars.expand)
     case other      => throw new ParameterError(s"$name: bad list: $other")
   }
+  /** Publishes as the space-joined command line (parameters.rb:630-634). */
+  override def toVariables(value: Any): Map[String, String] =
+    if (publish) Map(name.replace('-', '_') ->
+      value.asInstanceOf[Seq[_]].mkString(" "))
+    else Map.empty
 }
 
 /** Free-form key→value map (reference: parameters.rb:638-690). */

@@ -60,9 +60,14 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
         withInline + ("sql-file" -> base)
       } else withInline
     val globals = ctx.globalVariables
-    val params = new ParamDecls(jc.params)
-      .materialize(withSqlDefault, cliOptions, globals.resolve())
     val restVars = Variables.fromMap(rest.map { case (k, v) => k -> String.valueOf(v) })
+    // parameter values may reference job-file rest variables and -v CLI
+    // variables, not just globals (reference: test_variables.rb "job
+    // parameter can refer job file variables" — job.rb:88-126 resolves the
+    // full variable overlay before materializing parameters)
+    val paramVars = globals.union(restVars).union(cliVariables).resolve()
+    val params = new ParamDecls(jc.params)
+      .materialize(withSqlDefault, cliOptions, paramVars)
     val vars = globals
       .union(params.publishedVariables)
       .union(restVars)
