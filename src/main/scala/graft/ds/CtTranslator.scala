@@ -17,7 +17,7 @@ object CtTranslator {
   /** Buckets per table when distkey is present; at cluster scale size this
     * to data volume (buckets ≈ executors × a small factor).
     */
-  var defaultBuckets: Int = 8
+  val DefaultBuckets: Int = 8
 
   final case class Translated(createSql: String, distKey: Option[String],
       sortKeys: Seq[String])
@@ -33,7 +33,8 @@ object CtTranslator {
     ("""(?i)\btimestamp\b""", "TIMESTAMP"),
   )
 
-  def translate(ct: String, tableNameOverride: Option[String] = None): Translated = {
+  def translate(ct: String, tableNameOverride: Option[String] = None,
+      buckets: Int = DefaultBuckets): Translated = {
     // drop the `--key: value` metadata header + leading comment lines
     // (reference .ct files open with `--dest-table: x`, e.g. users.ct:1)
     var s = ct.linesIterator.dropWhile(l =>
@@ -58,7 +59,7 @@ object CtTranslator {
     }
     val bucketSpec = distKey.map { k =>
       val sorted = if (sortKeys.nonEmpty) s" SORTED BY (${sortKeys.mkString(", ")})" else ""
-      s" CLUSTERED BY ($k)$sorted INTO $defaultBuckets BUCKETS"
+      s" CLUSTERED BY ($k)$sorted INTO $buckets BUCKETS"
     }.getOrElse("")
     Translated(s + " USING parquet" + bucketSpec, distKey, sortKeys)
   }

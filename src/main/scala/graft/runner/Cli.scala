@@ -58,16 +58,31 @@ object Cli {
   }
 
   def loadContext(home: Path, subsys: String, spark: => SparkSession): JobContext = {
-    val dsFile = home.resolve("datasource.yml")
-    val registry =
-      if (Files.exists(dsFile))
-        DataSourceRegistry.fromConfig(
-          JobFile.parseYamlMap(Files.readString(dsFile)), spark)
-      else
+    // datasource.yml with database.yml fallback; password.yml entries merge
+    // into the same-named datasource configs (reference:
+    // datasource.rb:10-22,32-50 DataSourceFactory.load)
+    val dsFile = Seq("datasource.yml", "database.yml")
+      .map(home.resolve).find(Files.exists(_))
+    val registry = dsFile match {
+      case Some(f) =>
+        var config = JobFile.parseYamlMap(Files.readString(f))
+        val pwFile = home.resolve("password.yml")
+        if (Files.exists(pwFile)) {
+          val passwords = JobFile.parseYamlMap(Files.readString(pwFile))
+          config = config.map {
+            case (name, conf: Map[_, _]) if passwords.contains(name) =>
+              name -> (conf.asInstanceOf[Map[String, Any]] +
+                ("password" -> passwords(name)))
+            case other => other
+          }
+        }
+        DataSourceRegistry.fromConfig(config, spark)
+      case None =>
         new DataSourceRegistry(Map(
           "sql"  -> new SparkDataSource("sql", spark, "default"),
           "fs"   -> new FsDataSource("fs", home),
           "file" -> new FileDataSource("file", home)))
+    }
     JobContext(registry, home, subsys, loadVariables(home, subsys))
   }
 
@@ -125,6 +140,7 @@ object BricolageMain {
     */
   def run(args: Seq[String],
       sparkOverride: Option[SparkSession] = None): Int = {
+    JobListener.fire(JobListener.registered)(_.beforeOptionParsing(args))
     val opts = Cli.parseArgs(args)
     val jobPath = opts.target.getOrElse(
       throw new ParameterError("usage: BricolageMain [options] job-file"))
@@ -153,6 +169,7 @@ object BricolageMain {
 object JobNetMain {
   def run(args: Seq[String],
       sparkOverride: Option[SparkSession] = None): Int = {
+    JobListener.fire(JobListener.registered)(_.beforeOptionParsing(args))
     val opts = Cli.parseArgs(args)
     val netPath = opts.target.getOrElse(
       throw new ParameterError("usage: JobNetMain [options] jobnet-file"))

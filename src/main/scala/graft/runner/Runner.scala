@@ -12,6 +12,11 @@ import graft.net.{FileTaskQueue, JobDAG, JobNet, JobRef, MemoryTaskQueue, TaskQu
   * application.rb:79-83 and jobnetrunner.rb:159-181).
   */
 trait JobListener {
+  /** Fired by the CLI entry points before argv parsing — the reference's
+    * 5th hook (eventhandlers.rb:25-31); a hooks file uses it to inject
+    * default options.
+    */
+  def beforeOptionParsing(args: Seq[String]): Unit = ()
   def beforeAllJobs(refs: Seq[JobRef]): Unit = ()
   def beforeJob(ref: JobRef): Unit = ()
   def afterJob(ref: JobRef, result: JobResult): Unit = ()
@@ -19,6 +24,18 @@ trait JobListener {
 }
 
 object JobListener {
+  /** Globally registered handlers — the analogue of the reference's
+    * hooks-file registration (`Bricolage.before_option_parsing { ... }`,
+    * eventhandlers.rb:25-41). The CLI mains fire these in addition to any
+    * listeners passed explicitly.
+    */
+  private val global = new java.util.concurrent.CopyOnWriteArrayList[JobListener]()
+  def register(l: JobListener): Unit = { global.add(l); () }
+  def registered: Seq[JobListener] = {
+    import scala.jdk.CollectionConverters._
+    global.asScala.toSeq
+  }
+
   /** Fire `f` swallowing handler errors (reference: eventhandlers.rb:30-40). */
   def fire(listeners: Seq[JobListener])(f: JobListener => Unit): Unit =
     listeners.foreach { l =>

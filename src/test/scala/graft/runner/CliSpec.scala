@@ -136,4 +136,30 @@ class CliSpec extends AnyFunSuite {
     assert(ctx.registry.spark("sql").defaultSchema == "cli_test")
     assert(ctx.registry.fs("work").base.toString == "/tmp/cli-work")
   }
+
+  test("loadContext falls back to database.yml and merges password.yml") {
+    // reference: datasource.rb:10-22 (file fallback) + :32-39 (passwords)
+    val home = Files.createTempDirectory("cli-home3")
+    Files.writeString(home.resolve("database.yml"),
+      """db:
+        |  type: generic
+        |  username: app
+        |""".stripMargin)
+    Files.writeString(home.resolve("password.yml"), "db: sekrit\n")
+    val ctx = Cli.loadContext(home, "", SparkTestBase.spark)
+    // the generic ds exists — config (incl. merged password) was accepted
+    assert(ctx.registry.get("db").name == "db")
+  }
+
+  test("before_option_parsing hook fires before argv parsing") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    JobListener.register(new JobListener {
+      override def beforeOptionParsing(args: Seq[String]): Unit = seen += args
+    })
+    val home = Files.createTempDirectory("cli-home4")
+    Files.writeString(home.resolve("nop.job"), "class: noop\n")
+    assert(BricolageMain.run(Seq(s"--home=$home",
+      home.resolve("nop.job").toString), Some(SparkTestBase.spark)) == 0)
+    assert(seen.nonEmpty && seen.head.exists(_.endsWith("nop.job")))
+  }
 }

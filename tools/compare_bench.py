@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare a new bench JSON against a baseline.
+
+Usage: compare_bench.py BASELINE.json NEW.json [--threshold 1.5]
+
+Accepts either the raw one-line JSON that graft.Bench prints
+({"metric": "total", "value": N, "queries": {...}}) or the driver's
+BENCH_r{N}.json wrapper (whose "tail" text embeds that line).
+Exits 1 if any query regresses more than THRESHOLD x against the
+baseline, or if the total does. New queries (absent from the baseline)
+are reported but never fail the gate. Sub-100ms baselines are noise:
+they gate on an absolute +200ms budget instead of the ratio.
+"""
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    # driver wrapper: find the bench line inside "tail"
+    tail = doc.get("tail", "")
+    for m in re.finditer(r'\{"metric".*\}', tail):
+        try:
+            inner = json.loads(m.group(0))
+            if "queries" in inner:
+                return inner
+        except json.JSONDecodeError:
+            continue
+    raise SystemExit(f"no bench JSON found in {path}")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    base, new = load_bench(args[0]), load_bench(args[1])
+    failures = []
+    for q, t_new in sorted(new["queries"].items()):
+        t_base = base["queries"].get(q)
+        if t_base is None:
+            print(f"NEW      {q:32s} {t_new:8.3f}s (no baseline)")
+            continue
+        if t_base < 0.1:
+            ok = t_new <= t_base + 0.2
+            verdict = "PASS" if ok else "FAIL"
+            print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s (abs gate)")
+        else:
+            ratio = t_new / t_base
+            ok = ratio <= threshold
+            verdict = "PASS" if ok else "FAIL"
+            print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s ({ratio:5.2f}x)")
+        if not ok:
+            failures.append(q)
+    tb, tn = base["value"], new["value"]
+    tot_ok = tn <= tb * threshold
+    print(f"{'PASS' if tot_ok else 'FAIL'}     {'TOTAL':32s} {tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x)")
+    if not tot_ok:
+        failures.append("TOTAL")
+    if failures:
+        print(f"\n{len(failures)} regression(s) beyond {threshold}x: {', '.join(failures)}")
+        return 1
+    print(f"\nno regressions beyond {threshold}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
