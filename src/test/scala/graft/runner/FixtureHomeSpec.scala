@@ -41,9 +41,49 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
          |file: {type: file, base: $home}
          |s3: {type: fs, base: $home}
          |s3_ctl: {type: fs, base: $home}
+         |mysql: {type: spark, schema: main}
+         |mysql_summary: {type: spark, schema: summary}
          |""".stripMargin)
+    // plugin classes load out-of-core, the Gemfile analogue
+    graft.plugins.MySqlPlugin.register()
     // source table + databases the fixtures expect to exist
     spark.sql("CREATE DATABASE IF NOT EXISTS fixture")
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    spark.sql("CREATE DATABASE IF NOT EXISTS summary")
+    // "mysql" stand-in sources for the plugin fixtures
+    spark.sql("DROP TABLE IF EXISTS main.users")
+    spark.sql("""CREATE TABLE main.users (id INT, user_name STRING,
+      | birthday DATE, zip STRING, created_at TIMESTAMP,
+      | updated_at TIMESTAMP) USING parquet""".stripMargin)
+    spark.sql("""INSERT INTO main.users VALUES
+      | (1, 'ann', DATE'1990-01-02', '100-0001',
+      |  TIMESTAMP'2020-01-01 00:00:00', TIMESTAMP'2020-01-01 00:00:00'),
+      | (2, 'bob', DATE'1985-05-06', '200-0002',
+      |  TIMESTAMP'2020-06-01 12:00:00', TIMESTAMP'2020-06-02 12:00:00')""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS main.search_backends")
+    spark.sql("""CREATE TABLE main.search_backends (id INT, role STRING,
+      | group_id SMALLINT, index_type STRING, config_key STRING,
+      | updated_at TIMESTAMP) USING parquet""".stripMargin)
+    spark.sql("""INSERT INTO main.search_backends VALUES
+      | (10, 'primary', 1S, 'text', 'mk1', TIMESTAMP'2021-01-01 00:00:00'),
+      | (11, 'replica', 1S, 'text', 'mk2', TIMESTAMP'2021-01-02 00:00:00'),
+      | (12, 'replica', 2S, 'vector', 'mk3', TIMESTAMP'2021-01-03 00:00:00')""".stripMargin)
+    val yday = java.time.LocalDate.now().minusDays(1)
+    spark.sql("DROP TABLE IF EXISTS summary.item_pv")
+    spark.sql("""CREATE TABLE summary.item_pv (data_date DATE, item_id INT,
+      | pv BIGINT, uu BIGINT, `date` DATE) USING parquet""".stripMargin)
+    spark.sql(s"""INSERT INTO summary.item_pv VALUES
+      | (DATE'$yday', 7, 100L, 10L, DATE'$yday'),
+      | (DATE'$yday', 8, 200L, 20L, DATE'$yday'),
+      | (DATE'2020-01-01', 9, 300L, 30L, DATE'2020-01-01')""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS fixture.item_pv_acc")
+    spark.sql("""CREATE TABLE fixture.item_pv_acc (data_date DATE,
+      | item_id INT, pv BIGINT, uu BIGINT) USING parquet""".stripMargin)
+    // one stale row in the reload window (must be replaced) + one kept
+    spark.sql(s"""INSERT INTO fixture.item_pv_acc VALUES
+      | (DATE'$yday', 99, 1L, 1L), (DATE'2019-12-31', 5, 50L, 5L)""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS fixture.users")
+    spark.sql("DROP TABLE IF EXISTS fixture.users_old")
     spark.sql("DROP TABLE IF EXISTS s")
     spark.sql("CREATE TABLE s (x INT, y INT, z INT) USING parquet")
     spark.sql("INSERT INTO s VALUES (1,2,3), (4,5,6), (7,8,9)")
@@ -140,6 +180,39 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.table("fixture.search_backends").collect()
     assert(rows.length == 2)
     assert(rows.map(_.getAs[String]("role")).toSet == Set("primary", "replica"))
+  }
+
+  test("my-import.job: plugin dump -> s3 json.gz -> rebuild -> COPY with options") {
+    assert(runJob("subsys/my-import.job") == 0)
+    val rows = spark.table("fixture.users").collect()
+    assert(rows.length == 2)
+    // dst_zone_offset +09:00 shifted the dump timestamps
+    val ann = rows.find(_.getAs[Int]("id") == 1).get
+    assert(ann.getAs[java.sql.Timestamp]("created_at").toInstant
+      == java.time.Instant.parse("2020-01-01T09:00:00Z"))
+    // backup kept (no-backup commented out in the fixture)
+    assert(runJob("subsys/my-import.job") == 0)
+    assert(spark.catalog.tableExists("fixture.users_old"))
+  }
+
+  test("migrate.job: plugin dump -> local tmp gz -> fs put -> rebuild (no backup)") {
+    assert(runJob("subsys/migrate.job") == 0)
+    assert(spark.table("fixture.search_backends").count() == 3)
+    // remove-tmp deleted the staging file; no-backup dropped the old copy
+    assert(!Files.exists(java.nio.file.Paths.get("/tmp/search_backends.json.gz")))
+    assert(!spark.catalog.tableExists("fixture.search_backends_old"))
+    // the staged object is a valid single gz the load path can re-read
+    assert(Files.exists(home.resolve("search_backends/search_backends.json.gz")))
+  }
+
+  test("my-import-delta.sql.job: plugin delta reload replaces only the window") {
+    assert(runJob("subsys/my-import-delta.sql.job") == 0)
+    val rows = spark.table("fixture.item_pv_acc").collect()
+      .map(r => (r.getAs[java.sql.Date]("data_date").toString, r.getAs[Int]("item_id")))
+      .sortBy(_.toString)
+    val yday = java.time.LocalDate.now().minusDays(1).toString
+    // stale row 99 in the window replaced by items 7 and 8; 2019 row kept
+    assert(rows.toSeq == Seq(("2019-12-31", 5), (yday, 7), (yday, 8)))
   }
 
   test("load_test.job: streaming_load with the reference's param names") {
