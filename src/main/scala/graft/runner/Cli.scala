@@ -91,18 +91,20 @@ object Cli {
       varAssigns: Variables,
       jobOptions: Map[String, String],
       queuePath: Option[Path],
+      dbQueuePath: Option[Path],
       clearQueue: Boolean,
       dryRun: Boolean,
       target: Option[Path])
 
   /** Parse `[--home=PATH] [-v name=value]... [--opt=value]... [--queue=PATH]
-    * [--clear-queue] [--dry-run] file`.
+    * [--db-queue=PATH] [--clear-queue] [--dry-run] file`.
     */
   def parseArgs(args: Seq[String]): Options = {
     var home = Paths.get(sys.env.getOrElse("BRICOLAGE_HOME", "."))
     var vars = Variables.empty
     var jobOpts = Map.empty[String, String]
     var queue: Option[Path] = None
+    var dbQueue: Option[Path] = None
     var clear = false
     var dry = false
     var target: Option[Path] = None
@@ -118,6 +120,7 @@ object Cli {
             case _ => throw new ParameterError(s"bad -v argument: $kv")
           }
         case a if a.startsWith("--queue=") => queue = Some(Paths.get(a.drop(8)))
+        case a if a.startsWith("--db-queue=") => dbQueue = Some(Paths.get(a.drop(11)))
         case "--clear-queue" => clear = true
         case "--dry-run" | "-n" => dry = true
         case a if a.startsWith("--") && a.contains("=") =>
@@ -128,7 +131,7 @@ object Cli {
         case a => throw new ParameterError(s"unexpected argument: $a")
       }
     }
-    Options(home, vars, jobOpts, queue, clear, dry, target)
+    Options(home, vars, jobOpts, queue, dbQueue, clear, dry, target)
   }
 }
 
@@ -179,13 +182,28 @@ object JobNetMain {
     lazy val spark = sparkOverride.getOrElse(
       Cli.buildSpark(s"graft-net-${netPath.getFileName}"))
     val ctx = Cli.loadContext(opts.home, subsys, spark)
-    val queue: TaskQueue = opts.queuePath match {
-      case Some(p) =>
+    val queue: TaskQueue = (opts.dbQueuePath, opts.queuePath) match {
+      case (Some(db), _) =>
+        // DB-backed queue (reference: taskqueue.rb:175-310 DatabaseTaskQueue
+        // via --enable-queue): executions + locks live in the database, so
+        // a second runner on the same jobnet is excluded and a restart
+        // resumes the unfinished executions
+        val store = graft.net.JdbcExecutionStore.embedded(db)
+        val jobnetId = (if (subsys.isEmpty) "" else subsys + "/") +
+          netPath.getFileName.toString.stripSuffix(".jobnet")
+        val executorId = java.net.InetAddress.getLocalHost.getHostName +
+          ":" + ProcessHandle.current().pid()
+        if (opts.clearQueue) store.cancelJobnet(jobnetId, "cleared by --clear-queue")
+        val q = new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
+          enableLock = true)
+        q.restoreJobnet()
+        q
+      case (None, Some(p)) =>
         // --clear-queue discards persisted progress before restore
         // (reference: jobnetrunner.rb:63-66)
         if (opts.clearQueue) Files.deleteIfExists(p)
         new FileTaskQueue(p)
-      case None => new MemoryTaskQueue
+      case (None, None) => new MemoryTaskQueue
     }
     val result = new JobNetRunner(ctx).run(netPath, queue, opts.varAssigns)
     if (!result.success) System.err.println(result.message)

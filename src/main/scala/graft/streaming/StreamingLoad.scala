@@ -65,6 +65,10 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     StringParam("batch-size", optional = true), // max files per load batch
     OptionalBoolParam("noop"), OptionalBoolParam("load-only"),
     OptionalBoolParam("dequeue-only"), OptionalBoolParam("skip-work"),
+    // idiomatic mode: Structured Streaming file source + checkpoint
+    // replaces the load-log join (SURVEY §2.11 option (b))
+    OptionalBoolParam("streaming"),
+    StringParam("checkpoint-path", optional = true),
   )
 
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
@@ -105,6 +109,49 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     }
 
     val batchSize = p.stringOpt("batch-size").map(_.toInt).getOrElse(100000)
+
+    if (p.bool("streaming"))
+      // Structured Streaming mode: the checkpointed file source IS the load
+      // log (exactly-once per file, survives crashes); files stay queued —
+      // retention is the checkpoint's job, not a dequeue move.
+      return Seq(Action("streaming_load:stream") {
+        val spark = ds.spark
+        val schema = ds.table(dest).schema
+        // conservative glob from the %-pattern: directives match any run
+        val glob = p.stringOpt("file-name")
+          .map(_.replaceAll("%[YmdHMSQ*]", "*").replaceAll("\\*+", "*"))
+        var reader = spark.readStream.schema(schema)
+        glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+        val src = p.string("format") match {
+          case "json"    => reader.json(fs.urlString(queuePath))
+          case "tsv"     => reader.option("sep", "\t").csv(fs.urlString(queuePath))
+          case "csv"     => reader.csv(fs.urlString(queuePath))
+          case "parquet" => reader.parquet(fs.urlString(queuePath))
+        }
+        val ckpt = p.stringOpt("checkpoint-path").map(vars.expand).map(fs.urlString)
+          .getOrElse(fs.urlString(queuePath.stripSuffix("/") + "_checkpoint"))
+        val query = src.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            p.stringOpt("sql-file") match {
+              case Some(sf) =>
+                batch.createOrReplaceTempView("stream_work_table")
+                val stmt = bindSql(ctx.sqlText(sf, vars),
+                  vars.add("work_table", "stream_work_table")
+                    .add("dest_table", ds.qualify(dest)), ctx)
+                stmt.statements.foreach(s => batch.sparkSession.sql(s))
+              case None =>
+                batch.write.mode(SaveMode.Append).insertInto(ds.qualify(dest))
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        // the microbatch writes ran in a cloned session; drop this
+        // session's cached relation so readers see the new files
+        spark.catalog.refreshTable(ds.qualify(dest))
+      })
 
     if (p.bool("noop"))
       return Seq(Action("streaming_load:noop") {

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate over the whole query surface: the properties
+  * that make the 100 TB story true must hold for every SparkEntry query,
+  * not just the ones PLANS.md happens to show.
+  *
+  *  - no CartesianProduct anywhere (an all-pairs join would be a scale
+  *    killer appearing as a "correct" plan at test SF);
+  *  - BroadcastNestedLoopJoin only where a broadcast cross join is the
+  *    point (q_cosine_topk broadcasts 3 query vectors against the corpus);
+  *  - every parquet scan prunes its schema: no scan reads all columns of
+  *    the wide tables unless the query genuinely needs them.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose physical plan intentionally contains a broadcast cross:
+  // q_cosine_topk broadcasts 3 query vectors; q_above_avg broadcasts a
+  // single-row aggregate (the scalar-subquery-without-collect idiom)
+  private val crossJoinByDesign = Set("q_cosine_topk", "q_above_avg")
+
+  // queries that run their own writes/side effects before returning a
+  // frame; they execute real IO so the audit just compiles their plan
+  private val sideEffecting = Set("q_csv_roundtrip", "q_load_maxerror")
+
+  test("no CartesianProduct in any query plan; cross joins only by design") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      val plan = build(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !crossJoinByDesign(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("lineitem scans prune columns (never read the full 16-column schema)") {
+    val wide = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue")
+    val ScanCols = """FileScan parquet \[([^\]]*)\]""".r
+    wide.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val lineitemScans = ScanCols.findAllMatchIn(plan).map(_.group(1))
+        .filter(_.contains("l_")).toSeq
+      assert(lineitemScans.nonEmpty, s"$name: no lineitem scan found")
+      lineitemScans.foreach { cols =>
+        val nCols = cols.split(",").length
+        assert(nCols < 10, s"$name reads too many lineitem columns: $cols")
+      }
+    }
+  }
+}

@@ -151,6 +151,31 @@ class CliSpec extends AnyFunSuite {
     assert(ctx.registry.get("db").name == "db")
   }
 
+  test("JobNetMain --db-queue: Derby-backed queue resumes after a failure") {
+    val home = Files.createTempDirectory("cli-dbq")
+    val db = home.resolve("queue-db")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/ok1.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/ok2.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "ok1 -> boom -> ok2\n")
+    val args = Seq(s"--home=$home", s"--db-queue=$db",
+      home.resolve("net/n.jobnet").toString)
+    // first run fails at boom; ok1 succeeded and is recorded in the DB
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1)
+    // fix the job; the rerun restores only boom + ok2 from the DB queue
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\n")
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
+    val store = graft.net.JdbcExecutionStore.embedded(db)
+    try {
+      assert(store.all.map(_.status).forall(_ == graft.net.ExecutionStatus.Succeeded))
+      // ok1 ran exactly once across both runs
+      assert(store.stateTransitions.count(t =>
+        t.status == "running" &&
+          store.get(t.jobExecutionId).exists(_.jobName == "ok1")) == 1)
+    } finally store.close()
+  }
+
   test("before_option_parsing hook fires before argv parsing") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     JobListener.register(new JobListener {

@@ -109,6 +109,37 @@ class StreamingLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.delete(fsBase.resolve("queue/track-20240809-0011.json"))
   }
 
+  test("streaming: true drains the queue via AvailableNow + checkpoint, exactly once") {
+    spark.sql("DROP TABLE IF EXISTS sl.strack")
+    spark.sql("CREATE TABLE sl.strack (id INT, name STRING) USING parquet")
+    Files.createDirectories(fsBase.resolve("squeue"))
+    Files.writeString(fsBase.resolve("squeue/track-20240901-0001.json"),
+      """{"id": 21, "name": "s1"}""" + "\n")
+    val text = """class: streaming_load
+      |src-ds: fs
+      |queue-path: squeue
+      |file-name: "track-%Y%m%d-%Q.json"
+      |dest-ds: sql
+      |dest-table: sl.strack
+      |format: json
+      |streaming: true
+      |""".stripMargin
+    val r1 = runJob("sls1.job", text)
+    assert(r1.success, r1.message)
+    assert(spark.sql("SELECT count(*) FROM sl.strack").head.getLong(0) == 1)
+    // second run: checkpoint remembers the file; a new one is picked up
+    Files.writeString(fsBase.resolve("squeue/track-20240901-0002.json"),
+      """{"id": 22, "name": "s2"}""" + "\n")
+    val r2 = runJob("sls2.job", text)
+    assert(r2.success, r2.message)
+    assert(spark.sql("SELECT count(*) FROM sl.strack").head.getLong(0) == 2)
+    // pattern filter: a non-matching file is ignored
+    Files.writeString(fsBase.resolve("squeue/skip-me.json"), """{"id": 99, "name": "no"}""")
+    val r3 = runJob("sls3.job", text)
+    assert(r3.success, r3.message)
+    assert(spark.sql("SELECT count(*) FROM sl.strack").head.getLong(0) == 2)
+  }
+
   test("user SQL transform over the work table ($work_table)") {
     Files.writeString(fsBase.resolve("queue/track-20240810-0010.json"),
       """{"id": 10, "name": "lower"}""" + "\n")
