@@ -31,6 +31,26 @@ object LoadOptions {
   /** Name unlikely to collide with user columns. */
   private val CorruptCol = "_graft_corrupt_record"
 
+  /** Render one COPY option the way the reference's generated SQL would —
+    * used for logging the option bag in reference form
+    * (reference: psqldatasource.rb:568-600 Option#to_s;
+    * test_psqldatasource.rb "load option is correctly formatted").
+    */
+  def formatOption(name: String, value: Any): String =
+    if (name == "encoding") s"$name $value" // encoding utf16le
+    else value match {
+      case true                  => name // acceptanydate
+      case false                 => s"$name false" // compupdate false
+      case "on" | "off"          => s"$name $value"
+      case s: String             => s"$name '$s'" // json 'auto'
+      case i: Int                => s"$name $i" // maxerror 10
+      case l: Long               => s"$name $l"
+      case null                  => "" // explicitly disabled boolean
+      case other =>
+        throw new graft.core.ParameterError(
+          s"unsupported option value type for $name: $other")
+    }
+
   def read(spark: SparkSession, path: String, format: String,
       options: Map[String, Any], schema: StructType): DataFrame = {
 

@@ -274,7 +274,10 @@ object FileNamePattern {
           case 'Y' => sb.append("(\\d{4})")
           case 'm' | 'd' | 'H' | 'M' | 'S' => sb.append("(\\d{2})")
           case 'Q' => sb.append("(\\d+)")
-          case '*' => sb.append(".*")
+          // a path-component wildcard, not a full-path one: a slash must
+          // never match (reference: streaming_load.rb:458 `[^/]*`;
+          // test_c_streaming_load.rb:146-152)
+          case '*' => sb.append("[^/]*")
           case '%' => sb.append("%")
           case other => throw new ParameterError(s"bad filename pattern directive: %$other")
         }
