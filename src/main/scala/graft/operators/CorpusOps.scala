@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Corpus-hygiene operators over `documents` — the checks a training-data
+  * pipeline runs before anything reaches a tokenizer:
+  *
+  *  - contamination: does a training document share n-grams with the held
+  *    out evaluation set? (decontamination pass — the join is keyed on the
+  *    n-gram, so only colliding grams shuffle, never doc×doc pairs);
+  *  - repetition: intra-document duplicate n-gram ratio (a strong
+  *    low-quality / generated-text signal), pure narrow compute;
+  *  - stratified sampling: per-language deterministic hash sampling with
+  *    per-stratum rates — reproducible across engines/runs/partitionings,
+  *    unlike rand() sampling.
+  */
+object CorpusOps {
+
+  /** Training docs (90%) whose word-bigram sets overlap the eval split
+    * (doc_id % 10 == 0) by ≥ 50%. Both sides explode to (doc, gram) rows
+    * and meet in a gram-keyed equi-join: the 100 TB shape — shuffle volume
+    * is the distinct-gram surface, and a broadcast of the (much smaller)
+    * eval gram set makes the probe map-side when it fits.
+    */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+      .select("gram").distinct()
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_grams"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"))
+      .withColumn("overlap_ratio",
+        round(col("overlap_grams") / col("n_grams").cast("double"), 4))
+      .filter(col("overlap_ratio") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val qContaminationOracle: String =
+    s"""WITH g AS (
+      |  SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram FROM ${Dedup.duckWords}),
+      |train AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+      |eval_set AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS overlap_grams
+      |  FROM train t JOIN eval_set e USING (gram) GROUP BY t.doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      |  coalesce(h.overlap_grams, 0) AS overlap_grams,
+      |  round(coalesce(h.overlap_grams, 0) / CAST(t.n_grams AS DOUBLE), 4) AS overlap_ratio
+      |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |WHERE round(coalesce(h.overlap_grams, 0) / CAST(t.n_grams AS DOUBLE), 4) >= 0.5
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Per-document repeated-bigram ratio: 1 - distinct/total. Entirely
+    * narrow (no shuffle but the final order), so it costs one scan at any
+    * corpus size.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_grams"),
+        expr(s"size(${Dedup.gramsSpark})").cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  val qRepetitionOracle: String =
+    s"""SELECT doc_id,
+      |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_grams,
+      |  CAST(len(${Dedup.gramsDuck}) AS BIGINT) AS n_distinct,
+      |  CASE WHEN len(ws) - 1 > 0
+      |    THEN round(1.0 - len(${Dedup.gramsDuck}) / CAST(len(ws) - 1 AS DOUBLE), 4)
+      |    ELSE 0.0 END AS rep_ratio
+      |FROM ${Dedup.duckWords}
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified deterministic sampling: each language stratum gets its own
+    * hash-threshold rate (first md5 hex digit of the text). Per-stratum
+    * acceptance counts; the sample set is re-derivable from content alone.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val thr = expr(
+      """CASE ascii(substring(lang, 1, 1)) % 3
+        | WHEN 0 THEN '2' WHEN 1 THEN '4' ELSE '8' END""".stripMargin)
+    t(s, dir, "documents")
+      .select(col("lang"), thr.as("thr"),
+        (substring(md5(encode(col("text"), "UTF-8")), 1, 1) < thr).as("sampled"))
+      .groupBy("lang", "thr")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("lang"), col("thr").as("rate_hex"), col("n_docs"), col("n_sampled"))
+      .orderBy("lang")
+  }
+
+  val qStratifiedSampleOracle: String =
+    """SELECT lang,
+      |  CASE ascii(substr(lang, 1, 1)) % 3
+      |    WHEN 0 THEN '2' WHEN 1 THEN '4' ELSE '8' END AS rate_hex,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN substr(md5(text), 1, 1) <
+      |    CASE ascii(substr(lang, 1, 1)) % 3
+      |      WHEN 0 THEN '2' WHEN 1 THEN '4' ELSE '8' END
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
+    QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
+    QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
+  )
+}
