@@ -360,6 +360,7 @@ object DataSourceRegistry {
         case "file"    => new FileDataSource(name, Paths.get(opts.getOrElse("base", ".")))
         case "generic" => new GenericDataSource(name)
         case "sns"     => new SnsDataSource(name)
+        case "redis" | "kvs" => new graft.plugins.RedisPlugin.KvsDataSource(name)
         case other     => throw new JobError(s"unknown datasource type: $other")
       }
       name -> ds

@@ -43,9 +43,11 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
          |s3_ctl: {type: fs, base: $home}
          |mysql: {type: spark, schema: main}
          |mysql_summary: {type: spark, schema: summary}
+         |redis: {type: redis}
          |""".stripMargin)
     // plugin classes load out-of-core, the Gemfile analogue
     graft.plugins.MySqlPlugin.register()
+    graft.plugins.RedisPlugin.register()
     // source table + databases the fixtures expect to exist
     spark.sql("CREATE DATABASE IF NOT EXISTS fixture")
     spark.sql("CREATE DATABASE IF NOT EXISTS main")
@@ -84,6 +86,11 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
       | (DATE'$yday', 99, 1L, 1L), (DATE'2019-12-31', 5, 50L, 5L)""".stripMargin)
     spark.sql("DROP TABLE IF EXISTS fixture.users")
     spark.sql("DROP TABLE IF EXISTS fixture.users_old")
+    spark.sql("DROP TABLE IF EXISTS fixture.user_cook_recipes")
+    spark.sql("""CREATE TABLE fixture.user_cook_recipes
+      | (user_id INT, recipe_id INT, score DOUBLE) USING parquet""".stripMargin)
+    spark.sql("""INSERT INTO fixture.user_cook_recipes VALUES
+      | (1, 100, 0.9), (1, 101, 0.5), (2, 100, 0.7)""".stripMargin)
     spark.sql("DROP TABLE IF EXISTS s")
     spark.sql("CREATE TABLE s (x INT, y INT, z INT) USING parquet")
     spark.sql("INSERT INTO s VALUES (1,2,3), (4,5,6), (7,8,9)")
@@ -213,6 +220,25 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val yday = java.time.LocalDate.now().minusDays(1).toString
     // stale row 99 in the window replaced by items 7 and 8; 2019 row kept
     assert(rows.toSeq == Seq(("2019-12-31", 5), (yday, 7), (yday, 8)))
+  }
+
+  test("redis_export.job / redis_export2.job: plugin KVS export (hash + json)") {
+    import graft.plugins.RedisPlugin.InProcessKvs
+    InProcessKvs.clear("redis")
+    assert(runJob("subsys/redis_export.job") == 0)
+    // composite key, hash encoding, TTL
+    assert(InProcessKvs.keys("redis")
+      == Seq("ha_ucp_1_100", "ha_ucp_1_101", "ha_ucp_2_100"))
+    val (hv, httl) = InProcessKvs.get("redis", "ha_ucp_1_100").get
+    assert(hv.asInstanceOf[Map[String, String]]("score") == "0.9")
+    assert(httl.contains(604800L))
+    InProcessKvs.clear("redis")
+    assert(runJob("subsys/redis_export2.job") == 0)
+    // single key column, json encoding (last row per key wins)
+    assert(InProcessKvs.keys("redis") == Seq("1", "2"))
+    val (jv, jttl) = InProcessKvs.get("redis", "2").get
+    assert(jv.asInstanceOf[String].contains("\"user_id\":2"))
+    assert(jttl.contains(60L))
   }
 
   test("load_test.job: streaming_load with the reference's param names") {
