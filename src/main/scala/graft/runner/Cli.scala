@@ -156,7 +156,8 @@ object BricolageMain {
     val ctx = Cli.loadContext(opts.home, subsys, spark)
     if (opts.dryRun) {
       val jf = JobFile.load(jobPath)
-      new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions, opts.varAssigns)
+      new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions, opts.varAssigns,
+        Some(jobPath.toAbsolutePath))
         .compile().foreach(a => println(a))
       return 0
     }

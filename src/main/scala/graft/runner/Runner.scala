@@ -51,7 +51,8 @@ object JobListener {
   */
 final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
     cliOptions: Map[String, String] = Map.empty,
-    cliVariables: Variables = Variables.empty) {
+    cliVariables: Variables = Variables.empty,
+    jobPath: Option[Path] = None) {
 
   /** Compile (reference: job.rb:88-126): resolve params against globals,
     * union variables in precedence order — global < published params <
@@ -76,7 +77,12 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
         val base = id.stripSuffix(".job").stripSuffix(".sql")
         withInline + ("sql-file" -> base)
       } else withInline
-    val globals = ctx.globalVariables
+    // the job file's own path publishes as $script — a .rb/.py/.sh.job's
+    // '#' header makes the file directly runnable, so `args: ["sh",
+    // "$script"]` executes the job file itself (reference:
+    // jobfile.rb:131-135 global_variables)
+    val globals = jobPath.map(p => ctx.globalVariables.add("script", p.toString))
+      .getOrElse(ctx.globalVariables)
     val restVars = Variables.fromMap(rest.map { case (k, v) => k -> String.valueOf(v) })
     // parameter values may reference job-file rest variables and -v CLI
     // variables, not just globals (reference: test_variables.rb "job
@@ -126,7 +132,8 @@ object Application {
     val jf = JobFile.load(path)
     val ref = JobRef(ctx.subsys, path.getFileName.toString, isNet = false)
     JobListener.fire(listeners)(_.beforeJob(ref))
-    val result = new Job(path.getFileName.toString, jf, ctx, cliOptions, cliVariables).execute()
+    val result = new Job(path.getFileName.toString, jf, ctx, cliOptions, cliVariables,
+      Some(path.toAbsolutePath)).execute()
     JobListener.fire(listeners)(_.afterJob(ref, result))
     result
   }
@@ -190,15 +197,16 @@ final class JobNetRunner(ctx: JobContext,
     // (reference: jobnetrunner.rb:150-154 check_jobs)
     queue.queued.foreach { ref =>
       val jf = JobFile.load(jobFilePath(ref))
-      new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables).compile()
+      new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables,
+        Some(jobFilePath(ref).toAbsolutePath)).compile()
     }
     JobListener.fire(listeners)(_.beforeAllJobs(queue.queued))
     val result = queue.consumeEach { ref =>
       JobListener.fire(listeners)(_.beforeJob(ref))
       val jf = JobFile.load(jobFilePath(ref))
       def exec() =
-        new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables)
-          .execute()
+        new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables,
+          Some(jobFilePath(ref).toAbsolutePath)).execute()
       val r = logFiles match {
         case Some(lp) =>
           val p = java.nio.file.Paths.get(

@@ -176,6 +176,12 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runJob("subsys/exec.job") == 0)
   }
 
+  test("shprog.sh.job: script job runs itself via $script (rubyprog pattern)") {
+    // the reference's rubyprog.rb.job runs `ruby $script` on its own file;
+    // no ruby in this container, so the sh twin proves the mechanism
+    assert(runJob("subsys/shprog.sh.job") == 0)
+  }
+
   test("put.job: s3-put alias, absolute src-file, exact dest key") {
     assert(runJob("subsys/put.job") == 0)
     assert(Files.readString(home.resolve("test-dest.txt"))
