@@ -33,9 +33,22 @@ object Cli {
     s
   }
 
-  /** Variable layering (reference: context.rb:96-133): builtin vars <
-    * bricolage.yml (system options) < variable.yml, each with global then
-    * subsystem scope; all files are ERB-preprocessed.
+  def environment: String = sys.env.getOrElse("BRICOLAGE_ENV", "development")
+
+  /** Config search paths for a basename (reference: filesystem.rb:126-128
+    * config_pathes — `config/<name>` then `config/<env>/<name>`; the home
+    * root is accepted too for flat layouts).
+    */
+  def configPaths(home: Path, basename: String): Seq[Path] =
+    Seq(home.resolve("config").resolve(basename),
+      home.resolve("config").resolve(environment).resolve(basename),
+      home.resolve(basename))
+
+  /** Variable layering (reference: context.rb:96-133 +
+    * load_variables_for_all_scopes): builtin vars < bricolage.yml (system
+    * options) < variable.yml, each layered `config/` < `config/<env>/` <
+    * home root < subsystem dir (later wins); all files are
+    * ERB-preprocessed.
     */
   def loadVariables(home: Path, subsys: String): Variables = {
     def fromFile(p: Path): Variables =
@@ -45,30 +58,29 @@ object Cli {
             graft.core.ErbContext(Some(home), Some(p.getParent))))
           .map { case (k, v) => k -> String.valueOf(v) })
     def scoped(basename: String): Variables = {
-      val global = fromFile(home.resolve(basename))
-      val sub =
-        if (subsys.isEmpty) Variables.empty
-        else fromFile(home.resolve(subsys).resolve(basename))
-      global.union(sub)
+      val layers = configPaths(home, basename) ++
+        (if (subsys.isEmpty) Nil else Seq(home.resolve(subsys).resolve(basename)))
+      layers.map(fromFile).reduce(_.union(_))
     }
     val builtin = Variables(
-      "bricolage_env" -> sys.env.getOrElse("BRICOLAGE_ENV", "development"),
+      "bricolage_env" -> environment,
       "bricolage_home" -> home.toString)
     builtin.union(scoped("bricolage.yml")).union(scoped("variable.yml"))
   }
 
   def loadContext(home: Path, subsys: String, spark: => SparkSession): JobContext = {
-    // datasource.yml with database.yml fallback; password.yml entries merge
-    // into the same-named datasource configs (reference:
-    // datasource.rb:10-22,32-50 DataSourceFactory.load)
+    // datasource.yml with database.yml fallback, each searched through the
+    // config paths; password.yml entries merge into the same-named
+    // datasource configs (reference: datasource.rb:10-22,32-50
+    // DataSourceFactory.load over context.config_pathes)
     val dsFile = Seq("datasource.yml", "database.yml")
-      .map(home.resolve).find(Files.exists(_))
+      .flatMap(configPaths(home, _)).find(Files.exists(_))
     val registry = dsFile match {
       case Some(f) =>
         var config = JobFile.parseYamlMap(Files.readString(f))
-        val pwFile = home.resolve("password.yml")
-        if (Files.exists(pwFile)) {
-          val passwords = JobFile.parseYamlMap(Files.readString(pwFile))
+        val pwFile = configPaths(home, "password.yml").find(Files.exists(_))
+        pwFile.foreach { pf =>
+          val passwords = JobFile.parseYamlMap(Files.readString(pf))
           config = config.map {
             case (name, conf: Map[_, _]) if passwords.contains(name) =>
               name -> (conf.asInstanceOf[Map[String, Any]] +

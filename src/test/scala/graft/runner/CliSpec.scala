@@ -151,6 +151,22 @@ class CliSpec extends AnyFunSuite {
     assert(ctx.registry.get("db").name == "db")
   }
 
+  test("config/ and config/<env>/ variable layering (reference config_pathes)") {
+    val home = Files.createTempDirectory("cli-cfg")
+    Files.createDirectories(home.resolve("config/development"))
+    Files.createDirectories(home.resolve("sub"))
+    Files.writeString(home.resolve("config/variable.yml"),
+      "base: from_config\nov: from_config\nov2: from_config\n")
+    Files.writeString(home.resolve("config/development/variable.yml"),
+      "ov: from_env\nov2: from_env\n")
+    Files.writeString(home.resolve("sub/variable.yml"), "ov2: from_subsys\n")
+    val vars = Cli.loadVariables(home, "sub").resolve()
+    assert(vars("base") == "from_config")
+    assert(vars("ov") == "from_env")      // config/<env> beats config/
+    assert(vars("ov2") == "from_subsys")  // subsystem beats both
+    assert(vars("bricolage_env") == "development")
+  }
+
   test("JobNetMain --db-queue: Derby-backed queue resumes after a failure") {
     val home = Files.createTempDirectory("cli-dbq")
     val db = home.resolve("queue-db")
