@@ -116,9 +116,44 @@ object CorpusOps {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Sequence packing: documents are concatenated in deterministic order
+    * and cut into fixed token-budget training sequences; each doc lands in
+    * sequence floor((cumulative_tokens - own_tokens) / budget) of its
+    * language shard. The window is PARTITIONED BY lang — a global ordering
+    * would serialize the corpus through one task at 100 TB, so packing
+    * runs per shard (the real pipelines pack per shard/file for the same
+    * reason). Output: sequences with their doc/token fill.
+    */
+  def qPackSequences(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
+  val qPackSequencesOracle: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+      |      - n_tokens) / 2048) AS BIGINT) AS seq_id
+      |  FROM toks)
+      |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+      |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
+    QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),
   )
 }
