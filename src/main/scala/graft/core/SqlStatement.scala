@@ -35,10 +35,12 @@ final class SqlStatement(val source: String, val declarations: Seq[String] = Nil
     */
   def statements: Seq[String] = SqlStatement.splitStatements(stripped)
 
-  /** First keyword of the first statement, lower-cased. */
+  /** First keyword of the first statement, lower-cased; leading comments
+    * are skipped (reference: sqlstatement.rb:67-75 strips comments before
+    * sniffing).
+    */
   def kind: String =
-    statements.headOption.flatMap(
-      _.split("\\s+", 2).headOption.map(_.toLowerCase)).getOrElse("")
+    statements.headOption.map(SqlStatement.firstKeyword).getOrElse("")
 
   /** Metadata from header comments of the raw source. */
   lazy val metadata: Map[String, String] = SqlStatement.parseMetadata(source)
@@ -72,6 +74,26 @@ object SqlStatement {
     source.linesIterator.takeWhile(l => l.startsWith("--") || l.trim.isEmpty)
       .collect { case MetadataLine(k, v) => k -> v.trim }
       .toMap
+
+  /** First keyword of a statement, lower-cased, skipping leading line and
+    * block comments — `-- note\ncreate view ...` sniffs as `create`.
+    */
+  def firstKeyword(stmt: String): String = {
+    var s = stmt
+    var changed = true
+    while (changed) {
+      val t = s.dropWhile(_.isWhitespace)
+      val stripped =
+        if (t.startsWith("--")) t.dropWhile(_ != '\n')
+        else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/")
+          if (end < 0) "" else t.substring(end + 2)
+        } else t
+      changed = stripped != s
+      s = stripped
+    }
+    s.split("\\s+", 2).headOption.filter(_.nonEmpty).map(_.toLowerCase).getOrElse("")
+  }
 
   /** Drop metadata header comment lines, keep the SQL body. */
   def stripMetadataComments(sql: String): String = {
@@ -254,14 +276,26 @@ object EmbeddedFunctions {
     * dest-table + attributes (reference: embeddedcodeapi.rb:41-45 —
     * a two-level glob of `.ct` files below `app_home`).
     */
+  /** List a directory's entries, CLOSING the stream (Files.list holds a
+    * file handle until closed).
+    */
+  private def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally s.close()
+  }
+
   private def ctTables(erb: ErbContext): Seq[(String, Set[String])] = {
     val home = erb.appHome.getOrElse(
       throw new JobError("all_tables requires an app home in ERB context"))
     if (!Files.isDirectory(home)) return Nil
-    val subdirs = Files.list(home).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-    subdirs.flatMap { d =>
-      Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".ct")).toSeq
+    listDir(home).filter(Files.isDirectory(_)).flatMap { d =>
+      listDir(d)
+        .filter(_.getFileName.toString.endsWith(".ct"))
         .sortBy(_.getFileName.toString)
         .map { ct =>
           val meta = SqlStatement.parseMetadata(Files.readString(ct))
@@ -272,12 +306,5 @@ object EmbeddedFunctions {
           (table, attrs)
         }
     }.sortBy(_._1)
-  }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
   }
 }

@@ -49,6 +49,27 @@ final class Variables private (val underlying: ListMap[String, String]) {
   def resolve(): Variables =
     new Variables(underlying.map { case (k, v) => k -> expand(v, List(k)) })
 
+  /** Resolve all values, leaving references to variables NOT in this map
+    * untouched (still `$name`). Used for the parameter-materialization
+    * overlay: a job-file rest variable may legitimately reference a
+    * parameter-published variable ($dest_table) that only exists in the
+    * FINAL overlay — it must not fail here, only if something actually
+    * consumed during materialization references it.
+    */
+  def resolveLenient(): Variables = {
+    def expandL(str: String, stack: List[String]): String =
+      Variables.expandWith(str) { name =>
+        if (stack.contains(name))
+          throw new ParameterError(
+            s"circular variable reference: ${(name :: stack).reverse.mkString(" -> ")}")
+        underlying.get(name) match {
+          case Some(v) => expandL(v, name :: stack)
+          case None    => "${" + name + "}" // keep for the final overlay
+        }
+      }
+    new Variables(underlying.map { case (k, v) => k -> expandL(v, List(k)) })
+  }
+
   override def toString: String =
     underlying.map { case (k, v) => s"$k=$v" }.mkString("Variables(", ", ", ")")
 }

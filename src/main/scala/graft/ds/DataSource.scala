@@ -69,8 +69,9 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
     s.statements.foreach { stmt =>
       // VACUUM is storage maintenance — meaningless on immutable Parquet,
       // honored as a logged no-op so reference scripts (raw-vacuum.sql.job)
-      // run unchanged (psqldatasource.rb:342-352, SURVEY §7.5)
-      if (stmt.split("\\s+", 2).headOption.exists(_.equalsIgnoreCase("vacuum")))
+      // run unchanged (psqldatasource.rb:342-352, SURVEY §7.5). Keyword
+      // sniffing skips leading comments.
+      if (SqlStatement.firstKeyword(stmt) == "vacuum")
         System.err.println(s"[$name] vacuum (no-op on parquet): $stmt")
       else last = Some(sql(stmt))
     }

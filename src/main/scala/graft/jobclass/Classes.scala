@@ -297,6 +297,7 @@ object LoadJobClass extends JobClass("load") {
       val df = LoadOptions.read(ds.spark, path, p.string("format"),
         p.pairs("options"), ds.table(dest).schema)
       df.write.mode(SaveMode.Append).insertInto(ds.qualify(dest))
+      df.unpersist() // release the maxerror full-parse cache (no-op otherwise)
       if (p.bool("analyze")) ds.analyze(dest)
     })
   }

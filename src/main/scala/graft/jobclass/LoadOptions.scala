@@ -92,9 +92,12 @@ object LoadOptions {
 
     maxError.foreach { limit =>
       if (format != "parquet") {
-        // cache so the error count and the downstream write share one parse
-        // (also: Spark disallows filtering on ONLY the corrupt column of an
-        // uncached CSV/JSON scan)
+        // The cache is REQUIRED for correctness, not speed: corrupt-record
+        // detection only fires for columns the scan actually parses, and
+        // column pruning on an uncached frame would let a row with a bad
+        // value in an unreferenced column sneak past both the count and
+        // the filter. Caching materializes the full-width parse once;
+        // callers release it with unpersist() after consuming the frame.
         df = df.cache()
         val bad = df.filter(col(CorruptCol).isNotNull).count()
         if (bad > limit)

@@ -114,10 +114,11 @@ final class ExecutionStore(path: Option[Path] = None) extends ExecutionStoreApi 
   }
 
   /** waiting|failed → running (retry of a failed job is legal —
-    * reference: dao/jobexecution.rb:155-160).
+    * reference: dao/jobexecution.rb:155-160). running → running re-claims
+    * an execution a crashed runner left behind (restart path).
     */
   def transitionToRunning(id: Long): JobExecution =
-    transition(id, Set(Waiting, Failed), Running, "",
+    transition(id, Set(Waiting, Failed, Running), Running, "",
       e => e.copy(startedAt = Some(Instant.now()), finishedAt = None))
 
   def transitionToSucceeded(id: Long): JobExecution =

@@ -72,12 +72,18 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
       Option(rs.getTimestamp("started_at")).map(_.toInstant),
       Option(rs.getTimestamp("finished_at")).map(_.toInstant))
 
+  /** Messages live in VARCHAR(4000); an oversized failure message must
+    * never make the failure-recording write itself fail.
+    */
+  private def trunc(m: String): String =
+    if (m == null) "" else if (m.length > 4000) m.take(3997) + "..." else m
+
   private def record(id: Long, status: String, message: String): Unit = {
     val ps = conn.prepareStatement(
       """INSERT INTO job_execution_states
         | (job_execution_id, status, message, created_at)
         | VALUES (?, ?, ?, ?)""".stripMargin)
-    ps.setLong(1, id); ps.setString(2, status); ps.setString(3, message)
+    ps.setLong(1, id); ps.setString(2, status); ps.setString(3, trunc(message))
     ps.setTimestamp(4, Timestamp.from(Instant.now()))
     ps.executeUpdate(); ps.close()
   }
@@ -169,7 +175,7 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
         s"UPDATE job_executions SET $sets WHERE job_execution_id = ? AND status IN ($marks)")
       var i = 0
       def next(): Int = { i += 1; i }
-      ps.setString(next(), to); ps.setString(next(), message)
+      ps.setString(next(), to); ps.setString(next(), trunc(message))
       if (setStarted || setFinished)
         ps.setTimestamp(next(), Timestamp.from(Instant.now()))
       ps.setLong(next(), id)
@@ -186,8 +192,13 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
       get(id).get
     }
 
+  /** waiting|failed → running; ALSO running → running, which re-claims an
+    * execution a crashed runner left behind (the restart path: restore
+    * loads non-terminal executions, and an orphaned 'running' row must be
+    * resumable without --clear-queue throwing away real progress).
+    */
   def transitionToRunning(id: Long): JobExecution =
-    transition(id, Seq(Waiting, Failed), Running, "",
+    transition(id, Seq(Waiting, Failed, Running), Running, "",
       setStarted = true, setFinished = false)
 
   def transitionToSucceeded(id: Long): JobExecution =
@@ -198,12 +209,23 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
     transition(id, Seq(Running), Failed, message,
       setStarted = false, setFinished = true)
 
+  /** Clear a jobnet's lock regardless of holder — the operator action for
+    * a runner that died holding it (the dead pid's executor_id can never
+    * unlock itself).
+    */
+  def forceUnlock(key: String): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "UPDATE execution_locks SET executor_id = NULL WHERE lock_key = ?")
+    ps.setString(1, key)
+    ps.executeUpdate(); ps.close()
+  }
+
   def cancelJobnet(jobnet: String, message: String): Unit = synchronized {
     val affected = enqueuedJobs(jobnet).map(_.id)
     val ps = conn.prepareStatement(
       """UPDATE job_executions SET status = ?, message = ?, finished_at = ?
         | WHERE jobnet = ? AND status IN ('waiting', 'running', 'failed')""".stripMargin)
-    ps.setString(1, Canceled); ps.setString(2, message)
+    ps.setString(1, Canceled); ps.setString(2, trunc(message))
     ps.setTimestamp(3, Timestamp.from(Instant.now())); ps.setString(4, jobnet)
     ps.executeUpdate(); ps.close()
     affected.foreach(record(_, Canceled, message))

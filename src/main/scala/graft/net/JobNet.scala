@@ -51,12 +51,20 @@ object JobNet {
     text.linesIterator.zipWithIndex.foreach { case (raw, lineNo) =>
       val line = raw.replaceAll("#.*$", "").trim
       if (line.nonEmpty) {
-        val parts = line.split("->").map(_.trim)
+        // split(-1) keeps trailing empties so 'a ->' and a lone '->' are
+        // caught as syntax errors instead of indexing crashes
+        val parts = line.split("->", -1).map(_.trim)
+        def syntaxError() = throw new ParameterError(
+          s"syntax error at ${ref}:${lineNo + 1}: '$line'")
+        if (parts.exists(p => p.nonEmpty && p != "*" && JobRef.parse(p, ref.subsys).name.isEmpty))
+          syntaxError()
         if (parts.length == 1) {
+          if (parts(0).isEmpty) syntaxError()
           val node = JobRef.parse(parts(0), ref.subsys)
           solo += node
           prev = Some(node)
         } else {
+          if (parts.drop(1).exists(_.isEmpty)) syntaxError() // 'a ->', '->'
           val heads: Seq[JobRef] =
             if (parts(0).isEmpty)
               Seq(prev.getOrElse(throw new ParameterError(

@@ -77,16 +77,32 @@ object MySqlPlugin {
     val wk = TableSpec(dest.schema, dest.name + "_wk")
     val old = TableSpec(dest.schema, dest.name + "_old")
     ds.dropForce(wk)
-    ctSql match {
-      case Some(sql) => ds.sql(sql.replaceFirst("(?is)create\\s+table\\s+[\\$\\w\\.]+",
-        java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE ${ds.qualify(wk)}")))
-      case None => ()
+    var publishing = false
+    try {
+      ctSql match {
+        case Some(sql) => ds.sql(sql.replaceFirst("(?is)create\\s+table\\s+[\\$\\w\\.]+",
+          java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE ${ds.qualify(wk)}")))
+        case None => ()
+      }
+      load(wk)
+      ds.dropForce(old)
+      publishing = true
+      if (ds.tableExists(dest)) ds.renameTable(dest, old)
+      ds.renameTable(wk, dest)
+      publishing = false
+      if (noBackup) ds.dropForce(old)
+    } catch {
+      // same recovery discipline as SparkDataSource.stagedOverwrite: a
+      // failure DURING publish restores dest from _old and keeps wk (it
+      // may hold the only copy); before publish, wk is just dropped
+      case e: Throwable =>
+        try {
+          if (publishing) {
+            if (!ds.tableExists(dest) && ds.tableExists(old)) ds.renameTable(old, dest)
+          } else ds.dropForce(wk)
+        } catch { case _: Throwable => () } // original failure stays primary
+        throw e
     }
-    load(wk)
-    ds.dropForce(old)
-    if (ds.tableExists(dest)) ds.renameTable(dest, old)
-    ds.renameTable(wk, dest)
-    if (noBackup) ds.dropForce(old)
   }
 
   /** `my-import`: dump src table → object store (json.gz) → rebuild dest
@@ -129,6 +145,7 @@ object MySqlPlugin {
           val df = LoadOptions.read(destDs.spark, url, "json",
             p.pairs("options"), destDs.table(wk).schema)
           df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
+          df.unpersist() // release the maxerror full-parse cache
         }, p.bool("no-backup"))
         if (p.bool("analyze")) destDs.analyze(dest)
         p.pairs("grant") // ACL no-op, logged at the datasource layer
@@ -178,8 +195,11 @@ object MySqlPlugin {
         src.table(srcTable).toJSON.write.mode(SaveMode.Overwrite)
           .option("compression", "gzip").text(stage.toString)
         import scala.jdk.CollectionConverters._
-        val parts = java.nio.file.Files.list(stage).iterator.asScala
-          .filter(_.getFileName.toString.endsWith(".gz")).toSeq.sortBy(_.toString)
+        val listing = java.nio.file.Files.list(stage)
+        val parts =
+          try listing.iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".gz")).toSeq.sortBy(_.toString)
+          finally listing.close()
         val out = java.nio.file.Files.newOutputStream(tmpFile)
         try parts.foreach(part => java.nio.file.Files.copy(part, out))
         finally out.close()
@@ -193,6 +213,7 @@ object MySqlPlugin {
           val df = LoadOptions.read(destDs.spark, store.urlString(s3File), "json",
             p.pairs("options"), destDs.table(wk).schema)
           df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
+          df.unpersist() // release the maxerror full-parse cache
         }, p.bool("no-backup"))
         if (p.bool("analyze")) destDs.analyze(dest)
         ()
@@ -244,6 +265,7 @@ object MySqlPlugin {
           val df = LoadOptions.read(destDs.spark, url, "json",
             p.pairs("options"), destDs.table(wk).schema)
           df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
+          df.unpersist() // release the maxerror full-parse cache
         }
         if (p.bool("analyze")) destDs.analyze(dest)
         ()

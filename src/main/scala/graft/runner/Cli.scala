@@ -105,6 +105,7 @@ object Cli {
       queuePath: Option[Path],
       dbQueuePath: Option[Path],
       clearQueue: Boolean,
+      unlockJobnet: Boolean,
       dryRun: Boolean,
       target: Option[Path])
 
@@ -118,6 +119,7 @@ object Cli {
     var queue: Option[Path] = None
     var dbQueue: Option[Path] = None
     var clear = false
+    var unlock = false
     var dry = false
     var target: Option[Path] = None
     val it = args.iterator
@@ -134,6 +136,7 @@ object Cli {
         case a if a.startsWith("--queue=") => queue = Some(Paths.get(a.drop(8)))
         case a if a.startsWith("--db-queue=") => dbQueue = Some(Paths.get(a.drop(11)))
         case "--clear-queue" => clear = true
+        case "--unlock-jobnet" => unlock = true
         case "--dry-run" | "-n" => dry = true
         case a if a.startsWith("--") && a.contains("=") =>
           val Array(k, v) = a.drop(2).split("=", 2)
@@ -143,7 +146,7 @@ object Cli {
         case a => throw new ParameterError(s"unexpected argument: $a")
       }
     }
-    Options(home, vars, jobOpts, queue, dbQueue, clear, dry, target)
+    Options(home, vars, jobOpts, queue, dbQueue, clear, unlock, dry, target)
   }
 }
 
@@ -155,8 +158,8 @@ object BricolageMain {
     */
   def run(args: Seq[String],
       sparkOverride: Option[SparkSession] = None): Int = {
-    JobListener.fire(JobListener.registered)(_.beforeOptionParsing(args))
-    val opts = Cli.parseArgs(args)
+    val args1 = JobListener.fireOptionParsing(JobListener.registered, args)
+    val opts = Cli.parseArgs(args1)
     val jobPath = opts.target.getOrElse(
       throw new ParameterError("usage: BricolageMain [options] job-file"))
     // subsystem = the job file's parent directory name under home
@@ -185,8 +188,8 @@ object BricolageMain {
 object JobNetMain {
   def run(args: Seq[String],
       sparkOverride: Option[SparkSession] = None): Int = {
-    JobListener.fire(JobListener.registered)(_.beforeOptionParsing(args))
-    val opts = Cli.parseArgs(args)
+    val args1 = JobListener.fireOptionParsing(JobListener.registered, args)
+    val opts = Cli.parseArgs(args1)
     val netPath = opts.target.getOrElse(
       throw new ParameterError("usage: JobNetMain [options] jobnet-file"))
     val subsys = Option(netPath.toAbsolutePath.getParent)
@@ -207,6 +210,10 @@ object JobNetMain {
         val executorId = java.net.InetAddress.getLocalHost.getHostName +
           ":" + ProcessHandle.current().pid()
         if (opts.clearQueue) store.cancelJobnet(jobnetId, "cleared by --clear-queue")
+        // a dead runner's lock can only be released by the operator
+        // (its executor_id pid is gone): --unlock-jobnet takes it over
+        // while keeping all recorded progress
+        if (opts.unlockJobnet) store.forceUnlock(jobnetId)
         val q = new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
           enableLock = true)
         q.restoreJobnet()

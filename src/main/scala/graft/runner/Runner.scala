@@ -13,10 +13,11 @@ import graft.net.{FileTaskQueue, JobDAG, JobNet, JobRef, MemoryTaskQueue, TaskQu
   */
 trait JobListener {
   /** Fired by the CLI entry points before argv parsing — the reference's
-    * 5th hook (eventhandlers.rb:25-31); a hooks file uses it to inject
-    * default options.
+    * 5th hook (eventhandlers.rb:25-31). The returned sequence REPLACES the
+    * argv (the reference's hooks mutate ARGV to inject default options);
+    * return `args` unchanged to only observe.
     */
-  def beforeOptionParsing(args: Seq[String]): Unit = ()
+  def beforeOptionParsing(args: Seq[String]): Seq[String] = args
   def beforeAllJobs(refs: Seq[JobRef]): Unit = ()
   def beforeJob(ref: JobRef): Unit = ()
   def afterJob(ref: JobRef, result: JobResult): Unit = ()
@@ -41,6 +42,18 @@ object JobListener {
     listeners.foreach { l =>
       try f(l) catch { case e: Exception =>
         System.err.println(s"[hook] handler failed (ignored): ${e.getMessage}")
+      }
+    }
+
+  /** Thread argv through every beforeOptionParsing hook (a failing hook is
+    * skipped, keeping the args it received).
+    */
+  def fireOptionParsing(listeners: Seq[JobListener],
+      args: Seq[String]): Seq[String] =
+    listeners.foldLeft(args) { (acc, l) =>
+      try l.beforeOptionParsing(acc) catch { case e: Exception =>
+        System.err.println(s"[hook] handler failed (ignored): ${e.getMessage}")
+        acc
       }
     }
 }
@@ -87,8 +100,11 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
     // parameter values may reference job-file rest variables and -v CLI
     // variables, not just globals (reference: test_variables.rb "job
     // parameter can refer job file variables" — job.rb:88-126 resolves the
-    // full variable overlay before materializing parameters)
-    val paramVars = globals.union(restVars).union(cliVariables).resolve()
+    // full variable overlay before materializing parameters). LENIENT
+    // resolve: a rest variable may itself reference a parameter-published
+    // variable ($dest_table) that only exists in the final overlay — that
+    // must not fail unless a parameter actually consumes it here.
+    val paramVars = globals.union(restVars).union(cliVariables).resolveLenient()
     val params = new ParamDecls(jc.params)
       .materialize(withSqlDefault, cliOptions, paramVars)
     val vars = globals

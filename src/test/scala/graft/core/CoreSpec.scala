@@ -217,6 +217,14 @@ class SqlStatementSpec extends AnyFunSuite {
     assert(EmbeddedFunctions.eval("user_home") == sys.props("user.home"))
   }
 
+  test("kind sniffs past leading comments") {
+    val s = new SqlStatement("-- rebuild the view\ncreate view v as select 1")
+      .bind(Variables.empty)
+    assert(s.kind == "create")
+    assert(SqlStatement.firstKeyword("/* note */ VACUUM t") == "vacuum")
+    assert(SqlStatement.firstKeyword("--only a comment") == "")
+  }
+
   test("ERB: all_tables / attribute_tables scan .ct headers") {
     val home = java.nio.file.Files.createTempDirectory("erb-home")
     val sub = home.resolve("subsys"); java.nio.file.Files.createDirectories(sub)

@@ -379,6 +379,17 @@ class ReferenceVariablesSpec extends AnyFunSuite {
     assert(params.string("delete-cond") == "data_date >= current_date - 14")
   }
 
+  test("rest variable may reference a parameter-published variable") {
+    // backup_table references $dest_table, which only exists AFTER params
+    // publish — materialization must not fail on it (lenient pre-resolve)
+    val (vars, params) = compileJob(Variables.empty,
+      Map("dest-table" -> "public.users",
+        "backup_table" -> "${dest_table}_bak"),
+      params = Seq(DestTableParam()))
+    assert(params.table("dest-table") == TableSpec(Some("public"), "users"))
+    assert(vars("backup_table") == "public.users_bak")
+  }
+
   test("option value can override job file variables") {
     val gvars = Variables(
       "window_span" -> "0",

@@ -46,11 +46,15 @@ class ExecutionStoreSpec extends AnyFunSuite {
         Seq("waiting", "running", "succeeded"))
     }
 
-    test(s"[$kind] illegal transitions raise") {
+    test(s"[$kind] illegal transitions raise; running re-claim is legal") {
       val store = mk()
       val e = store.enqueueJob("n", ref("j"), 1)
       intercept[IllegalJobStateException](store.transitionToSucceeded(e.id))
       store.transitionToRunning(e.id)
+      // a crashed runner leaves 'running'; a restart must be able to
+      // re-claim it rather than demand --clear-queue
+      store.transitionToRunning(e.id)
+      store.transitionToSucceeded(e.id)
       intercept[IllegalJobStateException](store.transitionToRunning(e.id))
     }
 

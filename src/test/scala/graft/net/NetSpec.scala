@@ -43,6 +43,13 @@ class JobNetSpec extends AnyFunSuite {
     assert(order == Seq("job1", "job2", "job3", "job4"))
   }
 
+  test("malformed lines are syntax errors, not crashes") {
+    intercept[ParameterError](JobNet.parse("->\n", ref))          // lone arrow
+    intercept[ParameterError](JobNet.parse("a ->\n", ref))        // trailing arrow
+    intercept[ParameterError](JobNet.parse("-> x\n", ref))        // no previous job
+    intercept[ParameterError](JobNet.parse("a -> -> b\n", ref))   // empty middle
+  }
+
   test("cycle detection raises") {
     val net = JobNet.parse("a -> b\nb -> a\n", ref)
     intercept[ParameterError] {

@@ -192,15 +192,23 @@ class CliSpec extends AnyFunSuite {
     } finally store.close()
   }
 
-  test("before_option_parsing hook fires before argv parsing") {
+  test("before_option_parsing hook fires before argv parsing and can inject options") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-    JobListener.register(new JobListener {
-      override def beforeOptionParsing(args: Seq[String]): Unit = seen += args
-    })
     val home = Files.createTempDirectory("cli-home4")
+    JobListener.register(new JobListener {
+      override def beforeOptionParsing(args: Seq[String]): Seq[String] = {
+        seen += args
+        // inject a default option, as the reference's hooks do via ARGV
+        if (args.exists(_.endsWith("nop2.job"))) s"--home=$home" +: args else args
+      }
+    })
     Files.writeString(home.resolve("nop.job"), "class: noop\n")
     assert(BricolageMain.run(Seq(s"--home=$home",
       home.resolve("nop.job").toString), Some(SparkTestBase.spark)) == 0)
     assert(seen.nonEmpty && seen.head.exists(_.endsWith("nop.job")))
+    // injected --home takes effect: no explicit --home in the argv
+    Files.writeString(home.resolve("nop2.job"), "class: noop\n")
+    assert(BricolageMain.run(Seq(home.resolve("nop2.job").toString),
+      Some(SparkTestBase.spark)) == 0)
   }
 }

@@ -34,11 +34,25 @@ def load_bench(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     threshold = 1.5
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    raise SystemExit("--threshold requires a value")
+                threshold = float(argv[i + 1])
+                i += 1  # consume the value, don't treat it as a file
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        raise SystemExit("usage: compare_bench.py BASELINE.json NEW.json [--threshold X]")
     base, new = load_bench(args[0]), load_bench(args[1])
     failures = []
     for q, t_new in sorted(new["queries"].items()):
