@@ -202,7 +202,8 @@ final class JobNetRunner(ctx: JobContext,
     */
   def run(rootNet: Path, queue: TaskQueue = new MemoryTaskQueue,
       cliVariables: Variables = Variables.empty,
-      logFiles: Option[LogFilePath] = None): JobResult = {
+      logFiles: Option[LogFilePath] = None,
+      logStore: Option[(graft.ds.ObjectStore, String)] = None): JobResult = {
     val jobnetStart = java.time.LocalDateTime.now()
     val jobnetId = (if (ctx.subsys.isEmpty) "" else ctx.subsys + "/") +
       rootNet.getFileName.toString.stripSuffix(".jobnet")
@@ -227,7 +228,13 @@ final class JobNetRunner(ctx: JobContext,
         case Some(lp) =>
           val p = java.nio.file.Paths.get(
             lp.format(ref, jobnetId, java.time.LocalDateTime.now(), jobnetStart))
-          LogLocator.redirect(p)(exec())
+          // after the job, ship the log to the object store under the
+          // templated key (reference: loglocator.rb:60-76 S3 upload)
+          val upload = logStore.map { case (store, prefix) =>
+            (f: Path) => store.put(f,
+              prefix.stripSuffix("/") + "/" + f.getFileName.toString)
+          }
+          LogLocator.redirect(p, upload)(exec())
         case None => exec()
       }
       JobListener.fire(listeners)(_.afterJob(ref, r))

@@ -88,6 +88,18 @@ class CliSpec extends AnyFunSuite {
     assert(text.contains("via console") && text.contains("via system"))
   }
 
+  test("LogLocator upload hook ships the log after the job; failure only warns") {
+    val dir = Files.createTempDirectory("log-up")
+    val f = dir.resolve("job.log")
+    var shipped: Option[java.nio.file.Path] = None
+    LogLocator.redirect(f, Some(p => shipped = Some(p))) { println("x") }
+    assert(shipped.contains(f))
+    // a throwing uploader must not fail the job path
+    LogLocator.redirect(dir.resolve("job2.log"),
+      Some(_ => throw new RuntimeException("s3 down"))) { println("y") }
+    assert(Files.exists(dir.resolve("job2.log")))
+  }
+
   test("BricolageMain and JobNetMain run end-to-end from files, exit codes map") {
     val spark = graft.SparkTestBase.spark
     spark.sql("CREATE DATABASE IF NOT EXISTS cli_e2e")
