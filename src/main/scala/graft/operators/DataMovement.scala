@@ -88,8 +88,12 @@ object DataMovement {
     * must equal the same aggregate computed directly from the source.
     */
   def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // key the scratch dir by scale dir: concurrent/interleaved runs at
+    // different SFs (bench warmup at sf0.001, timed pass at sf0.1) must
+    // not share a path
     val out = Files.createDirectories(
-      Paths.get(sys.props("java.io.tmpdir"), "graft_csv_roundtrip")).toString
+      Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_csv_roundtrip_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")).toString
     val src = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         round(col("l_quantity"), 2).as("qty"))
@@ -146,7 +150,8 @@ object DataMovement {
     */
   def qLoadMaxerror(s: SparkSession, dir: String): DataFrame = {
     val out = Files.createDirectories(
-      Paths.get(sys.props("java.io.tmpdir"), "graft_load_maxerror")).toString
+      Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_load_maxerror_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")).toString
     val src = t(s, dir, "lineitem")
       .select(col("l_orderkey"), round(col("l_quantity"), 2).as("qty"))
     src.select(concat_ws(",", col("l_orderkey"),
