@@ -91,11 +91,15 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
       }
 
     // Partition a queue snapshot against the load log on data_file
-    // (reference :294-312 partition_loaded_objects): returns
-    // (loaded, notLoaded) as store-relative paths. Runs as a Spark join;
-    // only the snapshot-sized subsets come back to the driver.
-    def partitionBySnapshot(candidates: Seq[String]): (Seq[String], Seq[String]) = {
-      if (candidates.isEmpty) return (Nil, Nil)
+    // (reference :294-312 partition_loaded_objects). Runs as a Spark join.
+    // The `loaded` side (crash leftovers) is collected — bounded by one
+    // prior run; the `notLoaded` side streams through toLocalIterator so
+    // an unbounded queue never sits fully in driver memory — only one
+    // load batch of names at a time (the cursor-batch idiom,
+    // DataSource.queryBatch).
+    def partitionBySnapshot(candidates: Seq[String])
+        : (Seq[String], Iterator[String]) = {
+      if (candidates.isEmpty) return (Nil, Iterator.empty)
       val spark = ds.spark
       import spark.implicits._
       ensureLogTable(ds, log)
@@ -103,9 +107,13 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
       val logged = ds.table(log).select(col("data_file"))
       val loadedRel = cand.join(logged, Seq("data_file"), "left_semi")
         .select("rel").as[String].collect().toSeq.sorted
-      val newRel = cand.join(logged, Seq("data_file"), "left_anti")
-        .select("rel").as[String].collect().toSeq.sorted
-      (loadedRel, newRel)
+      val newRelIt = {
+        import scala.jdk.CollectionConverters._
+        cand.join(logged, Seq("data_file"), "left_anti")
+          .orderBy("rel").select("rel").as[String]
+          .toLocalIterator().asScala
+      }
+      (loadedRel, newRelIt)
     }
 
     val batchSize = p.stringOpt("batch-size").map(_.toInt).getOrElse(100000)
