@@ -104,6 +104,7 @@ object Cli {
       jobOptions: Map[String, String],
       queuePath: Option[Path],
       dbQueuePath: Option[Path],
+      enableQueue: Boolean,
       clearQueue: Boolean,
       unlockJobnet: Boolean,
       dryRun: Boolean,
@@ -116,8 +117,11 @@ object Cli {
     var home = Paths.get(sys.env.getOrElse("BRICOLAGE_HOME", "."))
     var vars = Variables.empty
     var jobOpts = Map.empty[String, String]
-    var queue: Option[Path] = None
+    // env layer between defaults and cmdline (reference:
+    // jobnetrunner.rb:246-257 BRICOLAGE_QUEUE_PATH / BRICOLAGE_ENABLE_QUEUE)
+    var queue: Option[Path] = sys.env.get("BRICOLAGE_QUEUE_PATH").map(Paths.get(_))
     var dbQueue: Option[Path] = None
+    var enableQ = sys.env.contains("BRICOLAGE_ENABLE_QUEUE")
     var clear = false
     var unlock = false
     var dry = false
@@ -135,6 +139,8 @@ object Cli {
           }
         case a if a.startsWith("--queue=") => queue = Some(Paths.get(a.drop(8)))
         case a if a.startsWith("--db-queue=") => dbQueue = Some(Paths.get(a.drop(11)))
+        case "-Q" | "--enable-queue" => enableQ = true
+        case "--disable-queue" => enableQ = false; queue = None
         case "--clear-queue" => clear = true
         case "--unlock-jobnet" => unlock = true
         case "--dry-run" | "-n" => dry = true
@@ -146,7 +152,7 @@ object Cli {
         case a => throw new ParameterError(s"unexpected argument: $a")
       }
     }
-    Options(home, vars, jobOpts, queue, dbQueue, clear, unlock, dry, target)
+    Options(home, vars, jobOpts, queue, dbQueue, enableQ, clear, unlock, dry, target)
   }
 }
 
@@ -221,6 +227,16 @@ object JobNetMain {
       case (None, Some(p)) =>
         // --clear-queue discards persisted progress before restore
         // (reference: jobnetrunner.rb:63-66)
+        if (opts.clearQueue) Files.deleteIfExists(p)
+        new FileTaskQueue(p)
+      case (None, None) if opts.enableQueue =>
+        // derived file-queue path under the local state dir (reference:
+        // jobnetrunner.rb:127-134 get_queue_file_path —
+        // <state>/queue/<app>.<jobnet-id-dotted>)
+        val jobnetId = (if (subsys.isEmpty) "" else subsys + ".") +
+          netPath.getFileName.toString.stripSuffix(".jobnet")
+        val p = opts.home.resolve(".bricolage").resolve("queue")
+          .resolve(s"graft.$jobnetId.queue")
         if (opts.clearQueue) Files.deleteIfExists(p)
         new FileTaskQueue(p)
       case (None, None) => new MemoryTaskQueue

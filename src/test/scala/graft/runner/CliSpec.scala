@@ -163,6 +163,25 @@ class CliSpec extends AnyFunSuite {
     assert(ctx.registry.get("db").name == "db")
   }
 
+  test("--enable-queue derives a file-queue path under the local state dir") {
+    val home = Files.createTempDirectory("cli-eq")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/b.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> b\n")
+    val args = Seq(s"--home=$home", "--enable-queue",
+      home.resolve("net/q.jobnet").toString)
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1)
+    // the derived queue file persists the failed tail
+    val qf = home.resolve(".bricolage/queue/graft.net.q.queue")
+    assert(Files.exists(qf))
+    assert(Files.readString(qf).trim == "net/b")
+    // fix and resume from the persisted queue: only b reruns
+    Files.writeString(home.resolve("net/b.job"), "class: noop\n")
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
+    assert(!Files.exists(qf)) // drained queues delete their file
+  }
+
   test("config/ and config/<env>/ variable layering (reference config_pathes)") {
     val home = Files.createTempDirectory("cli-cfg")
     Files.createDirectories(home.resolve("config/development"))
