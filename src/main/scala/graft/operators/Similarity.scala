@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -90,20 +90,31 @@ object Similarity {
     * idiom (each side replicates B times; a pair meets at exactly one key,
     * enforced by the (block_a, block_b) = (lo, hi) filter). Unlike an
     * LSH-bucket candidate join this is lossless: the pair set is identical
-    * to the naive self-join, so the oracle match is exact. Size B so a
-    * block pair fits one task; recall stays 100% at any B.
+    * to the naive self-join, so the oracle match is exact. B is derived
+    * per label from the observed cell size (ceil(cell / blockTarget)), so
+    * a block pair's work is bounded by ~blockTarget² regardless of how
+    * skewed the labels are; recall stays 100% at any B.
     */
-  def qEmbeddingNearDup(s: SparkSession, dir: String, blocks: Int = 4): DataFrame = {
+  def qEmbeddingNearDup(s: SparkSession, dir: String, blockTarget: Long = 4096L): DataFrame = {
     // Norms are precomputed per vector BEFORE the pair join: per-pair work
     // drops from three array folds to one (the dot product). Same double
     // arithmetic, so the oracle match is unaffected.
     graft.functions.VectorFunctions.register(s)
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"),
-        pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
+    // Block count adapts to the observed cell: one row-per-label pre-agg
+    // (tiny — it is the distinct-label surface) broadcast back, so a hot
+    // label gets ceil(cell / blockTarget) blocks while cold labels stay at
+    // B=1 and pay zero replication. The lossless-meet proof only needs B
+    // constant WITHIN a label, which a per-label count guarantees.
+    val cells = base.groupBy("label").agg(count(lit(1)).as("cell_n"))
+    val e = base.join(broadcast(cells), Seq("label"))
+      .withColumn("nblk",
+        greatest(lit(1L), ceil(col("cell_n").cast("double") / lit(blockTarget.toDouble))).cast("int"))
+      .withColumn("blk", pmod(hash(col("vec_id")), col("nblk")))
       // replicate each row once per peer block k; the key is the unordered
       // block pair so (x in i, y in j) meets exactly at key (min(i,j), max(i,j))
-      .withColumn("k", explode(sequence(lit(0), lit(blocks - 1))))
+      .withColumn("k", explode(sequence(lit(0), col("nblk") - 1)))
       .withColumn("lo", least(col("blk"), col("k")))
       .withColumn("hi", greatest(col("blk"), col("k")))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
@@ -139,22 +150,27 @@ object Similarity {
     * each vector to an 8-bit bucket; the query reports bucket occupancy —
     * the candidate-generation structure of approximate NN at scale.
     */
-  def qLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val e = t(s, dir, "embeddings")
-    // plane p, component j: ((p*131 + j*37) % 19) - 9 (deterministic,
-    // zero-mean-ish). Planes are materialized as float-array literals and
-    // dotted with the codegen'd vec_dot — the nested-HOF formulation paid
-    // 8×64 interpreted lambda calls per row. Same index-order double
-    // accumulation, so bucket assignment is unchanged.
+  // plane p, component j: ((p*131 + j*37) % 19) - 9 (deterministic,
+  // zero-mean-ish). Planes are materialized as float-array literals and
+  // dotted with the codegen'd vec_dot — the nested-HOF formulation paid
+  // 8×64 interpreted lambda calls per row. Same index-order double
+  // accumulation, so bucket assignment is reproducible in the DuckDB
+  // oracle's CASE-sum form. Shared by qLshBuckets (occupancy report) and
+  // qAnnNearDup (candidate generation).
+  private def hyperplaneBucket: Column = {
     def planeSql(p: Int): String =
       (0 until 64).map(j => s"CAST(${(p * 131 + j * 37) % 19 - 9} AS FLOAT)")
         .mkString("array(", ", ", ")")
-    val bucket = (0 until 8).map { p =>
+    (0 until 8).map { p =>
       expr(s"CASE WHEN vec_dot(embedding, ${planeSql(p)}) > 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     }.reduce(_ + _)
-    e.select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  def qLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    e.select(col("vec_id"), col("label"), hyperplaneBucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
       .orderBy("bucket")
@@ -173,6 +189,62 @@ object Similarity {
       |  FROM comp GROUP BY vec_id, label)
       |SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
       |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Approximate-NN near-dup: candidate pairs are generated by equality on
+    * (label, hyperplane-bucket) — the sub-quadratic path the exact
+    * triangle-block can't be. Where qEmbeddingNearDup bounds the *task*
+    * size but still pays O(cell²) compute inside a label, this join only
+    * scores pairs whose 8-bit random-hyperplane signatures collide, so the
+    * compute surface is Σ bucket², a ~256× reduction under a uniform hash.
+    * Recall is approximate by design (near pairs may straddle buckets; more
+    * bands would raise it); because the planes are deterministic the exact
+    * same candidate set is expressible in DuckDB, so this is oracle-checked
+    * rather than rows-only.
+    */
+  def qAnnNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"),
+        hyperplaneBucket.as("bucket"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
+      col("label"), col("bucket"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding"),
+      col("label"), col("bucket"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        round(expr(dotExpr) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qAnnNearDupOracle: String =
+    """WITH comp AS (
+      |  SELECT vec_id, label, p.p AS p,
+      |    sum((e.emb[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
+      |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings) e,
+      |       range(8) AS p(p), range(64) AS j(j)
+      |  GROUP BY vec_id, label, p.p),
+      |buckets AS (
+      |  SELECT vec_id, label,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM comp GROUP BY vec_id, label),
+      |cand AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |pairs AS (
+      |  SELECT c.label, c.id_a, c.id_b,
+      |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+      |scored AS (
+      |  SELECT label, id_a, id_b,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY label, id_a, id_b)
+      |SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Per-vector int8 quantization (min/max affine, 0..255): the storage
     * transform that shrinks a 100 TB float corpus 4×. Output keeps the
@@ -207,6 +279,7 @@ object Similarity {
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
     QueryDef("q_embedding_near_dup", (s, d) => qEmbeddingNearDup(s, d),
       Some(qEmbeddingNearDupOracle)),
+    QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
   )
