@@ -109,10 +109,24 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
 
   /** Plan text for a statement (reference: psqldatasource.rb:273-296
     * generates `explain <stmt>` for select/insert/update/delete kinds).
+    * The statement is prefixed with EXPLAIN rather than planned via
+    * `spark.sql(stmt).queryExecution` because Spark executes DML commands
+    * (INSERT/CREATE ...) eagerly on `spark.sql` — EXPLAIN only parses.
     */
   def explain(stmt: String): String =
-    spark.sql(stmt).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExtendedMode)
+    sql("EXPLAIN EXTENDED " + stmt).collect().map(_.getString(0)).mkString("\n")
+
+  /** EXPLAIN every explainable statement of a bound script; DDL and
+    * maintenance statements are listed unexplained
+    * (reference: job.rb:146-149 Job#explain over the script's actions).
+    */
+  def explainScript(s: SqlStatement): String =
+    s.statements.map { stmt =>
+      SqlStatement.firstKeyword(stmt) match {
+        case "select" | "insert" | "update" | "delete" | "with" => explain(stmt)
+        case _ => s"-- (not explainable) $stmt"
+      }
+    }.mkString("\n")
 
   def analyze(t: TableSpec): Unit = {
     sql(s"ANALYZE TABLE ${qualify(t)} COMPUTE STATISTICS")
@@ -306,6 +320,24 @@ final class HadoopFsDataSource(val name: String, baseUri: String)
 }
 
 /** Local-file datasource (reference: lib/bricolage/filedatasource.rb:6-39). */
+/** A server-database datasource resolvable by `--db-name` for the DB task
+  * queue (reference: jobnetrunner.rb:100-105 resolves a 'psql' datasource;
+  * psqldatasource.rb builds the connection from host/port/database). An
+  * explicit `url:` wins; otherwise a PostgreSQL JDBC URL is assembled from
+  * host/port/database. The queue store (JdbcExecutionStore) is ANSI-SQL
+  * JDBC, so any server the driver jars can reach works.
+  */
+final class JdbcDataSource(val name: String, config: Map[String, String])
+    extends DataSource {
+  val url: String = config.getOrElse("url", {
+    val host = config.getOrElse("host", "localhost")
+    val port = config.getOrElse("port", "5432")
+    val db = config.getOrElse("database",
+      throw new JobError(s"datasource $name: 'url' or 'database' required"))
+    s"jdbc:postgresql://$host:$port/$db"
+  })
+}
+
 final class FileDataSource(val name: String, val baseDir: Path) extends DataSource {
   def resolve(rel: String): Path = baseDir.resolve(rel)
   def removeGlob(pattern: String): Int = {
@@ -340,6 +372,10 @@ final class DataSourceRegistry(sources: Map[String, DataSource]) {
     case s: FileDataSource => s
     case _ => throw new JobError(s"not a file datasource: $name")
   }
+  def jdbc(name: String): JdbcDataSource = get(name) match {
+    case s: JdbcDataSource => s
+    case _ => throw new JobError(s"not a jdbc datasource: $name")
+  }
 }
 
 object DataSourceRegistry {
@@ -360,6 +396,8 @@ object DataSourceRegistry {
             throw new JobError(s"datasource $name: 'base' URI required")))
         case "file"    => new FileDataSource(name, Paths.get(opts.getOrElse("base", ".")))
         case "generic" => new GenericDataSource(name)
+        case "jdbc" | "psql" | "postgres" | "postgresql" =>
+          new JdbcDataSource(name, opts)
         case "sns"     => new SnsDataSource(name)
         case "redis" | "kvs" => new graft.plugins.RedisPlugin.KvsDataSource(name)
         case other     => throw new JobError(s"unknown datasource type: $other")

@@ -35,7 +35,9 @@ object SqlJobClass extends JobClass("sql") {
       Some(Action("truncate") {
         dest.foreach(ds.truncate)
       }).filter(_ => p.bool("truncate")),
-      Some(Action("sql") { ds.execScript(stmt); () }),
+      Some(Action.explainable("sql")(ds.explainScript(stmt)) {
+        ds.execScript(stmt); ()
+      }),
       Some(Action("vacuum") { dest.foreach(ds.vacuum(_)) }).filter(_ => p.bool("vacuum")),
       Some(Action("analyze") { dest.foreach(ds.analyze) }).filter(_ => p.bool("analyze")),
     ).flatten
@@ -62,7 +64,7 @@ object InsertJobClass extends JobClass("insert") {
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
     Seq(
       Some(Action("truncate") { ds.truncate(dest) }).filter(_ => p.bool("truncate")),
-      Some(Action("insert") {
+      Some(Action.explainable("insert")(ds.explainScript(stmt)) {
         if (p.bool("drop") && p.get("table-def").isDefined) {
           // rebuild path: stage into _wk from the .ct definition, then swap
           ds.stagedOverwrite(dest) { wk =>
@@ -429,7 +431,9 @@ object AdhocJobClass extends JobClass("adhoc") {
   def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
     val ds = sparkDs(p, ctx)
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
-    Seq(Action("adhoc") { ds.execScript(stmt); () })
+    Seq(Action.explainable("adhoc")(ds.explainScript(stmt)) {
+      ds.execScript(stmt); ()
+    })
   }
 }
 

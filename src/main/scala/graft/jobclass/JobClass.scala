@@ -48,6 +48,12 @@ final case class JobContext(registry: DataSourceRegistry, home: Path,
 trait Action {
   def label: String
   def run(): Unit
+  /** Plan text for `-E/--explain` — SQL-backed actions return their
+    * EXPLAIN output instead of executing (reference: job.rb:146-149 +
+    * psqldatasource.rb:273-296 explain_source); non-SQL actions are
+    * skipped.
+    */
+  def explain(): Option[String] = None
 }
 
 object Action {
@@ -55,6 +61,14 @@ object Action {
     val label: String = lbl
     def run(): Unit = body
   }
+
+  /** An action that can also be EXPLAINed without running. */
+  def explainable(lbl: String)(explainFn: => String)(body: => Unit): Action =
+    new Action {
+      val label: String = lbl
+      def run(): Unit = body
+      override def explain(): Option[String] = Some(explainFn)
+    }
 }
 
 /** A named job template declaring typed parameters and building an action
@@ -101,6 +115,14 @@ object JobClass {
   def get(id: String): JobClass =
     Option(custom.get(id)).orElse(registry.get(id))
       .getOrElse(throw new ParameterError(s"no such job class: $id"))
+
+  /** Sorted class ids for `--list-job-class`
+    * (reference: application.rb:338-342 JobClass.list).
+    */
+  def list: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    (registry.keys ++ custom.keySet.asScala).toSeq.distinct.sorted
+  }
 }
 
 /** Define a job class from a plain function — the ScalaJobClass analogue

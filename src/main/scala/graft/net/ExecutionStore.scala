@@ -61,6 +61,7 @@ trait ExecutionStoreApi {
   def lock(key: String, executorId: String): Unit
   def unlock(key: String, executorId: String): Unit
   def lockedBy(key: String): Option[String]
+  def close(): Unit = ()
 }
 
 /** Durable store for job executions. In the reference this is a set of
@@ -302,4 +303,5 @@ final class DatabaseTaskQueue(
   override def lock(): Unit = store.lock(jobnetId, executorId)
   override def unlock(): Unit = store.unlock(jobnetId, executorId)
   override def locked: Boolean = store.lockedBy(jobnetId).isDefined
+  override def close(): Unit = store.close()
 }

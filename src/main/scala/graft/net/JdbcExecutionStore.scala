@@ -24,7 +24,19 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
   conn.setAutoCommit(true)
   init()
 
-  def close(): Unit = conn.close()
+  /** Close the connection; for embedded Derby additionally shut the
+    * database down so its `db.lck` is released and a later run in the same
+    * JVM can boot the same path (Derby signals a successful single-db
+    * shutdown with SQLState 08006, which is expected, not an error).
+    */
+  override def close(): Unit = {
+    conn.close()
+    if (jdbcUrl.startsWith("jdbc:derby:")) {
+      val dbUrl = jdbcUrl.split(";").head
+      try { DriverManager.getConnection(dbUrl + ";shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 
   private def init(): Unit = synchronized {
     val rs = conn.getMetaData.getTables(null, null, "JOB_EXECUTIONS", null)

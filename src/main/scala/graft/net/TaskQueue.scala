@@ -24,6 +24,12 @@ trait TaskQueue {
   def lock(): Unit = ()
   def unlock(): Unit = ()
   def locked: Boolean = false
+
+  /** Release backing resources (a DB-backed queue closes its store so an
+    * embedded database can be re-opened by a later run in the same JVM;
+    * memory/file queues have nothing to release).
+    */
+  def close(): Unit = ()
 }
 
 final class MemoryTaskQueue extends TaskQueue {

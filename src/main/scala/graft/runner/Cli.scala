@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.core.{EmbeddedFunctions, JobFile, JobResult, ParameterError, Variables}
 import graft.ds.{DataSourceRegistry, FileDataSource, FsDataSource, SparkDataSource}
-import graft.jobclass.JobContext
+import graft.jobclass.{JobClass, JobContext}
 import graft.net.{FileTaskQueue, MemoryTaskQueue, TaskQueue}
 
 /** CLI entry points mirroring the reference's two binaries
@@ -19,6 +19,11 @@ import graft.net.{FileTaskQueue, MemoryTaskQueue, TaskQueue}
   * variables (ERB-style `<%= %>` helpers preprocessed).
   */
 object Cli {
+
+  /** Printed by `--version` (reference: application.rb:361-363 prints
+    * `APPLICATION_NAME version VERSION`).
+    */
+  val Version = "0.3.0"
 
   def buildSpark(appName: String): SparkSession = {
     val s = SparkSession.builder()
@@ -33,15 +38,18 @@ object Cli {
     s
   }
 
+  /** Default environment when `-e` is absent (reference: context.rb
+    * DEFAULT_ENV with the `BRICOLAGE_ENV` override).
+    */
   def environment: String = sys.env.getOrElse("BRICOLAGE_ENV", "development")
 
   /** Config search paths for a basename (reference: filesystem.rb:126-128
     * config_pathes — `config/<name>` then `config/<env>/<name>`; the home
     * root is accepted too for flat layouts).
     */
-  def configPaths(home: Path, basename: String): Seq[Path] =
+  def configPaths(home: Path, basename: String, env: String = environment): Seq[Path] =
     Seq(home.resolve("config").resolve(basename),
-      home.resolve("config").resolve(environment).resolve(basename),
+      home.resolve("config").resolve(env).resolve(basename),
       home.resolve(basename))
 
   /** Variable layering (reference: context.rb:96-133 +
@@ -50,7 +58,7 @@ object Cli {
     * home root < subsystem dir (later wins); all files are
     * ERB-preprocessed.
     */
-  def loadVariables(home: Path, subsys: String): Variables = {
+  def loadVariables(home: Path, subsys: String, env: String = environment): Variables = {
     def fromFile(p: Path): Variables =
       if (!Files.exists(p)) Variables.empty
       else Variables.fromMap(
@@ -58,27 +66,28 @@ object Cli {
             graft.core.ErbContext(Some(home), Some(p.getParent))))
           .map { case (k, v) => k -> String.valueOf(v) })
     def scoped(basename: String): Variables = {
-      val layers = configPaths(home, basename) ++
+      val layers = configPaths(home, basename, env) ++
         (if (subsys.isEmpty) Nil else Seq(home.resolve(subsys).resolve(basename)))
       layers.map(fromFile).reduce(_.union(_))
     }
     val builtin = Variables(
-      "bricolage_env" -> environment,
+      "bricolage_env" -> env,
       "bricolage_home" -> home.toString)
     builtin.union(scoped("bricolage.yml")).union(scoped("variable.yml"))
   }
 
-  def loadContext(home: Path, subsys: String, spark: => SparkSession): JobContext = {
+  def loadContext(home: Path, subsys: String, spark: => SparkSession,
+      env: String = environment): JobContext = {
     // datasource.yml with database.yml fallback, each searched through the
     // config paths; password.yml entries merge into the same-named
     // datasource configs (reference: datasource.rb:10-22,32-50
     // DataSourceFactory.load over context.config_pathes)
     val dsFile = Seq("datasource.yml", "database.yml")
-      .flatMap(configPaths(home, _)).find(Files.exists(_))
+      .flatMap(configPaths(home, _, env)).find(Files.exists(_))
     val registry = dsFile match {
       case Some(f) =>
         var config = JobFile.parseYamlMap(Files.readString(f))
-        val pwFile = configPaths(home, "password.yml").find(Files.exists(_))
+        val pwFile = configPaths(home, "password.yml", env).find(Files.exists(_))
         pwFile.foreach { pf =>
           val passwords = JobFile.parseYamlMap(Files.readString(pf))
           config = config.map {
@@ -95,55 +104,185 @@ object Cli {
           "fs"   -> new FsDataSource("fs", home),
           "file" -> new FileDataSource("file", home)))
     }
-    JobContext(registry, home, subsys, loadVariables(home, subsys))
+    JobContext(registry, home, subsys, loadVariables(home, subsys, env))
+  }
+
+  /** Executor identity for the DB queue: `Hostname:PID`, or `TaskID:PID`
+    * when running under ECS (reference: jobnetrunner.rb:113-124
+    * get_executor_id — the task id is the last ARN path component of the
+    * container metadata endpoint's `/task` document).
+    */
+  def executorId(ecsMetadataUri: Option[String] = None): String = {
+    val pid = ProcessHandle.current().pid()
+    ecsMetadataUri match {
+      case Some(base) =>
+        val body = new String(
+          java.net.URI.create(base.stripSuffix("/") + "/task").toURL
+            .openStream().readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val arn = """"TaskARN"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse(
+            throw new graft.core.JobError("ECS task metadata has no TaskARN"))
+        arn.split('/').last + ":" + pid
+      case None =>
+        java.net.InetAddress.getLocalHost.getHostName + ":" + pid
+    }
+  }
+
+  /** Application name for derived queue paths: the home directory's
+    * basename, skipping Capistrano release segments
+    * (reference: jobnetrunner.rb:136-142 app_name).
+    */
+  def appName(home: Path): String = {
+    var p = home.toAbsolutePath.normalize
+    while (p.getFileName != null &&
+        p.getFileName.toString.matches("""\d+|current|releases"""))
+      p = p.getParent
+    Option(p.getFileName).map(_.toString).getOrElse("graft")
   }
 
   final case class Options(
       home: Path,
+      environment: Option[String],
       varAssigns: Variables,
       jobOptions: Map[String, String],
       queuePath: Option[Path],
       dbQueuePath: Option[Path],
+      dbName: Option[String],
       enableQueue: Boolean,
       clearQueue: Boolean,
       unlockJobnet: Boolean,
       dryRun: Boolean,
-      target: Option[Path])
+      explain: Boolean,
+      checkOnly: Boolean,
+      listJobs: Boolean,
+      listJobClass: Boolean,
+      listGlobalVariables: Boolean,
+      listVariables: Boolean,
+      listDeclarations: Boolean,
+      dumpOptions: Boolean,
+      showVersion: Boolean,
+      localStateDir: Option[Path],
+      ecsExecutor: Boolean,
+      logDir: Option[String],
+      logPath: Option[String],
+      s3Log: Option[String],
+      target: Option[Path],
+      sources: Map[String, String]) {
 
-  /** Parse `[--home=PATH] [-v name=value]... [--opt=value]... [--queue=PATH]
-    * [--db-queue=PATH] [--clear-queue] [--dry-run] file`.
+    /** Provenance of a common option's value for `--dump-options`
+      * (reference: application.rb:166-185 OptionValue locations).
+      */
+    def source(name: String): String = sources.getOrElse(name, "default value")
+  }
+
+  /** Parse the shared option surface of both binaries (reference:
+    * application.rb:318-365 GlobalOptions + jobnetrunner.rb:256-316
+    * Options; the common log options are application.rb:222-234).
+    * Unknown `--name[=value]` arguments fall through to job options
+    * (job-class parameters are set this way).
     */
   def parseArgs(args: Seq[String]): Options = {
     var home = Paths.get(sys.env.getOrElse("BRICOLAGE_HOME", "."))
+    var env: Option[String] = None
     var vars = Variables.empty
     var jobOpts = Map.empty[String, String]
+    var sources = Map.empty[String, String]
     // env layer between defaults and cmdline (reference:
-    // jobnetrunner.rb:246-257 BRICOLAGE_QUEUE_PATH / BRICOLAGE_ENABLE_QUEUE)
+    // jobnetrunner.rb:256-270 opts_env + application.rb:208-217:
+    // BRICOLAGE_QUEUE_PATH / BRICOLAGE_ENABLE_QUEUE /
+    // BRICOLAGE_DISABLE_QUEUE / BRICOLAGE_LOG_DIR / BRICOLAGE_LOG_PATH)
     var queue: Option[Path] = sys.env.get("BRICOLAGE_QUEUE_PATH").map(Paths.get(_))
+    queue.foreach(_ => sources += ("queue-path" -> "env BRICOLAGE_QUEUE_PATH"))
     var dbQueue: Option[Path] = None
+    var dbName: Option[String] = None
     var enableQ = sys.env.contains("BRICOLAGE_ENABLE_QUEUE")
+    if (enableQ) sources += ("enable-queue" -> "env BRICOLAGE_ENABLE_QUEUE")
+    if (sys.env.contains("BRICOLAGE_DISABLE_QUEUE")) {
+      enableQ = false
+      sources += ("enable-queue" -> "env BRICOLAGE_DISABLE_QUEUE")
+    }
+    var logDir: Option[String] = sys.env.get("BRICOLAGE_LOG_DIR")
+    logDir.foreach(_ => sources += ("log-dir" -> "env BRICOLAGE_LOG_DIR"))
+    var logPath: Option[String] = sys.env.get("BRICOLAGE_LOG_PATH")
+    logPath.foreach(_ => sources += ("log-path" -> "env BRICOLAGE_LOG_PATH"))
+    var s3Log: Option[String] = None
+    var stateDir: Option[Path] = None
+    var ecs = false
     var clear = false
     var unlock = false
     var dry = false
+    var explainFlag = false
+    var checkOnly = false
+    var listJobs = false
+    var listJobClass = false
+    var listGlobalVars = false
+    var listVars = false
+    var listDecls = false
+    var dump = false
+    var version = false
     var target: Option[Path] = None
     val it = args.iterator
+    def nextValue(opt: String): String = {
+      if (!it.hasNext) throw new ParameterError(s"$opt requires a value")
+      it.next()
+    }
+    def cmdline(name: String): Unit = sources += (name -> s"--$name option")
     while (it.hasNext) {
       it.next() match {
         case a if a.startsWith("--home=") => home = Paths.get(a.drop(7))
+        case "-C" => home = Paths.get(nextValue("-C"))
+        case "-e" => env = Some(nextValue("-e"))
+        case a if a.startsWith("--environment=") => env = Some(a.drop(14))
         case "-v" =>
-          if (!it.hasNext) throw new ParameterError("-v requires name=value")
-          val kv = it.next()
+          val kv = nextValue("-v")
           kv.split("=", 2) match {
             case Array(k, v) => vars = vars.add(k, v)
             case _ => throw new ParameterError(s"bad -v argument: $kv")
           }
-        case a if a.startsWith("--queue=") => queue = Some(Paths.get(a.drop(8)))
+        case a if a.startsWith("--variable=") =>
+          a.drop(11).split("=", 2) match {
+            case Array(k, v) => vars = vars.add(k, v)
+            case _ => throw new ParameterError(s"bad --variable argument: ${a.drop(11)}")
+          }
+        case "-f" => target = Some(Paths.get(nextValue("-f")))
+        case a if a.startsWith("--job=") => target = Some(Paths.get(a.drop(6)))
+        case a if a.startsWith("--queue=") =>
+          queue = Some(Paths.get(a.drop(8))); cmdline("queue-path")
+        case a if a.startsWith("--queue-path=") =>
+          queue = Some(Paths.get(a.drop(13))); cmdline("queue-path")
         case a if a.startsWith("--db-queue=") => dbQueue = Some(Paths.get(a.drop(11)))
-        case "-Q" | "--enable-queue" => enableQ = true
-        case "--disable-queue" => enableQ = false; queue = None
+        case a if a.startsWith("--db-name=") =>
+          dbName = Some(a.drop(10)); cmdline("db-name")
+        case "--ecs-executor" => ecs = true; cmdline("ecs-executor")
+        case a if a.startsWith("--local-state-dir=") =>
+          stateDir = Some(Paths.get(a.drop(18))); cmdline("local-state-dir")
+        case "-L" => logDir = Some(nextValue("-L")); cmdline("log-dir")
+        case a if a.startsWith("--log-dir=") =>
+          logDir = Some(a.drop(10)); cmdline("log-dir")
+        case a if a.startsWith("--log-path=") =>
+          logPath = Some(a.drop(11)); cmdline("log-path")
+        case a if a.startsWith("--s3-log=") =>
+          s3Log = Some(a.drop(9)); cmdline("s3-log")
+        case "-Q" | "--enable-queue" => enableQ = true; cmdline("enable-queue")
+        case "--disable-queue" =>
+          // disable wins over every queue enablement, including an earlier
+          // --db-queue/--db-name (reference: opts_env/--disable-queue set
+          // 'enable-queue' false, and make_queue checks it first)
+          enableQ = false; queue = None; dbQueue = None; dbName = None
+          sources += ("enable-queue" -> "--disable-queue option")
         case "--clear-queue" => clear = true
         case "--unlock-jobnet" => unlock = true
         case "--dry-run" | "-n" => dry = true
+        case "-E" | "--explain" => explainFlag = true
+        case "-c" | "--check-only" => checkOnly = true
+        case "-l" | "--list-jobs" => listJobs = true
+        case "--list-job-class" => listJobClass = true
+        case "--list-global-variables" => listGlobalVars = true
+        case "--list-variables" => listVars = true
+        case "--list-declarations" => listDecls = true
+        case "--dump-options" => dump = true
+        case "--version" => version = true
         case a if a.startsWith("--") && a.contains("=") =>
           val Array(k, v) = a.drop(2).split("=", 2)
           jobOpts += (k -> v)
@@ -152,8 +291,53 @@ object Cli {
         case a => throw new ParameterError(s"unexpected argument: $a")
       }
     }
-    Options(home, vars, jobOpts, queue, dbQueue, enableQ, clear, unlock, dry, target)
+    Options(home, env, vars, jobOpts, queue, dbQueue, dbName, enableQ, clear,
+      unlock, dry, explainFlag, checkOnly, listJobs, listJobClass,
+      listGlobalVars, listVars, listDecls, dump, version, stateDir, ecs,
+      logDir, logPath, s3Log, target, sources)
   }
+
+  /** Cmdline/env values overlaid on bricolage.yml saved options
+    * (reference: application.rb:236-249 merge_saved_options +
+    * build_common_options!: default < saved < env < cmdline). Returns the
+    * effective (value, source) per common option name.
+    */
+  def commonOptionPairs(opts: Options, saved: String => Option[String]):
+      Seq[(String, Option[String], String)] = {
+    def pair(name: String, parsed: Option[String]): (String, Option[String], String) =
+      parsed match {
+        case Some(v) => (name, Some(v), opts.source(name))
+        case None => saved(name) match {
+          case Some(v) => (name, Some(v), s"bricolage.yml:$name")
+          case None    => (name, None, "default value")
+        }
+      }
+    Seq(
+      pair("log-path", opts.logPath),
+      pair("log-dir", opts.logDir),
+      pair("s3-log", opts.s3Log),
+      pair("local-state-dir", opts.localStateDir.map(_.toString)),
+      ("enable-queue", Some(opts.enableQueue.toString), opts.source("enable-queue")),
+      pair("queue-path", opts.queuePath.map(_.toString)),
+      pair("db-name", opts.dbName),
+      ("ecs-executor", Some(opts.ecsExecutor.toString), opts.source("ecs-executor")),
+    )
+  }
+
+  /** Print `name=value (source)` pairs for `--dump-options`
+    * (reference: application.rb:45-50 / jobnetrunner.rb:51-58 print
+    * `name=value.inspect` with the OptionValue location).
+    */
+  def printOptionPairs(opts: Options, saved: String => Option[String]): Unit =
+    commonOptionPairs(opts, saved).foreach { case (name, value, source) =>
+      println(s"$name=${value.getOrElse("nil")} ($source)")
+    }
+
+  /** `name=value` listing for `--list-global-variables`/`--list-variables`
+    * (reference: application.rb:139-144 list_variables).
+    */
+  def printVariables(vars: Variables): Unit =
+    vars.names.foreach(n => println(s"$n=${vars(n)}"))
 }
 
 /** `runMain graft.runner.BricolageMain [options] job-file` — run ONE job. */
@@ -166,20 +350,56 @@ object BricolageMain {
       sparkOverride: Option[SparkSession] = None): Int = {
     val args1 = JobListener.fireOptionParsing(JobListener.registered, args)
     val opts = Cli.parseArgs(args1)
-    val jobPath = opts.target.getOrElse(
-      throw new ParameterError("usage: BricolageMain [options] job-file"))
-    // subsystem = the job file's parent directory name under home
-    val subsys = Option(jobPath.toAbsolutePath.getParent)
+    if (opts.showVersion) { println(s"graft version ${Cli.Version}"); return 0 }
+    if (opts.listJobClass) {
+      // reference: application.rb:338-342 --list-job-class
+      JobClass.list.foreach(println)
+      return 0
+    }
+    // subsystem = the job file's parent directory name under home;
+    // --dump-options/--list-global-variables work without a job file
+    // (reference: application.rb:45-54 run before load_job)
+    val subsys = opts.target.flatMap(p => Option(p.toAbsolutePath.getParent))
       .filter(_ != opts.home.toAbsolutePath)
       .map(_.getFileName.toString).getOrElse("")
+    val env = opts.environment.getOrElse(Cli.environment)
     lazy val spark = sparkOverride.getOrElse(
-      Cli.buildSpark(s"graft-${jobPath.getFileName}"))
-    val ctx = Cli.loadContext(opts.home, subsys, spark)
+      Cli.buildSpark(s"graft-${opts.target.map(_.getFileName).getOrElse("cli")}"))
+    val ctx = Cli.loadContext(opts.home, subsys, spark, env)
+    if (opts.dumpOptions) {
+      Cli.printOptionPairs(opts, ctx.globalVariables.get)
+      return 0
+    }
+    if (opts.listGlobalVariables) {
+      // reference: application.rb:51-54
+      Cli.printVariables(ctx.globalVariables.resolve())
+      return 0
+    }
+    val jobPath = opts.target.getOrElse(
+      throw new ParameterError("usage: BricolageMain [options] job-file"))
+    val jf = JobFile.load(jobPath)
+    val job = new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions,
+      opts.varAssigns, Some(jobPath.toAbsolutePath))
+    if (opts.listDeclarations) {
+      // reference: application.rb:60-62 — the script's declared parameters
+      job.declarations().foreach(println)
+      return 0
+    }
+    if (opts.listVariables) {
+      // reference: application.rb:64-66 — the job's final variable overlay
+      Cli.printVariables(job.variables())
+      return 0
+    }
     if (opts.dryRun) {
-      val jf = JobFile.load(jobPath)
-      new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions, opts.varAssigns,
-        Some(jobPath.toAbsolutePath))
-        .compile().foreach(a => println(a))
+      job.compile().foreach(a => println(a))
+      return 0
+    }
+    if (opts.explain) {
+      // reference: application.rb:72-74 + job.rb:146-149 — EXPLAIN each
+      // SQL action instead of executing
+      job.compile().foreach { a =>
+        a.explain().foreach { plan => println(s"-- ${a.label}"); println(plan) }
+      }
       return 0
     }
     val result = Application.runJobFile(jobPath, ctx, opts.jobOptions, opts.varAssigns)
@@ -196,25 +416,63 @@ object JobNetMain {
       sparkOverride: Option[SparkSession] = None): Int = {
     val args1 = JobListener.fireOptionParsing(JobListener.registered, args)
     val opts = Cli.parseArgs(args1)
+    if (opts.showVersion) { println(s"graft version ${Cli.Version}"); return 0 }
     val netPath = opts.target.getOrElse(
       throw new ParameterError("usage: JobNetMain [options] jobnet-file"))
     val subsys = Option(netPath.toAbsolutePath.getParent)
       .filter(_ != opts.home.toAbsolutePath)
       .map(_.getFileName.toString).getOrElse("")
+    val env = opts.environment.getOrElse(Cli.environment)
     lazy val spark = sparkOverride.getOrElse(
       Cli.buildSpark(s"graft-net-${netPath.getFileName}"))
-    val ctx = Cli.loadContext(opts.home, subsys, spark)
-    val queue: TaskQueue = (opts.dbQueuePath, opts.queuePath) match {
-      case (Some(db), _) =>
+    val ctx = Cli.loadContext(opts.home, subsys, spark, env)
+    val saved = ctx.globalVariables.get _
+    val jobnetId = (if (subsys.isEmpty) "" else subsys + "/") +
+      netPath.getFileName.toString.stripSuffix(".jobnet")
+    if (opts.dumpOptions) {
+      // reference: jobnetrunner.rb:51-58
+      println(s"jobnet-id=$jobnetId")
+      println(s"jobnet-file=$netPath")
+      Cli.printOptionPairs(opts, saved)
+      return 0
+    }
+    val runner = new JobNetRunner(ctx)
+    if (opts.listJobs || opts.checkOnly) {
+      // reference: jobnetrunner.rb:74-83 list_jobs / check_jobs — list or
+      // pre-flight-compile the job sequence without executing
+      val jobs = runner.sequentialJobs(netPath)
+      if (opts.listJobs) { jobs.foreach(println); return 0 }
+      jobs.foreach { ref =>
+        val jf = JobFile.load(runner.jobFilePath(ref))
+        new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty,
+          opts.varAssigns, Some(runner.jobFilePath(ref).toAbsolutePath)).compile()
+      }
+      println("OK")
+      return 0
+    }
+    val executorId = Cli.executorId(
+      if (opts.ecsExecutor) Some(sys.env.getOrElse("ECS_CONTAINER_METADATA_URI",
+        throw new ParameterError("--ecs-executor requires ECS_CONTAINER_METADATA_URI")))
+      else None)
+    val queue: TaskQueue = (opts.dbName, opts.dbQueuePath, opts.queuePath) match {
+      case (Some(name), _, _) =>
+        // named-datasource DB queue (reference: jobnetrunner.rb:100-105 —
+        // --db-name resolves a datasource; the reference passes
+        // enable_lock: false here because multi-runner exclusion comes
+        // from the store's own conflict handling)
+        val store = new graft.net.JdbcExecutionStore(ctx.registry.jdbc(name).url)
+        if (opts.clearQueue) store.cancelJobnet(jobnetId, "cleared by --clear-queue")
+        if (opts.unlockJobnet) store.forceUnlock(jobnetId)
+        val q = new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
+          enableLock = false)
+        q.restoreJobnet()
+        q
+      case (None, Some(db), _) =>
         // DB-backed queue (reference: taskqueue.rb:175-310 DatabaseTaskQueue
         // via --enable-queue): executions + locks live in the database, so
         // a second runner on the same jobnet is excluded and a restart
         // resumes the unfinished executions
         val store = graft.net.JdbcExecutionStore.embedded(db)
-        val jobnetId = (if (subsys.isEmpty) "" else subsys + "/") +
-          netPath.getFileName.toString.stripSuffix(".jobnet")
-        val executorId = java.net.InetAddress.getLocalHost.getHostName +
-          ":" + ProcessHandle.current().pid()
         if (opts.clearQueue) store.cancelJobnet(jobnetId, "cleared by --clear-queue")
         // a dead runner's lock can only be released by the operator
         // (its executor_id pid is gone): --unlock-jobnet takes it over
@@ -224,26 +482,43 @@ object JobNetMain {
           enableLock = true)
         q.restoreJobnet()
         q
-      case (None, Some(p)) =>
+      case (None, None, Some(p)) =>
         // --clear-queue discards persisted progress before restore
         // (reference: jobnetrunner.rb:63-66)
         if (opts.clearQueue) Files.deleteIfExists(p)
         new FileTaskQueue(p)
-      case (None, None) if opts.enableQueue =>
+      case (None, None, None) if opts.enableQueue =>
         // derived file-queue path under the local state dir (reference:
-        // jobnetrunner.rb:127-134 get_queue_file_path —
-        // <state>/queue/<app>.<jobnet-id-dotted>)
-        val jobnetId = (if (subsys.isEmpty) "" else subsys + ".") +
-          netPath.getFileName.toString.stripSuffix(".jobnet")
-        val p = opts.home.resolve(".bricolage").resolve("queue")
-          .resolve(s"graft.$jobnetId.queue")
+        // jobnetrunner.rb:126-142 get_queue_file_path —
+        // <state>/queue/<app>.<jobnet-id-dotted>; state dir from
+        // --local-state-dir, bricolage.yml, or <home>/.bricolage)
+        val stateDir = opts.localStateDir
+          .orElse(saved("local-state-dir").map(Paths.get(_)))
+          .getOrElse(opts.home.resolve(".bricolage"))
+        val p = stateDir.resolve("queue")
+          .resolve(s"${Cli.appName(opts.home)}.${jobnetId.replace('/', '.')}.queue")
         if (opts.clearQueue) Files.deleteIfExists(p)
         new FileTaskQueue(p)
-      case (None, None) => new MemoryTaskQueue
+      case (None, None, None) => new MemoryTaskQueue
     }
-    val result = new JobNetRunner(ctx).run(netPath, queue, opts.varAssigns)
-    if (!result.success) System.err.println(result.message)
-    result.exitCode
+    // log-path wiring (reference: application.rb:222-234 common options +
+    // jobnetrunner.rb:85-86 LogLocatorBuilder.for_options): cmdline/env
+    // beat bricolage.yml saved values
+    val logFiles = LogFilePath.default(
+      opts.logDir.orElse(saved("log-dir")),
+      opts.logPath.orElse(saved("log-path")))
+    val logStore = opts.s3Log.orElse(saved("s3-log")).map { spec =>
+      val (dsName, key) = spec.split(":", 2) match {
+        case Array(ds, k) if k.trim.nonEmpty => (ds, k.trim)
+        case other => (other.head, "logs")
+      }
+      (ctx.registry.store(dsName), key)
+    }
+    try {
+      val result = runner.run(netPath, queue, opts.varAssigns, logFiles, logStore)
+      if (!result.success) System.err.println(result.message)
+      result.exitCode
+    } finally queue.close()
   }
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))

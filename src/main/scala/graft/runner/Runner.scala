@@ -67,13 +67,30 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
     cliVariables: Variables = Variables.empty,
     jobPath: Option[Path] = None) {
 
+  private lazy val jc = JobClass.get(jobFile.jobClass)
+
+  /** Declared parameter names for `--list-declarations` (reference:
+    * application.rb:60-62 + job.rb:137-138 — the reference parses SQL
+    * header declarations; here the job class IS the declaration surface).
+    */
+  def declarations(): Seq[String] = jc.params.map(_.name)
+
+  /** The job's final resolved variable overlay for `--list-variables`
+    * (reference: application.rb:64-66 + job.rb:111-122).
+    */
+  def variables(): Variables = resolveAll()._2
+
   /** Compile (reference: job.rb:88-126): resolve params against globals,
     * union variables in precedence order — global < published params <
     * job-file rest vars < -v CLI vars (job.rb:111-120) — then build and
     * bind the script.
     */
   def compile(): Seq[Action] = {
-    val jc = JobClass.get(jobFile.jobClass)
+    val (params, vars) = resolveAll()
+    jc.build(params, vars, ctx)
+  }
+
+  private def resolveAll(): (ParamValues, Variables) = {
     val declNames = jc.params.map(_.name).toSet
     val (declared, rest) = jobFile.values.partition { case (k, _) => declNames(k) }
     val withInline = jobFile.inlineScript match {
@@ -112,7 +129,7 @@ final class Job(val id: String, jobFile: JobFile, ctx: JobContext,
       .union(restVars)
       .union(cliVariables)
       .resolve()
-    jc.build(params, vars, ctx)
+    (params, vars)
   }
 
   /** Execute compiled actions sequentially; the failed action maps to the

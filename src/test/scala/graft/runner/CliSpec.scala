@@ -172,8 +172,11 @@ class CliSpec extends AnyFunSuite {
     val args = Seq(s"--home=$home", "--enable-queue",
       home.resolve("net/q.jobnet").toString)
     assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1)
-    // the derived queue file persists the failed tail
-    val qf = home.resolve(".bricolage/queue/graft.net.q.queue")
+    // the derived queue file persists the failed tail; the file is named
+    // <app>.<jobnet-id-dotted> where app = home basename (reference:
+    // jobnetrunner.rb:127-142 get_queue_file_path + app_name)
+    val qf = home.resolve(
+      s".bricolage/queue/${home.getFileName}.net.q.queue")
     assert(Files.exists(qf))
     assert(Files.readString(qf).trim == "net/b")
     // fix and resume from the persisted queue: only b reruns
@@ -221,6 +224,223 @@ class CliSpec extends AnyFunSuite {
         t.status == "running" &&
           store.get(t.jobExecutionId).exists(_.jobName == "ok1")) == 1)
     } finally store.close()
+  }
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true)) { body }
+    bos.toString
+  }
+
+  test("--version prints the program version and quits (reference application.rb:361-363)") {
+    val out = captureOut { assert(BricolageMain.run(Seq("--version")) == 0) }
+    assert(out.trim == s"graft version ${Cli.Version}")
+    val out2 = captureOut { assert(JobNetMain.run(Seq("--version")) == 0) }
+    assert(out2.trim == s"graft version ${Cli.Version}")
+  }
+
+  test("--list-job-class lists job class names (reference application.rb:338-342)") {
+    val out = captureOut { assert(BricolageMain.run(Seq("--list-job-class")) == 0) }
+    val names = out.trim.split("\n").toSeq
+    assert(names.contains("sql") && names.contains("load") &&
+      names.contains("streaming_load") && names.contains("s3-put"))
+    assert(names == names.sorted)
+  }
+
+  test("-e/--environment selects config/<env>/ (reference application.rb:325-327)") {
+    val home = Files.createTempDirectory("cli-env")
+    Files.createDirectories(home.resolve("config/production"))
+    Files.writeString(home.resolve("config/variable.yml"), "x: base\n")
+    Files.writeString(home.resolve("config/production/variable.yml"), "x: prod\n")
+    val o = Cli.parseArgs(Seq("-e", "production", "f.job"))
+    assert(o.environment.contains("production"))
+    assert(Cli.parseArgs(Seq("--environment=staging")).environment.contains("staging"))
+    // -e drives config/<env>/ layering and $bricolage_env
+    val out = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home", "-e", "production",
+        "--list-global-variables"), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.contains("x=prod"))
+    assert(out.contains("bricolage_env=production"))
+    val outDev = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home",
+        "--list-global-variables"), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(outDev.contains("x=base"))
+  }
+
+  test("--dump-options shows values with provenance (reference application.rb:45-50)") {
+    val home = Files.createTempDirectory("cli-dump")
+    Files.writeString(home.resolve("bricolage.yml"), "log-dir: /var/log/graft\n")
+    val out = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home", "--log-path=/x/%{std}.log",
+        "--dump-options"), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.contains("log-path=/x/%{std}.log (--log-path option)"))
+    assert(out.contains("log-dir=/var/log/graft (bricolage.yml:log-dir)"))
+    assert(out.contains("s3-log=nil (default value)"))
+    // jobnet variant prints the jobnet id + file first (jobnetrunner.rb:51-58)
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "a\n")
+    val out2 = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", "--dump-options",
+        home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out2.startsWith("jobnet-id=net/n"))
+    assert(out2.contains("jobnet-file="))
+    assert(out2.contains("enable-queue=false"))
+  }
+
+  test("-l/--list-jobs lists target jobs without executing (reference jobnetrunner.rb:74-77,144-148)") {
+    val home = Files.createTempDirectory("cli-lj")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "a -> boom\n")
+    val out = captureOut {
+      // exit 0 proves boom never executed
+      assert(JobNetMain.run(Seq(s"--home=$home", "-l",
+        home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    val lines = out.trim.split("\n").toSeq
+    assert(lines == Seq("net/a", "net/boom"))
+  }
+
+  test("-c/--check-only compiles all jobs and quits (reference jobnetrunner.rb:78-83,150-154)") {
+    val home = Files.createTempDirectory("cli-co")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "a -> boom\n")
+    val out = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", "--check-only",
+        home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.trim == "OK")
+    // a bad job class fails the check before anything runs
+    Files.writeString(home.resolve("net/bad.job"), "class: no-such-class\n")
+    Files.writeString(home.resolve("net/n2.jobnet"), "a -> bad\n")
+    intercept[ParameterError] {
+      JobNetMain.run(Seq(s"--home=$home", "-c",
+        home.resolve("net/n2.jobnet").toString), Some(SparkTestBase.spark))
+    }
+  }
+
+  test("-E/--explain prints the SQL plan without executing (reference application.rb:72-74, job.rb:146-149)") {
+    val spark = SparkTestBase.spark
+    spark.sql("CREATE DATABASE IF NOT EXISTS cli_exp")
+    spark.sql("DROP TABLE IF EXISTS cli_exp.t")
+    spark.sql("CREATE TABLE cli_exp.t (v INT) USING parquet")
+    val home = Files.createTempDirectory("cli-exp")
+    Files.createDirectories(home.resolve("etl"))
+    Files.writeString(home.resolve("datasource.yml"),
+      "sql:\n  type: spark\n  schema: cli_exp\n")
+    Files.writeString(home.resolve("etl/ins.sql.job"),
+      """/* class: sql
+        |data-source: sql */
+        |INSERT INTO cli_exp.t SELECT 9;""".stripMargin)
+    val out = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home", "-E",
+        home.resolve("etl/ins.sql.job").toString), Some(spark)) == 0)
+    }
+    assert(out.contains("Physical Plan"))
+    // EXPLAIN must not have executed the INSERT
+    assert(spark.sql("SELECT count(*) AS c FROM cli_exp.t").head.getLong(0) == 0L)
+  }
+
+  test("--list-variables and --list-declarations (reference application.rb:56-66)") {
+    val home = Files.createTempDirectory("cli-lv")
+    Files.writeString(home.resolve("variable.yml"), "who: world\n")
+    Files.writeString(home.resolve("nop.job"), "class: noop\ngreet: $who\n")
+    val decls = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home", "--list-declarations",
+        home.resolve("nop.job").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(decls.trim.split("\n").contains("failure")) // noop's declared param
+    val vars = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home", "--list-variables",
+        home.resolve("nop.job").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(vars.contains("who=world"))
+    assert(vars.contains("greet=world")) // rest vars resolve against globals
+  }
+
+  test("-L/--log-dir writes per-job logs and --s3-log ships them (reference application.rb:222-234)") {
+    val home = Files.createTempDirectory("cli-log")
+    val logDir = home.resolve("logs")
+    val shipped = home.resolve("shipped")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("datasource.yml"),
+      s"logstore:\n  type: fs\n  base: $shipped\n")
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "a\n")
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--log-dir=$logDir",
+      "--s3-log=logstore:jobnet-logs",
+      home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    def findLogs(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(p)) Nil
+      else Files.walk(p).iterator().asScala.filter(_.toString.endsWith(".log")).toSeq
+    }
+    assert(findLogs(logDir).nonEmpty)       // local templated log written
+    assert(findLogs(shipped.resolve("jobnet-logs")).nonEmpty) // shipped copy
+  }
+
+  test("--local-state-dir overrides the derived queue path (reference jobnetrunner.rb:277-279)") {
+    val home = Files.createTempDirectory("cli-lsd")
+    val state = Files.createTempDirectory("cli-lsd-state")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> boom\n")
+    assert(JobNetMain.run(Seq(s"--home=$home", "-Q", s"--local-state-dir=$state",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 1)
+    val qf = state.resolve(s"queue/${home.getFileName}.net.q.queue")
+    assert(Files.exists(qf))
+    assert(Files.readString(qf).trim == "net/boom")
+  }
+
+  test("--db-name resolves a jdbc datasource for the DB queue (reference jobnetrunner.rb:100-105,292-294)") {
+    val home = Files.createTempDirectory("cli-dbn")
+    val db = home.resolve("named-db")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("datasource.yml"),
+      s"""taskdb:
+         |  type: jdbc
+         |  url: "jdbc:derby:$db;create=true"
+         |""".stripMargin)
+    Files.writeString(home.resolve("net/ok.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "ok -> boom\n")
+    graft.net.JdbcExecutionStore.quietDerby()
+    val args = Seq(s"--home=$home", "--db-name=taskdb",
+      home.resolve("net/n.jobnet").toString)
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1)
+    // fix and resume: the named server-DB queue restores the unfinished tail
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\n")
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
+    val store = graft.net.JdbcExecutionStore.embedded(db)
+    try {
+      assert(store.all.nonEmpty)
+      assert(store.all.map(_.status).forall(_ == graft.net.ExecutionStatus.Succeeded))
+    } finally store.close()
+  }
+
+  test("--disable-queue clears --db-queue and --db-name too (reference make_queue checks enablement first)") {
+    val o = Cli.parseArgs(Seq("--db-queue=/x", "--db-name=y", "--queue=/q",
+      "--disable-queue", "f.jobnet"))
+    assert(o.dbQueuePath.isEmpty && o.dbName.isEmpty && o.queuePath.isEmpty
+      && !o.enableQueue)
+  }
+
+  test("Cli.executorId: host:pid default, ECS TaskARN:pid (reference jobnetrunner.rb:113-124)") {
+    val pid = ProcessHandle.current().pid()
+    assert(Cli.executorId(None).endsWith(s":$pid"))
+    val meta = Files.createTempDirectory("ecs-meta")
+    Files.writeString(meta.resolve("task"),
+      """{"Cluster":"c","TaskARN":"arn:aws:ecs:us-east-1:123:task/cluster/abc123def"}""")
+    assert(Cli.executorId(Some(s"file://$meta")) == s"abc123def:$pid")
   }
 
   test("before_option_parsing hook fires before argv parsing and can inject options") {
