@@ -67,6 +67,26 @@ final case class OptionalBoolParam(name: String, default: Boolean = false,
   override def defaultValue: Option[Any] = Some(default)
 }
 
+/** Positive integer (batch sizes, TTLs). The reference passes these as
+  * strings and lets the consumer `Integer()` them; parsing at declaration
+  * time reports a bad or non-positive value as a ParameterError naming the
+  * option instead of a bare NumberFormatException mid-load.
+  */
+final case class IntParam(name: String, optional: Boolean = true,
+    override val publish: Boolean = false) extends Param {
+  def parseValue(v: Any, vars: Variables): Any = {
+    val s = str(v, vars)
+    val n =
+      try s.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new ParameterError(s"$name: not an integer: '$s'")
+      }
+    if (n <= 0) throw new ParameterError(s"$name: must be positive: $n")
+    n
+  }
+}
+
 /** YYYY-MM-DD (reference: parameters.rb:388-416). */
 final case class DateParam(name: String, optional: Boolean = false,
     override val publish: Boolean = false) extends Param {
@@ -240,6 +260,11 @@ final class ParamValues(decls: ParamDecls, val values: Map[String, Any]) {
     throw new ParameterError(s"no such parameter: $name"))
   def string(name: String): String = String.valueOf(apply(name))
   def stringOpt(name: String): Option[String] = get(name).map(String.valueOf)
+  def longOpt(name: String): Option[Long] = get(name).map {
+    case n: Long => n
+    case n: Int  => n.toLong
+    case other   => String.valueOf(other).toLong
+  }
   def bool(name: String): Boolean = get(name).exists {
     case b: Boolean => b
     case s: String  => s == "true"

@@ -296,10 +296,10 @@ object LoadJobClass extends JobClass("load") {
           case None => throw new JobError(s"load: table ${dest} does not exist and no table-def")
         }
       }
-      val df = LoadOptions.read(ds.spark, path, p.string("format"),
-        p.pairs("options"), ds.table(dest).schema)
-      df.write.mode(SaveMode.Append).insertInto(ds.qualify(dest))
-      df.unpersist() // release the maxerror full-parse cache (no-op otherwise)
+      LoadOptions.withRead(ds.spark, path, p.string("format"),
+        p.pairs("options"), ds.table(dest).schema) { df =>
+        df.write.mode(SaveMode.Append).insertInto(ds.qualify(dest))
+      }
       if (p.bool("analyze")) ds.analyze(dest)
     })
   }

@@ -51,8 +51,33 @@ object LoadOptions {
           s"unsupported option value type for $name: $other")
     }
 
+  /** Read for callers that accept a session-lifetime cache: a maxerror load
+    * pins its full-parse cache until the session ends (test/diagnostic use).
+    * Production load paths go through [[withRead]], which releases it.
+    */
   def read(spark: SparkSession, path: String, format: String,
-      options: Map[String, Any], schema: StructType): DataFrame = {
+      options: Map[String, Any], schema: StructType): DataFrame =
+    readReleasable(spark, path, format, options, schema)._1
+
+  /** Loan-style read: `consume` the loaded frame (typically a write), then
+    * the maxerror full-parse cache — which backs the frame's corrupt-row
+    * filter — is dropped. The cache must outlive consumption, so plain
+    * `read` cannot release it; this is the shape production loads use.
+    */
+  def withRead[A](spark: SparkSession, path: String, format: String,
+      options: Map[String, Any], schema: StructType)(consume: DataFrame => A): A = {
+    val (df, release) = readReleasable(spark, path, format, options, schema)
+    try consume(df) finally release()
+  }
+
+  /** Read plus a release handle that unpersists the maxerror full-parse
+    * cache (no-op when the load has no maxerror). The returned frame is
+    * DERIVED from the cached one (corrupt filter + trims), so callers must
+    * release via the handle — unpersist() on the returned frame would be a
+    * no-op on an uncached plan.
+    */
+  def readReleasable(spark: SparkSession, path: String, format: String,
+      options: Map[String, Any], schema: StructType): (DataFrame, () => Unit) = {
 
     def opt(k: String): Option[String] =
       options.get(k).map(String.valueOf).filter(_ != "false")
@@ -90,20 +115,25 @@ object LoadOptions {
       case other => throw new graft.core.JobError(s"load: unknown format $other")
     }
 
+    var release: () => Unit = () => ()
     maxError.foreach { limit =>
       if (format != "parquet") {
         // The cache is REQUIRED for correctness, not speed: corrupt-record
         // detection only fires for columns the scan actually parses, and
         // column pruning on an uncached frame would let a row with a bad
         // value in an unreferenced column sneak past both the count and
-        // the filter. Caching materializes the full-width parse once;
-        // callers release it with unpersist() after consuming the frame.
-        df = df.cache()
-        val bad = df.filter(col(CorruptCol).isNotNull).count()
-        if (bad > limit)
+        // the filter. Caching materializes the full-width parse once; the
+        // returned handle unpersists this frame (the returned DataFrame is
+        // derived from it, so unpersist() there would not reach the cache).
+        val cached = df.cache()
+        release = () => { cached.unpersist(); () }
+        val bad = cached.filter(col(CorruptCol).isNotNull).count()
+        if (bad > limit) {
+          cached.unpersist()
           throw new graft.core.JobFailure(
             s"load error count $bad exceeds maxerror $limit ($path)")
-        df = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+        }
+        df = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
       }
     }
 
@@ -113,7 +143,7 @@ object LoadOptions {
       }
       df = df.select(cols.toSeq: _*)
     }
-    df
+    (df, release)
   }
 
   /** Redshift strptime-ish format → java.time pattern (subset). */

@@ -158,13 +158,18 @@ object DataMovement {
         when(col("l_orderkey") % 97 === 0, lit("not-a-number"))
           .otherwise(col("qty").cast("string"))).as("value"))
       .write.mode(SaveMode.Overwrite).text(out)
-    val loaded = graft.jobclass.LoadOptions.read(s, out, "csv",
+    graft.jobclass.LoadOptions.withRead(s, out, "csv",
       Map("maxerror" -> "1000000"),
-      org.apache.spark.sql.types.StructType.fromDDL("l_orderkey BIGINT, qty DOUBLE"))
-    loaded.groupBy()
-      .agg(count(lit(1)).as("n_rows"),
-        sum("l_orderkey").as("key_sum"),
-        round(sum("qty"), 2).as("qty_sum"))
+      org.apache.spark.sql.types.StructType.fromDDL("l_orderkey BIGINT, qty DOUBLE")) {
+      loaded =>
+        val agg = loaded.groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_orderkey").as("key_sum"),
+            round(sum("qty"), 2).as("qty_sum"))
+        // materialize the 1-row aggregate before withRead drops the
+        // full-parse cache the corrupt-row filter depends on
+        s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    }
   }
 
   val qLoadMaxerrorOracle: String =

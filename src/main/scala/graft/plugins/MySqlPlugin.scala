@@ -142,10 +142,10 @@ object MySqlPlugin {
         val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
           Some(destDs.qualify(dest)))
         publishRebuild(destDs, dest, Some(ct.createSql), wk => {
-          val df = LoadOptions.read(destDs.spark, url, "json",
-            p.pairs("options"), destDs.table(wk).schema)
-          df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
-          df.unpersist() // release the maxerror full-parse cache
+          LoadOptions.withRead(destDs.spark, url, "json",
+            p.pairs("options"), destDs.table(wk).schema) { df =>
+            df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
+          }
         }, p.bool("no-backup"))
         if (p.bool("analyze")) destDs.analyze(dest)
         p.pairs("grant") // ACL no-op, logged at the datasource layer
@@ -210,10 +210,10 @@ object MySqlPlugin {
         val ct = CtTranslator.translate(ctx.ctText(p.string("table-def")),
           Some(destDs.qualify(dest)))
         publishRebuild(destDs, dest, Some(ct.createSql), wk => {
-          val df = LoadOptions.read(destDs.spark, store.urlString(s3File), "json",
-            p.pairs("options"), destDs.table(wk).schema)
-          df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
-          df.unpersist() // release the maxerror full-parse cache
+          LoadOptions.withRead(destDs.spark, store.urlString(s3File), "json",
+            p.pairs("options"), destDs.table(wk).schema) { df =>
+            df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
+          }
         }, p.bool("no-backup"))
         if (p.bool("analyze")) destDs.analyze(dest)
         ()
@@ -262,10 +262,10 @@ object MySqlPlugin {
         destDs.stagedOverwrite(dest) { wk =>
           destDs.sql(s"CREATE TABLE ${destDs.qualify(wk)} USING parquet AS " +
             s"SELECT * FROM ${destDs.qualify(dest)} WHERE NOT ($cond)")
-          val df = LoadOptions.read(destDs.spark, url, "json",
-            p.pairs("options"), destDs.table(wk).schema)
-          df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
-          df.unpersist() // release the maxerror full-parse cache
+          LoadOptions.withRead(destDs.spark, url, "json",
+            p.pairs("options"), destDs.table(wk).schema) { df =>
+            df.write.mode(SaveMode.Append).insertInto(destDs.qualify(wk))
+          }
         }
         if (p.bool("analyze")) destDs.analyze(dest)
         ()

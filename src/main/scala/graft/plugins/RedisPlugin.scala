@@ -45,12 +45,18 @@ object RedisPlugin {
       stores.computeIfAbsent(ds, _ => new java.util.concurrent.ConcurrentHashMap())
 
     def client(ds: String): KvsClient = new KvsClient {
+      // Redis HSET merges only into an existing hash; a prior string value
+      // is replaced (Redis raises WRONGTYPE — overwriting keeps the test
+      // double from crashing partitions on mixed-encode reruns)
       def hset(key: String, fields: Map[String, String]): Unit =
-        store(ds).merge(key, (fields, None),
-          (old, _) => (old._1.asInstanceOf[Map[String, String]] ++ fields, old._2))
+        store(ds).merge(key, (fields, None), (old, _) => old._1 match {
+          case m: Map[_, _] =>
+            (m.asInstanceOf[Map[String, String]] ++ fields, old._2)
+          case _ => (fields, None)
+        })
+      // Redis SET discards any TTL on the key
       def set(key: String, value: String): Unit =
-        store(ds).compute(key, (_, old) =>
-          (value, Option(old).flatMap(_._2)))
+        store(ds).put(key, (value, None))
       def expire(key: String, seconds: Long): Unit =
         store(ds).computeIfPresent(key, (_, old) => (old._1, Some(seconds)))
     }
@@ -75,7 +81,7 @@ object RedisPlugin {
       StringParam("prefix", optional = true),
       StringListParam("key-column"),
       EnumParam("encode", Seq("hash", "json"), Some("hash")),
-      StringParam("expire", optional = true),
+      IntParam("expire"), // TTL seconds; must be positive
     )
     def build(p: ParamValues, vars: Variables, ctx: JobContext): Seq[Action] = {
       val src = ctx.registry.spark(p.string("src-ds"))
@@ -84,7 +90,7 @@ object RedisPlugin {
       val prefix = p.stringOpt("prefix").map(vars.expand).getOrElse("")
       val keyCols = p("key-column").asInstanceOf[Seq[String]]
       val encode = p.string("encode")
-      val expire = p.stringOpt("expire").map(_.toLong)
+      val expire = p.longOpt("expire")
       Seq(Action("redis-export") {
         ctx.registry.get(destName) // fail fast on an unconfigured store
         val table = srcTables.values.headOption.getOrElse(

@@ -62,7 +62,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     EnumParam("format", Seq("tsv", "csv", "json", "parquet"), Some("json")),
     KeyValuePairsParam("load-options"),
     SqlFileParam("sql-file", optional = true),
-    StringParam("batch-size", optional = true), // max files per load batch
+    IntParam("batch-size"), // max files per load batch; must be positive
     OptionalBoolParam("noop"), OptionalBoolParam("load-only"),
     OptionalBoolParam("dequeue-only"), OptionalBoolParam("skip-work"),
     // idiomatic mode: Structured Streaming file source + checkpoint
@@ -116,7 +116,7 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
       (loadedRel, newRelIt)
     }
 
-    val batchSize = p.stringOpt("batch-size").map(_.toInt).getOrElse(100000)
+    val batchSize = p.longOpt("batch-size").map(_.toInt).getOrElse(100000)
 
     if (p.bool("streaming"))
       // Structured Streaming mode: the checkpointed file source IS the load

@@ -53,6 +53,30 @@ class ReferenceParametersSpec extends AnyFunSuite {
     }
   }
 
+  // IntParam (batch-size / expire style options)
+
+  test("IntParam parses, expands variables, accepts Int/Long values") {
+    assert(values(IntParam("batch-size"), Map("batch-size" -> "5000"))
+      .longOpt("batch-size").contains(5000L))
+    assert(values(IntParam("batch-size"), Map("batch-size" -> 7))
+      .longOpt("batch-size").contains(7L))
+    assert(values(IntParam("expire"), Map("expire" -> "$ttl"),
+      Variables("ttl" -> "86400")).longOpt("expire").contains(86400L))
+  }
+
+  test("IntParam rejects non-numeric and non-positive values as ParameterError") {
+    val bad = intercept[ParameterError] {
+      values(IntParam("batch-size"), Map("batch-size" -> "lots"))
+    }
+    assert(bad.getMessage.contains("batch-size"))
+    intercept[ParameterError] {
+      values(IntParam("batch-size"), Map("batch-size" -> "0"))
+    }
+    intercept[ParameterError] {
+      values(IntParam("expire"), Map("expire" -> "-1"))
+    }
+  }
+
   // OptionalBoolParam
 
   test("OptionalBoolParam (*.job)") {

@@ -37,6 +37,28 @@ class LoadOptionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxerror"))
   }
 
+  test("withRead releases the maxerror full-parse cache after consumption") {
+    val path = writeLines("lo-rel", "1,10.5", "2,oops", "3,30.0")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = LoadOptions.withRead(spark, path, "csv",
+      Map("maxerror" -> "5"), StructType.fromDDL("id BIGINT, v DOUBLE")) { df =>
+      assert(spark.sparkContext.getPersistentRDDs.size > before) // pinned inside
+      df.count()
+    }
+    assert(n == 2)
+    assert(spark.sparkContext.getPersistentRDDs.size == before) // released
+  }
+
+  test("withRead releases the cache when maxerror is exceeded") {
+    val path = writeLines("lo-rel2", "1,oops", "2,bad")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[JobFailure] {
+      LoadOptions.withRead(spark, path, "csv",
+        Map("maxerror" -> "0"), StructType.fromDDL("id BIGINT, v DOUBLE"))(_.count())
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("no maxerror: FAILFAST fails on the first bad row") {
     val path = writeLines("lo-ff", "1,10.5", "2,oops")
     intercept[Exception] {
