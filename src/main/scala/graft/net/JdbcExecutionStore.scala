@@ -30,7 +30,8 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
     * shutdown with SQLState 08006, which is expected, not an error).
     */
   override def close(): Unit = {
-    conn.close()
+    // tolerate a connection whose database another store already shut down
+    try conn.close() catch { case _: java.sql.SQLException => () }
     if (jdbcUrl.startsWith("jdbc:derby:")) {
       val dbUrl = jdbcUrl.split(";").head
       try { DriverManager.getConnection(dbUrl + ";shutdown=true"); () }
@@ -43,7 +44,13 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
     val exists = rs.next(); rs.close()
     if (!exists) {
       val st = conn.createStatement()
-      // reference: schema/Schemafile:16-26
+      // reference: schema/Schemafile:16-26. active_key encodes
+      // (jobnet, subsys, job_name) while the execution is non-terminal and
+      // goes NULL on success/cancel; the UNIQUE constraint (multiple NULLs
+      // allowed in both Derby and PostgreSQL) makes a cross-process racing
+      // enqueue INSERT lose with a constraint violation instead of
+      // double-inserting — correctness no longer depends on the jobnet
+      // lock's ordering.
       st.executeUpdate(
         """CREATE TABLE job_executions (
           | job_execution_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
@@ -55,7 +62,15 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
           | message VARCHAR(4000) NOT NULL,
           | submitted_at TIMESTAMP NOT NULL,
           | started_at TIMESTAMP,
-          | finished_at TIMESTAMP)""".stripMargin)
+          | finished_at TIMESTAMP,
+          | active_key VARCHAR(1024),
+          | CONSTRAINT job_exec_active_uq UNIQUE (active_key))""".stripMargin)
+      createStates(st)
+      st.close()
+    } else migrateActiveKey()
+  }
+
+  private def createStates(st: Statement): Unit = {
       // reference: schema/Schemafile:27-33
       st.executeUpdate(
         """CREATE TABLE job_execution_states (
@@ -71,7 +86,40 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
           | lock_key VARCHAR(512) PRIMARY KEY,
           | executor_id VARCHAR(128),
           | locked_at TIMESTAMP)""".stripMargin)
+  }
+
+  /** Upgrade a store created before active_key existed: add the column,
+    * backfill non-terminal rows, then install the unique constraint (which
+    * surfaces any pre-existing duplicate as a loud failure rather than
+    * silently keeping both).
+    */
+  private def migrateActiveKey(): Unit = {
+    val cols = conn.getMetaData.getColumns(null, null, "JOB_EXECUTIONS", "ACTIVE_KEY")
+    val hasCol = cols.next(); cols.close()
+    if (!hasCol) {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "ALTER TABLE job_executions ADD COLUMN active_key VARCHAR(1024)")
       st.close()
+      val sel = conn.createStatement()
+      val rs = sel.executeQuery(
+        """SELECT job_execution_id, jobnet, subsys, job_name FROM job_executions
+          | WHERE status IN ('waiting', 'running', 'failed')""".stripMargin)
+      val live = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+        .toSeq
+      rs.close(); sel.close()
+      val upd = conn.prepareStatement(
+        "UPDATE job_executions SET active_key = ? WHERE job_execution_id = ?")
+      live.foreach { case (id, net, sub, job) =>
+        upd.setString(1, activeKey(net, sub, job)); upd.setLong(2, id)
+        upd.executeUpdate()
+      }
+      upd.close()
+      val con = conn.createStatement()
+      con.executeUpdate(
+        "ALTER TABLE job_executions ADD CONSTRAINT job_exec_active_uq UNIQUE (active_key)")
+      con.close()
     }
   }
 
@@ -127,37 +175,62 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
     rs.close(); ps.close(); out
   }
 
+  /** The non-terminal uniqueness key, components joined with the ASCII
+    * unit separator (which job/jobnet names never contain, unlike tabs or
+    * newlines which the TSV store explicitly tolerates).
+    */
+  private def activeKey(jobnet: String, subsys: String, jobName: String): String =
+    s"$jobnet\u001F$subsys\u001F$jobName"
+
   /** Reuse an existing non-terminal execution for (jobnet, job), else
     * INSERT a waiting one (reference: dao/jobexecution.rb enqueue upsert).
+    * The INSERT carries the row's active_key, so when two runners race
+    * past each other's SELECT the loser's INSERT hits the unique
+    * constraint and falls back to the winner's row — no duplicate
+    * 'waiting' executions regardless of lock ordering.
     */
   def enqueueJob(jobnet: String, ref: JobRef, sequence: Int): JobExecution =
     synchronized {
-      val sel = conn.prepareStatement(
-        """SELECT * FROM job_executions
-          | WHERE jobnet = ? AND subsys = ? AND job_name = ?
-          |   AND status IN ('waiting', 'running', 'failed')
-          | ORDER BY job_execution_id""".stripMargin)
-      sel.setString(1, jobnet); sel.setString(2, ref.subsys); sel.setString(3, ref.name)
-      val rs = sel.executeQuery()
-      val existing = if (rs.next()) Some(rowToExec(rs)) else None
-      rs.close(); sel.close()
-      existing.getOrElse {
-        val ins = conn.prepareStatement(
-          """INSERT INTO job_executions
-            | (jobnet, subsys, job_name, execution_sequence, status, message, submitted_at)
-            | VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin,
-          Statement.RETURN_GENERATED_KEYS)
-        ins.setString(1, jobnet); ins.setString(2, ref.subsys)
-        ins.setString(3, ref.name); ins.setInt(4, sequence)
-        ins.setString(5, Waiting); ins.setString(6, "")
-        ins.setTimestamp(7, Timestamp.from(Instant.now()))
-        ins.executeUpdate()
-        val keys = ins.getGeneratedKeys
-        keys.next()
-        val id = keys.getLong(1)
-        keys.close(); ins.close()
-        record(id, Waiting, "")
-        get(id).get
+      def selectExisting(): Option[JobExecution] = {
+        val sel = conn.prepareStatement(
+          """SELECT * FROM job_executions
+            | WHERE jobnet = ? AND subsys = ? AND job_name = ?
+            |   AND status IN ('waiting', 'running', 'failed')
+            | ORDER BY job_execution_id""".stripMargin)
+        sel.setString(1, jobnet); sel.setString(2, ref.subsys); sel.setString(3, ref.name)
+        val rs = sel.executeQuery()
+        val existing = if (rs.next()) Some(rowToExec(rs)) else None
+        rs.close(); sel.close()
+        existing
+      }
+      selectExisting().getOrElse {
+        try {
+          val ins = conn.prepareStatement(
+            """INSERT INTO job_executions
+              | (jobnet, subsys, job_name, execution_sequence, status, message,
+              |  submitted_at, active_key)
+              | VALUES (?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+            Statement.RETURN_GENERATED_KEYS)
+          ins.setString(1, jobnet); ins.setString(2, ref.subsys)
+          ins.setString(3, ref.name); ins.setInt(4, sequence)
+          ins.setString(5, Waiting); ins.setString(6, "")
+          ins.setTimestamp(7, Timestamp.from(Instant.now()))
+          ins.setString(8, activeKey(jobnet, ref.subsys, ref.name))
+          ins.executeUpdate()
+          val keys = ins.getGeneratedKeys
+          keys.next()
+          val id = keys.getLong(1)
+          keys.close(); ins.close()
+          record(id, Waiting, "")
+          get(id).get
+        } catch {
+          case _: java.sql.SQLIntegrityConstraintViolationException =>
+            // a racing runner's INSERT committed between our SELECT and
+            // INSERT — adopt its execution row
+            selectExisting().getOrElse(
+              throw new IllegalJobStateException(
+                s"lost enqueue race but no live execution found: $jobnet ${ref.name}"))
+        }
       }
     }
 
@@ -183,6 +256,9 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
       val sets = new StringBuilder("status = ?, message = ?")
       if (setStarted) sets ++= ", started_at = ?, finished_at = NULL"
       if (setFinished) sets ++= ", finished_at = ?"
+      // terminal rows free the uniqueness slot so a later run can enqueue
+      // a fresh execution of the same job
+      if (to == Succeeded || to == Canceled) sets ++= ", active_key = NULL"
       val ps = conn.prepareStatement(
         s"UPDATE job_executions SET $sets WHERE job_execution_id = ? AND status IN ($marks)")
       var i = 0
@@ -235,7 +311,8 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
   def cancelJobnet(jobnet: String, message: String): Unit = synchronized {
     val affected = enqueuedJobs(jobnet).map(_.id)
     val ps = conn.prepareStatement(
-      """UPDATE job_executions SET status = ?, message = ?, finished_at = ?
+      """UPDATE job_executions
+        | SET status = ?, message = ?, finished_at = ?, active_key = NULL
         | WHERE jobnet = ? AND status IN ('waiting', 'running', 'failed')""".stripMargin)
     ps.setString(1, Canceled); ps.setString(2, trunc(message))
     ps.setTimestamp(3, Timestamp.from(Instant.now())); ps.setString(4, jobnet)

@@ -141,6 +141,81 @@ class ExecutionStoreSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("jdbc enqueue race: concurrent stores cannot double-insert an execution") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val db = Files.createTempDirectory("graft-derby-race").resolve("db")
+    val s1 = JdbcExecutionStore.embedded(db)
+    val s2 = new JdbcExecutionStore(s"jdbc:derby:$db") // second connection, same DB
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 5) {
+        val barrier = new CyclicBarrier(2)
+        def race(s: JdbcExecutionStore) = pool.submit(new Callable[JobExecution] {
+          def call(): JobExecution = { barrier.await(); s.enqueueJob("netr", ref("j"), 1) }
+        })
+        val (f1, f2) = (race(s1), race(s2))
+        val e1 = f1.get(30, TimeUnit.SECONDS)
+        val e2 = f2.get(30, TimeUnit.SECONDS)
+        // the loser of the INSERT race must adopt the winner's row
+        assert(e1.id == e2.id, s"round $round double-inserted")
+        assert(s1.enqueuedJobs("netr").size == 1)
+        // finish the execution; a terminal row frees the slot for the next round
+        s1.transitionToRunning(e1.id)
+        s1.transitionToSucceeded(e1.id)
+      }
+      assert(s1.all.count(_.jobnet == "netr") == 5) // one row per round, not per racer
+    } finally {
+      pool.shutdownNow()
+      s2.close(); s1.close()
+    }
+  }
+
+  test("jdbc store migrates a pre-active_key schema in place") {
+    val db = Files.createTempDirectory("graft-derby-mig").resolve("db")
+    JdbcExecutionStore.quietDerby()
+    // hand-build the old schema (no active_key column) with one live row
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE job_executions (
+        | job_execution_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        | jobnet VARCHAR(512) NOT NULL,
+        | subsys VARCHAR(256) NOT NULL,
+        | job_name VARCHAR(256) NOT NULL,
+        | execution_sequence INT NOT NULL,
+        | status VARCHAR(16) NOT NULL,
+        | message VARCHAR(4000) NOT NULL,
+        | submitted_at TIMESTAMP NOT NULL,
+        | started_at TIMESTAMP,
+        | finished_at TIMESTAMP)""".stripMargin)
+    st.executeUpdate(
+      """CREATE TABLE job_execution_states (
+        | state_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        | job_execution_id BIGINT NOT NULL,
+        | status VARCHAR(16) NOT NULL,
+        | message VARCHAR(4000) NOT NULL,
+        | created_at TIMESTAMP NOT NULL)""".stripMargin)
+    st.executeUpdate(
+      """CREATE TABLE execution_locks (
+        | lock_key VARCHAR(512) PRIMARY KEY,
+        | executor_id VARCHAR(128),
+        | locked_at TIMESTAMP)""".stripMargin)
+    st.executeUpdate(
+      """INSERT INTO job_executions
+        | (jobnet, subsys, job_name, execution_sequence, status, message, submitted_at)
+        | VALUES ('netm', 'subsys', 'j', 1, 'waiting', '', CURRENT_TIMESTAMP)""".stripMargin)
+    st.close(); conn.close()
+    // opening the store migrates: column added, live row backfilled, constraint on
+    val s = JdbcExecutionStore.embedded(db)
+    try {
+      // the backfilled key dedups re-enqueue of the same live job
+      val e = s.enqueueJob("netm", ref("j"), 1)
+      assert(s.all.count(_.jobnet == "netm") == 1)
+      // and a fresh job still inserts under the constraint
+      assert(s.enqueueJob("netm", ref("k"), 2).id != e.id)
+    } finally s.close()
+  }
+
   test("jdbc lock survives reconnection (durable executor_id row)") {
     val db = Files.createTempDirectory("graft-derby-l").resolve("db")
     val s1 = JdbcExecutionStore.embedded(db)
