@@ -119,14 +119,21 @@ object InsertDeltaJobClass extends JobClass("insert-delta") {
           // delete-cond is implicit: overwritten partitions drop their old
           // rows (the reference's DELETE WHERE targets the same reload
           // window).
-          val spark = ds.spark
-          val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try {
-            val insertSql = stmt.statements.mkString(";\n")
-              .replaceFirst("(?i)insert\\s+into", "INSERT OVERWRITE TABLE")
-            ds.sql(insertSql)
-          } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+          // newSession() shares the catalog but has its own SQLConf, so the
+          // dynamic overwrite mode is scoped to this statement — a
+          // concurrent job in the original session never observes it
+          val scoped = ds.spark.newSession()
+          scoped.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          val insertSql = stmt.statements.mkString(";\n")
+            .replaceFirst("(?i)insert\\s+into", "INSERT OVERWRITE TABLE")
+          try scoped.sql(insertSql)
+          catch {
+            case e: JobError  => throw e
+            case e: Exception => throw new JobFailure(s"SQL failed: ${e.getMessage}", e)
+          }
+          // the original session's relation cache is stale after a write
+          // from a cloned session — refresh so same-session reads see it
+          ds.spark.catalog.refreshTable(ds.qualify(dest))
         case _ =>
           ds.stagedOverwrite(dest) { wk =>
             // keep rows NOT matching the delete condition

@@ -116,23 +116,31 @@ object Multimodal {
         length(col("thumb")).cast("long").as("thumb_bytes"))
       .orderBy("asset_id")
 
-  /** Byte-histogram feature vector (16 buckets) per asset via
-    * aggregate over the payload — the feature-extraction kernel shape
-    * (real: embedding model / mel spectrogram).
+  /** Byte-histogram feature vector (16 buckets) per asset — the
+    * feature-extraction kernel shape (real: embedding model / mel
+    * spectrogram). Expressed as explode → two-level hash-agg so the whole
+    * kernel stays inside WholeStageCodegen (a typed map would break the
+    * codegen span; SQL higher-order functions are interpreted per element):
+    * map-side partial aggregation collapses the per-byte rows within each
+    * partition, so the shuffle carries at most 16 rows per asset — never
+    * payload bytes. ascii() is exact for the ASCII stand-in corpus (real
+    * payloads would explode the binary through the decode kernel instead).
     */
   def qByteHistogram(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val a = assets(s, dir)
-    val hist = a.map { r =>
-      val payload = r.getAs[Array[Byte]]("payload")
-      val h = new Array[Long](16)
-      payload.foreach(b => h((b & 0xff) % 16) += 1)
-      (r.getLong(0), h.toSeq)
-    }.toDF("asset_id", "hist")
-    hist.select(col("asset_id"),
-        expr("aggregate(hist, 0L, (a, x) -> a + x)").as("total"),
-        expr("array_max(hist)").as("max_bucket"))
+    val base = assets(s, dir)
+      .select(col("asset_id"), decode(col("payload"), "UTF-8").as("txt"))
+    val counts = base
+      .select(col("asset_id"), explode(split(col("txt"), "")).as("ch"))
+      .where(length(col("ch")) === 1) // split(-1) keeps a trailing ""
+      .select(col("asset_id"), (ascii(col("ch")) % 16).as("bucket"))
+      .groupBy("asset_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("asset_id")
+      .agg(sum("cnt").as("total"), max("cnt").as("max_bucket"))
+    // empty payloads produce no exploded rows; restore them as zero rows
+    base.select(col("asset_id")).join(counts, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("max_bucket"), lit(0L)).as("max_bucket"))
       .orderBy("asset_id")
   }
 

@@ -138,6 +138,9 @@ class JobClassSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getInt(1))).toSeq
     // 08-06 untouched, 08-07 partition replaced (not appended)
     assert(rows == Seq(("2024-08-06", 1), ("2024-08-07", 20)))
+    // the dynamic overwrite mode was scoped to a cloned session — the
+    // job session's conf must not have been mutated
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic")
   }
 
   test("rebuild-rename swaps atomically and keeps old data on failure") {
