@@ -26,8 +26,14 @@ object CorpusOps {
     * is the distinct-gram surface, and a broadcast of the (much smaller)
     * eval gram set makes the probe map-side when it fits.
     */
-  def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+  def qContamination(s: SparkSession, dir: String): DataFrame =
+    contaminationFrom(t(s, dir, "documents"))
+
+  /** The contamination kernel over any (doc_id, text) frame — shared by
+    * the standard query and the hot-gram bench stress.
+    */
+  private[graft] def contaminationFrom(docs: DataFrame): DataFrame = {
+    val grams = docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
     val train = grams.filter(col("doc_id") % 10 =!= 0)

@@ -102,6 +102,14 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val base = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
+    nearDupPairs(base, blockTarget)
+  }
+
+  /** The triangle-blocked pair kernel over any (vec_id, label, embedding,
+    * nrm) frame — shared by the standard query and the hot-label bench
+    * stress (which remaps labels to manufacture a pathological cell).
+    */
+  private[graft] def nearDupPairs(base: DataFrame, blockTarget: Long): DataFrame = {
     // Block count adapts to the observed cell: one row-per-label pre-agg
     // (tiny — it is the distinct-label surface) broadcast back, so a hot
     // label gets ceil(cell / blockTarget) blocks while cold labels stay at

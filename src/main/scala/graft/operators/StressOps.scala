@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Skew stress queries: the standard corpus is synthetically distorted so
+  * one key holds a pathological share of the data, proving the operators'
+  * skew defenses hold (and regress-gating them in the bench like any other
+  * query). The distortions are deterministic arithmetic on existing
+  * columns, so both stresses stay fully DuckDB-oracle-checked.
+  *
+  *  - hot-label near-dup: half of all embeddings remapped into one label
+  *    (a 50% cell). The triangle-block decomposition must split that cell
+  *    into bounded block-pair tasks instead of one O(cell²) straggler; a
+  *    small blockTarget forces multi-block paths at every test SF.
+  *  - hot-gram contamination: a constant bigram appended to half of all
+  *    documents (including the eval split), making one join key carry 50%
+  *    of the probe rows through the gram-keyed semi-join.
+  */
+object StressOps {
+
+  /** Labels remapped so vec_id % 2 == 0 all land in label -1 — one cell
+    * holding half the corpus. blockTarget 128 forces the adaptive blocking
+    * to decompose it (ceil(250/128)=2 blocks at sf0.01, 20 at sf0.1) while
+    * cold labels stay unreplicated.
+    */
+  def qStressHotNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CASE WHEN vec_id % 2 = 0 THEN -1 ELSE label END").as("label"),
+        col("embedding"),
+        expr("vec_norm(embedding)").as("nrm"))
+    Similarity.nearDupPairs(base, blockTarget = 128L)
+  }
+
+  val qStressHotNearDupOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN -1 ELSE label END AS label,
+      |         embedding
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT label, id_a, id_b,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY label, id_a, id_b)
+      |SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** A constant ' zq zq' suffix on every even doc_id puts the bigram
+    * 'zq_zq' in half of all documents AND in the eval split (eval =
+    * doc_id % 10 == 0, all even), so one gram key carries half the corpus
+    * through the semi-join.
+    */
+  def qStressContamSkew(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.contaminationFrom(
+      t(s, dir, "documents").withColumn("text",
+        expr("CASE WHEN doc_id % 2 = 0 THEN text || ' zq zq' ELSE text END")))
+
+  val qStressContamSkewOracle: String =
+    s"""WITH g AS (
+      |  SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram
+      |  FROM (SELECT doc_id,
+      |          string_split(CASE WHEN doc_id % 2 = 0 THEN text || ' zq zq' ELSE text END, ' ') AS ws
+      |        FROM documents) w),
+      |train AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+      |eval_set AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS overlap_grams
+      |  FROM train t JOIN eval_set e USING (gram) GROUP BY t.doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      |  coalesce(h.overlap_grams, 0) AS overlap_grams,
+      |  round(coalesce(h.overlap_grams, 0) / CAST(t.n_grams AS DOUBLE), 4) AS overlap_ratio
+      |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |WHERE round(coalesce(h.overlap_grams, 0) / CAST(t.n_grams AS DOUBLE), 4) >= 0.5
+      |ORDER BY t.doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stress_hot_near_dup", qStressHotNearDup, Some(qStressHotNearDupOracle)),
+    QueryDef("q_stress_contam_skew", qStressContamSkew, Some(qStressContamSkewOracle)),
+  )
+}
