@@ -356,10 +356,17 @@ object BricolageMain {
       JobClass.list.foreach(println)
       return 0
     }
+    // class mode (reference: application.rb:313-315 banner +
+    // :103-112 load_job): a positional that names a registered job class
+    // instead of an existing file runs that class directly, parameters
+    // supplied entirely by --option job options
+    val classMode = opts.target.exists(p =>
+      !Files.exists(p) && JobClass.list.contains(p.toString))
     // subsystem = the job file's parent directory name under home;
     // --dump-options/--list-global-variables work without a job file
     // (reference: application.rb:45-54 run before load_job)
-    val subsys = opts.target.flatMap(p => Option(p.toAbsolutePath.getParent))
+    val subsys = opts.target.filter(_ => !classMode)
+      .flatMap(p => Option(p.toAbsolutePath.getParent))
       .filter(_ != opts.home.toAbsolutePath)
       .map(_.getFileName.toString).getOrElse("")
     val env = opts.environment.getOrElse(Cli.environment)
@@ -376,10 +383,12 @@ object BricolageMain {
       return 0
     }
     val jobPath = opts.target.getOrElse(
-      throw new ParameterError("usage: BricolageMain [options] job-file"))
-    val jf = JobFile.load(jobPath)
+      throw new ParameterError("usage: BricolageMain [options] job-file|job-class"))
+    val jf =
+      if (classMode) JobFile(jobPath.toString, Map.empty)
+      else JobFile.load(jobPath)
     val job = new Job(jobPath.getFileName.toString, jf, ctx, opts.jobOptions,
-      opts.varAssigns, Some(jobPath.toAbsolutePath))
+      opts.varAssigns, if (classMode) None else Some(jobPath.toAbsolutePath))
     if (opts.listDeclarations) {
       // reference: application.rb:60-62 — the script's declared parameters
       job.declarations().foreach(println)
@@ -402,7 +411,9 @@ object BricolageMain {
       }
       return 0
     }
-    val result = Application.runJobFile(jobPath, ctx, opts.jobOptions, opts.varAssigns)
+    val result =
+      if (classMode) job.execute()
+      else Application.runJobFile(jobPath, ctx, opts.jobOptions, opts.varAssigns)
     if (!result.success) System.err.println(result.message)
     result.exitCode
   }

@@ -427,6 +427,22 @@ class CliSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("positional job class runs in class mode (reference application.rb:103-112)") {
+    val home = Files.createTempDirectory("cli-cm")
+    // no job file on disk: the positional names a registered job class and
+    // parameters come entirely from --option job options
+    assert(BricolageMain.run(Seq(s"--home=$home", "noop"),
+      Some(SparkTestBase.spark)) == 0)
+    assert(BricolageMain.run(Seq(s"--home=$home", "noop", "--failure=true"),
+      Some(SparkTestBase.spark)) == 1)
+    // class mode composes with the informational options
+    val decls = captureOut {
+      assert(BricolageMain.run(Seq(s"--home=$home", "--list-declarations", "noop"),
+        Some(SparkTestBase.spark)) == 0)
+    }
+    assert(decls.trim.split("\n").contains("failure"))
+  }
+
   test("--disable-queue clears --db-queue and --db-name too (reference make_queue checks enablement first)") {
     val o = Cli.parseArgs(Seq("--db-queue=/x", "--db-name=y", "--queue=/q",
       "--disable-queue", "f.jobnet"))
