@@ -156,10 +156,96 @@ object CorpusOps {
       |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
       |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
 
+  /** The full pipeline a corpus actually runs, end-to-end in one plan:
+    * exact dedup (first doc per distinct text) → train split → quality
+    * filter (≥5 tokens, type/token ratio ≥ 0.3) → decontamination (drop
+    * docs whose distinct bigrams are ≥95% contained in the eval split —
+    * the synthetic corpus draws from a small vocabulary, so baseline
+    * overlap is high and the threshold targets effective containment) →
+    * deterministic
+    * 50% hash sample → per-language sequence packing. Every stage is the
+    * same kernel its standalone query uses, so the composition stays fully
+    * DuckDB-oracle-checked — the "a user could run their whole pipeline on
+    * this engine" demonstration. At 100 TB each stage keeps its standalone
+    * scale shape: dedup shuffles text keys once, contamination is
+    * gram-keyed (never doc×doc), sampling is narrow, packing is per-shard.
+    */
+  def qPipelineE2e(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val dedupW = Window.partitionBy("text").orderBy("doc_id")
+    val deduped = docs
+      .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1).drop("rn")
+    val train = deduped.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("ttr",
+        round(size(array_distinct(col("ws"))) / col("n_tokens").cast("double"), 4))
+      .filter(col("n_tokens") >= 5 && col("ttr") >= 0.3)
+    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(Dedup.gramsSpark)).as("gram")).distinct()
+    val trainGrams = train.select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
+    val totals = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    val clean = train.join(totals, Seq("doc_id"), "left").join(hits, Seq("doc_id"), "left")
+      .withColumn("ratio",
+        round(coalesce(col("overlap"), lit(0L)) /
+          coalesce(col("n_grams"), lit(1L)).cast("double"), 4))
+      .filter(col("ratio") < 0.95)
+    val sampled = clean.filter(substring(md5(encode(col("text"), "UTF-8")), 1, 1) < "8")
+    val packW = Window.partitionBy("lang").orderBy("doc_id")
+    sampled.select(col("lang"), col("doc_id"), col("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(packW))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
+  val qPipelineE2eOracle: String =
+    s"""WITH dedup AS (
+      |  SELECT doc_id, lang, text FROM (
+      |    SELECT doc_id, lang, text,
+      |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM documents) sub WHERE rn = 1),
+      |train AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM dedup
+      |  WHERE doc_id % 10 <> 0
+      |    AND len(string_split(text, ' ')) >= 5
+      |    AND round(len(list_distinct(string_split(text, ' ')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) >= 0.3),
+      |eval_grams AS (
+      |  SELECT DISTINCT unnest(${Dedup.gramsDuck}) AS gram
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 10 = 0) w),
+      |tg AS (
+      |  SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train) w),
+      |totals AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS overlap
+      |  FROM tg t JOIN eval_grams e USING (gram) GROUP BY t.doc_id),
+      |clean AS (
+      |  SELECT tr.lang, tr.doc_id, tr.n_tokens, tr.text
+      |  FROM train tr LEFT JOIN totals USING (doc_id) LEFT JOIN hits USING (doc_id)
+      |  WHERE round(coalesce(overlap, 0) / CAST(coalesce(n_grams, 1) AS DOUBLE), 4) < 0.95),
+      |sampled AS (SELECT * FROM clean WHERE substr(md5(text), 1, 1) < '8'),
+      |packed AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+      |      - n_tokens) / 2048) AS BIGINT) AS seq_id
+      |  FROM sampled)
+      |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+      |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),
+    QueryDef("q_pipeline_e2e", (s, d) => qPipelineE2e(s, d), Some(qPipelineE2eOracle)),
   )
 }

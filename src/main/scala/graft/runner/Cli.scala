@@ -107,6 +107,62 @@ object Cli {
     JobContext(registry, home, subsys, loadVariables(home, subsys, env))
   }
 
+  /** `-r/--require=FEATURE` — the gem-require analogue (reference:
+    * application.rb:352-354 requires a ruby library whose load side-effect
+    * registers job classes/hooks). FEATURE is a fully-qualified Scala
+    * object name (e.g. `graft.plugins.MySqlPlugin`); its `register()` is
+    * invoked when present, otherwise class initialization alone is the
+    * registration hook.
+    */
+  def requireFeature(feature: String): Unit = {
+    val cls =
+      try Class.forName(feature + "$")
+      catch { case _: ClassNotFoundException =>
+        try Class.forName(feature)
+        catch { case _: ClassNotFoundException =>
+          throw new ParameterError(s"cannot load feature: $feature")
+        }
+      }
+    val instance = scala.util.Try(cls.getField("MODULE$").get(null)).getOrElse(null)
+    cls.getMethods.find(m => m.getName == "register" && m.getParameterCount == 0)
+      .foreach(_.invoke(instance))
+  }
+
+  /** `--help` text (reference: application.rb:312-316 banner + option
+    * summaries; jobnetrunner.rb:256-316).
+    */
+  def helpText(program: String): String =
+    s"""Synopsis:
+       |  $program [options] JOB_FILE | JOB_CLASS [job_options]   (single job)
+       |  $program [options] JOBNET_FILE                          (jobnet)
+       |Options:
+       |  -C, --home=PATH            application home directory
+       |  -e, --environment=NAME     execution environment (config/<env>/)
+       |  -f, --job=FILE             job file (also accepted positionally)
+       |  -v, --variable=NAME=VALUE  set variable
+       |  -n, --dry-run              show compiled actions without executing
+       |  -E, --explain              EXPLAIN each SQL action without executing
+       |  -c, --check-only           compile every job in the net, then quit
+       |  -l, --list-jobs            list the net's jobs in execution order
+       |  -r, --require=FEATURE      load a plugin object (register() hook)
+       |      --list-job-class       list registered job classes
+       |      --list-global-variables / --list-variables / --list-declarations
+       |      --dump-options         show effective options with provenance
+       |  -L, --log-dir=PATH         per-job log directory
+       |      --log-path=TEMPLATE    per-job log path (%{std} etc.)
+       |      --s3-log=DS:KEY        ship per-job logs to an object store
+       |  -Q, --enable-queue         file queue at the derived state path
+       |      --queue=PATH           file queue at PATH
+       |      --db-queue=PATH        embedded-DB queue at PATH
+       |      --db-name=DS           server-DB queue via a jdbc datasource
+       |      --local-state-dir=PATH state dir for derived queue paths
+       |      --disable-queue        no durable queue (overrides the above)
+       |      --clear-queue          discard persisted progress first
+       |      --unlock-jobnet        take over a dead runner's jobnet lock
+       |      --ecs-executor         derive executor id from ECS metadata
+       |      --version              show version and quit
+       |      --help                 show this message and quit""".stripMargin
+
   /** Executor identity for the DB queue: `Hostname:PID`, or `TaskID:PID`
     * when running under ECS (reference: jobnetrunner.rb:113-124
     * get_executor_id — the task id is the last ARN path component of the
@@ -162,6 +218,7 @@ object Cli {
       listDeclarations: Boolean,
       dumpOptions: Boolean,
       showVersion: Boolean,
+      showHelp: Boolean,
       localStateDir: Option[Path],
       ecsExecutor: Boolean,
       logDir: Option[String],
@@ -221,6 +278,7 @@ object Cli {
     var listDecls = false
     var dump = false
     var version = false
+    var help = false
     var target: Option[Path] = None
     val it = args.iterator
     def nextValue(opt: String): String = {
@@ -283,6 +341,10 @@ object Cli {
         case "--list-declarations" => listDecls = true
         case "--dump-options" => dump = true
         case "--version" => version = true
+        case "--help" => help = true
+        // requires fire at parse time, like the reference's `require feature`
+        case "-r" => requireFeature(nextValue("-r"))
+        case a if a.startsWith("--require=") => requireFeature(a.drop(10))
         case a if a.startsWith("--") && a.contains("=") =>
           val Array(k, v) = a.drop(2).split("=", 2)
           jobOpts += (k -> v)
@@ -293,7 +355,7 @@ object Cli {
     }
     Options(home, env, vars, jobOpts, queue, dbQueue, dbName, enableQ, clear,
       unlock, dry, explainFlag, checkOnly, listJobs, listJobClass,
-      listGlobalVars, listVars, listDecls, dump, version, stateDir, ecs,
+      listGlobalVars, listVars, listDecls, dump, version, help, stateDir, ecs,
       logDir, logPath, s3Log, target, sources)
   }
 
@@ -350,6 +412,7 @@ object BricolageMain {
       sparkOverride: Option[SparkSession] = None): Int = {
     val args1 = JobListener.fireOptionParsing(JobListener.registered, args)
     val opts = Cli.parseArgs(args1)
+    if (opts.showHelp) { println(Cli.helpText("BricolageMain")); return 0 }
     if (opts.showVersion) { println(s"graft version ${Cli.Version}"); return 0 }
     if (opts.listJobClass) {
       // reference: application.rb:338-342 --list-job-class
@@ -427,6 +490,7 @@ object JobNetMain {
       sparkOverride: Option[SparkSession] = None): Int = {
     val args1 = JobListener.fireOptionParsing(JobListener.registered, args)
     val opts = Cli.parseArgs(args1)
+    if (opts.showHelp) { println(Cli.helpText("JobNetMain")); return 0 }
     if (opts.showVersion) { println(s"graft version ${Cli.Version}"); return 0 }
     val netPath = opts.target.getOrElse(
       throw new ParameterError("usage: JobNetMain [options] jobnet-file"))

@@ -427,6 +427,25 @@ class CliSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("--help prints usage and quits (reference application.rb:356-359)") {
+    val out = captureOut { assert(BricolageMain.run(Seq("--help")) == 0) }
+    assert(out.contains("Synopsis:") && out.contains("--dump-options"))
+  }
+
+  test("-r/--require loads a plugin object and fires its register() (reference application.rb:352-354)") {
+    val home = Files.createTempDirectory("cli-req")
+    // the redis plugin registers the redis-export class on require; loading
+    // it through -r must make the class visible to --list-job-class
+    val out = captureOut {
+      assert(BricolageMain.run(Seq("-r", "graft.plugins.RedisPlugin",
+        "--list-job-class"), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.trim.split("\n").contains("redis-export"))
+    intercept[ParameterError] {
+      BricolageMain.run(Seq(s"--home=$home", "--require=no.such.Plugin", "x.job"))
+    }
+  }
+
   test("positional job class runs in class mode (reference application.rb:103-112)") {
     val home = Files.createTempDirectory("cli-cm")
     // no job file on disk: the positional names a registered job class and
