@@ -589,6 +589,13 @@ object JobNetMain {
       }
       (ctx.registry.store(dsName), key)
     }
+    if (opts.clearQueue) {
+      // reference: jobnetrunner.rb:64-68 — --clear-queue clears (done in
+      // the queue-construction branches above) and QUITS without running
+      queue.close()
+      System.err.println("queue is unlocked and cleared")
+      return 0
+    }
     try {
       val result = runner.run(netPath, queue, opts.varAssigns, logFiles, logStore)
       if (!result.success) System.err.println(result.message)

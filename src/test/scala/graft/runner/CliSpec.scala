@@ -427,6 +427,23 @@ class CliSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("--clear-queue clears persisted progress and quits without running (reference jobnetrunner.rb:64-68)") {
+    val home = Files.createTempDirectory("cli-cq")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> boom\n")
+    val qf = home.resolve("state.queue")
+    val args = Seq(s"--home=$home", s"--queue=$qf",
+      home.resolve("net/q.jobnet").toString)
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1)
+    assert(Files.exists(qf)) // the failed tail persisted
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf", "--clear-queue",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    assert(!Files.exists(qf)) // cleared, and exit 0 proves nothing re-ran
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1) // fresh start
+  }
+
   test("--help prints usage and quits (reference application.rb:356-359)") {
     val out = captureOut { assert(BricolageMain.run(Seq("--help")) == 0) }
     assert(out.contains("Synopsis:") && out.contains("--dump-options"))
