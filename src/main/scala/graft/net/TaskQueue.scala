@@ -57,7 +57,10 @@ final class FileTaskQueue(path: Path) extends TaskQueue {
 
   private def lockPath: Path = path.resolveSibling(path.getFileName.toString + ".LOCK")
 
-  def enqueue(ref: JobRef): Unit = { q.enqueue(ref); save() }
+  // enqueue does NOT save: persistence starts at consume (reference:
+  // taskqueue.rb:23-27 vs :35-46), so read-only flows over a fresh queue
+  // (--list-jobs, --check-only) leave no state file behind
+  def enqueue(ref: JobRef): Unit = q.enqueue(ref)
   def queued: Seq[JobRef] = q.toSeq
 
   /** Reload persisted queue state (reference: taskqueue.rb:110-115). */
@@ -83,6 +86,7 @@ final class FileTaskQueue(path: Path) extends TaskQueue {
   def consumeEach(f: JobRef => JobResult): JobResult = {
     lock()
     try {
+      save() // persist the full queue before the first job (taskqueue.rb:37)
       while (q.nonEmpty) {
         val r = f(q.head)
         if (!r.success) { save(); return r }

@@ -512,19 +512,6 @@ object JobNetMain {
       return 0
     }
     val runner = new JobNetRunner(ctx)
-    if (opts.listJobs || opts.checkOnly) {
-      // reference: jobnetrunner.rb:74-83 list_jobs / check_jobs — list or
-      // pre-flight-compile the job sequence without executing
-      val jobs = runner.sequentialJobs(netPath)
-      if (opts.listJobs) { jobs.foreach(println); return 0 }
-      jobs.foreach { ref =>
-        val jf = JobFile.load(runner.jobFilePath(ref))
-        new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty,
-          opts.varAssigns, Some(runner.jobFilePath(ref).toAbsolutePath)).compile()
-      }
-      println("OK")
-      return 0
-    }
     val executorId = Cli.executorId(
       if (opts.ecsExecutor) Some(sys.env.getOrElse("ECS_CONTAINER_METADATA_URI",
         throw new ParameterError("--ecs-executor requires ECS_CONTAINER_METADATA_URI")))
@@ -595,6 +582,22 @@ object JobNetMain {
       queue.close()
       System.err.println("queue is unlocked and cleared")
       return 0
+    }
+    if (opts.listJobs || opts.checkOnly) {
+      // reference: jobnetrunner.rb:69-83 — both operate on the QUEUE after
+      // restore-or-enqueue, so a resumed jobnet lists/checks only its
+      // persisted remainder, not the whole net
+      try {
+        if (queue.isEmpty) runner.sequentialJobs(netPath).foreach(queue.enqueue)
+        if (opts.listJobs) { queue.queued.foreach(println); return 0 }
+        queue.queued.foreach { ref =>
+          val jf = JobFile.load(runner.jobFilePath(ref))
+          new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty,
+            opts.varAssigns, Some(runner.jobFilePath(ref).toAbsolutePath)).compile()
+        }
+        println("OK")
+        return 0
+      } finally queue.close()
     }
     try {
       val result = runner.run(netPath, queue, opts.varAssigns, logFiles, logStore)

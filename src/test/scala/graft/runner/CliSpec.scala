@@ -307,6 +307,29 @@ class CliSpec extends AnyFunSuite {
     assert(lines == Seq("net/a", "net/boom"))
   }
 
+  test("-l on a resumed queue lists only the persisted remainder (reference jobnetrunner.rb:69-77)") {
+    val home = Files.createTempDirectory("cli-lr")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> boom\n")
+    val qf = home.resolve("state.queue")
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 1)
+    val out = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf", "-l",
+        home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.trim.split("\n").toSeq == Seq("net/boom"))
+    // listing must not clobber the persisted remainder
+    assert(Files.readString(qf).trim == "net/boom")
+    // a fresh file queue is NOT created by a read-only listing
+    val qf2 = home.resolve("fresh.queue")
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf2", "-l",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    assert(!Files.exists(qf2))
+  }
+
   test("-c/--check-only compiles all jobs and quits (reference jobnetrunner.rb:78-83,150-154)") {
     val home = Files.createTempDirectory("cli-co")
     Files.createDirectories(home.resolve("net"))
