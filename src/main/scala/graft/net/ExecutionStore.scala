@@ -303,5 +303,6 @@ final class DatabaseTaskQueue(
   override def lock(): Unit = store.lock(jobnetId, executorId)
   override def unlock(): Unit = store.unlock(jobnetId, executorId)
   override def locked: Boolean = store.lockedBy(jobnetId).isDefined
+  override def unlockHelp: String = s"run with --unlock-jobnet (lock: $jobnetId)"
   override def close(): Unit = store.close()
 }

@@ -25,6 +25,11 @@ trait TaskQueue {
   def unlock(): Unit = ()
   def locked: Boolean = false
 
+  /** Operator guidance shown when a run finds the queue still locked
+    * (reference: taskqueue.rb unlock_help per queue type).
+    */
+  def unlockHelp: String = "unlock the queue"
+
   /** Release backing resources (a DB-backed queue closes its store so an
     * embedded database can be re-opened by a later run in the same JVM;
     * memory/file queues have nothing to release).
@@ -106,4 +111,5 @@ final class FileTaskQueue(path: Path) extends TaskQueue {
 
   override def unlock(): Unit = { Files.deleteIfExists(lockPath); () }
   override def locked: Boolean = Files.exists(lockPath)
+  override def unlockHelp: String = s"remove $lockPath"
 }

@@ -576,6 +576,13 @@ object JobNetMain {
       }
       (ctx.registry.store(dsName), key)
     }
+    if (queue.locked) {
+      // reference: jobnetrunner.rb:61-63 — refuse to touch a locked queue
+      // (even for --clear-queue); tell the operator how to unlock
+      queue.close()
+      throw new ParameterError(
+        s"Job queue is still locked. If you are sure to restart jobnet, ${queue.unlockHelp}")
+    }
     if (opts.clearQueue) {
       // reference: jobnetrunner.rb:64-68 — --clear-queue clears (done in
       // the queue-construction branches above) and QUITS without running

@@ -450,6 +450,29 @@ class CliSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("a stale queue lock refuses the run with unlock guidance (reference jobnetrunner.rb:61-63)") {
+    val home = Files.createTempDirectory("cli-lk")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a\n")
+    val qf = home.resolve("state.queue")
+    Files.createFile(home.resolve("state.queue.LOCK")) // crashed runner's lock
+    val args = Seq(s"--home=$home", s"--queue=$qf",
+      home.resolve("net/q.jobnet").toString)
+    val e = intercept[ParameterError] {
+      JobNetMain.run(args, Some(SparkTestBase.spark))
+    }
+    assert(e.getMessage.contains("still locked"))
+    assert(e.getMessage.contains("state.queue.LOCK")) // tells the operator what to remove
+    // --clear-queue must not bypass the lock either
+    intercept[ParameterError] {
+      JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf", "--clear-queue",
+        home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark))
+    }
+    Files.delete(home.resolve("state.queue.LOCK"))
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
+  }
+
   test("--clear-queue clears persisted progress and quits without running (reference jobnetrunner.rb:64-68)") {
     val home = Files.createTempDirectory("cli-cq")
     Files.createDirectories(home.resolve("net"))
