@@ -156,6 +156,73 @@ object CorpusOps {
       |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
       |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
 
+  /** Data-mixture weighting: cap every language stratum at a uniform token
+    * share (total/n_strata) by computing a per-stratum acceptance rate and
+    * applying it with a deterministic 24-bit md5 threshold — the op that
+    * balances a training mixture without RNG (re-derivable from content).
+    * Scale shape: two tiny aggregations (stratum surface), rates broadcast
+    * back, acceptance is a narrow per-row filter — the corpus never
+    * shuffles.
+    */
+  def qMixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val strata = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("stratum_tokens"))
+    val tot = strata.agg(sum("stratum_tokens").as("total_tokens"),
+      count(lit(1)).as("n_strata"))
+    val withRate = strata.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (col("total_tokens") / col("n_strata").cast("double")) / col("stratum_tokens")))
+    val accepted = docs.join(broadcast(withRate.select("lang", "rate")), "lang")
+      .filter(expr("conv(substring(md5(text), 1, 6), 16, 10)").cast("long") <
+        col("rate") * lit(16777216.0))
+      .groupBy("lang").agg(count(lit(1)).as("n_accepted"),
+        sum("n_tokens").as("accepted_tokens"))
+    withRate
+      .select(col("lang"), col("n_docs"), col("stratum_tokens"),
+        round(col("rate"), 4).as("rate"))
+      .join(accepted, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("stratum_tokens"), col("rate"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+        coalesce(col("accepted_tokens"), lit(0L)).as("accepted_tokens"))
+      .orderBy("lang")
+  }
+
+  /** The md5 threshold is re-expressed in DuckDB as manual base-16 digit
+    * folding (strpos over the hex alphabet), which matches Spark's
+    * conv(hex, 16, 10) exactly.
+    */
+  val qMixtureWeightsOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |strata AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens FROM docs GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(stratum_tokens) AS BIGINT) AS total_tokens,
+      |    count(*) AS n_strata FROM strata),
+      |wr AS (
+      |  SELECT s.lang, s.n_docs, s.stratum_tokens,
+      |    least(CAST(1.0 AS DOUBLE),
+      |      (t.total_tokens / CAST(t.n_strata AS DOUBLE)) / s.stratum_tokens) AS rate
+      |  FROM strata s CROSS JOIN tot t),
+      |acc AS (
+      |  SELECT d.lang, count(*) AS n_accepted,
+      |    CAST(sum(d.n_tokens) AS BIGINT) AS accepted_tokens
+      |  FROM docs d JOIN wr USING (lang)
+      |  WHERE list_reduce(list_transform(range(1, 7), i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(d.text), i, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) < wr.rate * 16777216.0
+      |  GROUP BY d.lang)
+      |SELECT w.lang, w.n_docs, w.stratum_tokens, round(w.rate, 4) AS rate,
+      |  coalesce(a.n_accepted, 0) AS n_accepted,
+      |  coalesce(a.accepted_tokens, 0) AS accepted_tokens
+      |FROM wr w LEFT JOIN acc a USING (lang)
+      |ORDER BY w.lang""".stripMargin
+
   /** The full pipeline a corpus actually runs, end-to-end in one plan:
     * exact dedup (first doc per distinct text) → train split → quality
     * filter (≥5 tokens, type/token ratio ≥ 0.3) → decontamination (drop
@@ -247,5 +314,6 @@ object CorpusOps {
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),
     QueryDef("q_pipeline_e2e", (s, d) => qPipelineE2e(s, d), Some(qPipelineE2eOracle)),
+    QueryDef("q_mixture_weights", qMixtureWeights, Some(qMixtureWeightsOracle)),
   )
 }

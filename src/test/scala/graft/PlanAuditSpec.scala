@@ -19,9 +19,11 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // queries whose physical plan intentionally contains a broadcast cross:
-  // q_cosine_topk broadcasts 3 query vectors; q_above_avg broadcasts a
-  // single-row aggregate (the scalar-subquery-without-collect idiom)
-  private val crossJoinByDesign = Set("q_cosine_topk", "q_above_avg")
+  // q_cosine_topk broadcasts 3 query vectors; q_above_avg and
+  // q_mixture_weights broadcast a single-row aggregate (the
+  // scalar-subquery-without-collect idiom)
+  private val crossJoinByDesign =
+    Set("q_cosine_topk", "q_above_avg", "q_mixture_weights")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
