@@ -81,7 +81,63 @@ object AsOfJoin {
       |FROM matched WHERE is_v = 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Range (interval) join — the other temporal join Spark SQL has no
+    * native operator for: a raw `ON v.ts BETWEEN p.ts AND p.ts + 1h`
+    * condition plans as BroadcastNestedLoopJoin (all-pairs per key — the
+    * scale killer). Composed Spark-first via CELL BUCKETING instead: both
+    * sides floor their time to fixed cells the width of the interval, the
+    * interval side explodes to the (≤2) cells it overlaps, and pairs meet
+    * in an EQUI-join on (user_id, cell) with the exact range predicate as
+    * a post-filter. Each (purchase, view) pair meets at exactly one cell
+    * (the view's), so no dedup pass is needed. Shuffle is key-equality
+    * only; interval replication is bounded by ceil(width/cell)+1 = 2.
+    *
+    * The query: attribution — for every purchase, how many views by the
+    * same user landed in the hour starting at the purchase.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    // interval [p_ts, p_ts + 1h) overlaps its start cell and (unless
+    // aligned) the next one; a view point lives in exactly one cell
+    val pCells = purchases.withColumn("cell",
+      explode(array_distinct(array(
+        floor(unix_micros(col("p_ts")) / HourUs),
+        floor((unix_micros(col("p_ts")) + HourUs - 1) / HourUs)))))
+    val vCells = views.withColumn("cell", floor(unix_micros(col("v_ts")) / HourUs))
+    val matched = vCells.join(pCells, Seq("user_id", "cell"))
+      .filter(col("v_ts") >= col("p_ts") &&
+        unix_micros(col("v_ts")) < unix_micros(col("p_ts")) + HourUs)
+      .groupBy("purchase_id").agg(count(lit(1)).as("n_views_1h"))
+    purchases.join(matched, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("n_views_1h"), lit(0L)).as("n_views_1h"))
+      .orderBy("purchase_id")
+  }
+
+  /** DuckDB states the range join directly (its optimizer handles the
+    * small scale); the cell decomposition is provably pair-preserving, so
+    * the outputs hash-match.
+    */
+  val qRangeJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_views_1h
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (
+      |  SELECT p2.event_id, count(*) AS cnt
+      |  FROM events p2 JOIN events v
+      |    ON v.user_id = p2.user_id AND p2.event_type = 'purchase'
+      |   AND v.event_type = 'view'
+      |   AND v.ts >= p2.ts AND v.ts < p2.ts + INTERVAL 1 HOUR
+      |  GROUP BY p2.event_id) c ON c.event_id = p.event_id
+      |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsOfJoin, Some(qAsOfJoinOracle)),
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
   )
 }
