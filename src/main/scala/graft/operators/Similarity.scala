@@ -254,6 +254,55 @@ object Similarity {
       |SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF coarse-quantizer assignment: each corpus vector is assigned to
+    * its nearest of K=8 deterministic seed centroids (the first 8 vectors)
+    * by cosine argmax — the k-means-assignment step that builds a real IVF
+    * index (where qEmbeddingNearDup uses `label` as a stand-in cell key).
+    * Centroids broadcast (map-side scoring, the corpus never shuffles for
+    * scoring); the argmax is a per-vector window over K rows. Per-cell
+    * occupancy plus an EXACT integer checksum of assigned similarities
+    * (4dp-scaled sum — order-independent, unlike a float avg).
+    */
+  def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("qv"),
+        col("nrm").as("cnrm"))
+    val scored = e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (expr(dotExpr) / (col("cnrm") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("cos") * 10000).cast("long")).as("sum_cos4"))
+      .orderBy("cent_id")
+  }
+
+  val qIvfAssignOracle: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |pairs AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 8),
+      |scored AS (
+      |  SELECT vec_id, cent_id,
+      |    sum(x * y) / (sqrt(sum(y * y)) * sqrt(sum(x * x))) AS cos
+      |  FROM pairs GROUP BY vec_id, cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cent_id, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+      |  FROM scored)
+      |SELECT cent_id, count(*) AS n_vecs,
+      |  CAST(sum(CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS sum_cos4
+      |FROM assigned WHERE rk = 1
+      |GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
   /** Per-vector int8 quantization (min/max affine, 0..255): the storage
     * transform that shrinks a 100 TB float corpus 4×. Output keeps the
     * exact per-vector range and the INTEGER sum of quantized codes —
@@ -289,6 +338,7 @@ object Similarity {
       Some(qEmbeddingNearDupOracle)),
     QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
+    QueryDef("q_ivf_assign", qIvfAssign, Some(qIvfAssignOracle)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
   )
 }

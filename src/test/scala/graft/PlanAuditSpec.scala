@@ -22,8 +22,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // q_cosine_topk broadcasts 3 query vectors; q_above_avg and
   // q_mixture_weights broadcast a single-row aggregate (the
   // scalar-subquery-without-collect idiom)
+  // q_ivf_assign broadcasts 8 centroid vectors against the corpus
   private val crossJoinByDesign =
-    Set("q_cosine_topk", "q_above_avg", "q_mixture_weights")
+    Set("q_cosine_topk", "q_above_avg", "q_mixture_weights", "q_ivf_assign")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
