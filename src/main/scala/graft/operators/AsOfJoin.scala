@@ -95,6 +95,26 @@ object AsOfJoin {
     * The query: attribution — for every purchase, how many views by the
     * same user landed in the hour starting at the purchase.
     */
+  /** The cell-bucketed pair kernel: count, per interval row
+    * `(interval_id, key, start_us)` with width `widthUs`, the points
+    * `(key, point_us)` falling in `[start_us, start_us + widthUs)`.
+    * The interval overlaps its start cell and (unless aligned) the next
+    * one; a point lives in exactly one cell, so each (interval, point)
+    * pair meets at exactly one join key — no dedup pass.
+    */
+  private[graft] def rangeJoinCounts(intervals: DataFrame, points: DataFrame,
+      widthUs: Long): DataFrame = {
+    val iCells = intervals.withColumn("cell",
+      explode(array_distinct(array(
+        floor(col("start_us") / widthUs),
+        floor((col("start_us") + widthUs - 1) / widthUs)))))
+    val pCells = points.withColumn("cell", floor(col("point_us") / widthUs))
+    pCells.join(iCells, Seq("key", "cell"))
+      .filter(col("point_us") >= col("start_us") &&
+        col("point_us") < col("start_us") + widthUs)
+      .groupBy("interval_id").agg(count(lit(1)).as("n_points"))
+  }
+
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val HourUs = 3600L * 1000000L
     val ev = t(s, dir, "events")
@@ -102,18 +122,15 @@ object AsOfJoin {
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"))
-    // interval [p_ts, p_ts + 1h) overlaps its start cell and (unless
-    // aligned) the next one; a view point lives in exactly one cell
-    val pCells = purchases.withColumn("cell",
-      explode(array_distinct(array(
-        floor(unix_micros(col("p_ts")) / HourUs),
-        floor((unix_micros(col("p_ts")) + HourUs - 1) / HourUs)))))
-    val vCells = views.withColumn("cell", floor(unix_micros(col("v_ts")) / HourUs))
-    val matched = vCells.join(pCells, Seq("user_id", "cell"))
-      .filter(col("v_ts") >= col("p_ts") &&
-        unix_micros(col("v_ts")) < unix_micros(col("p_ts")) + HourUs)
-      .groupBy("purchase_id").agg(count(lit(1)).as("n_views_1h"))
-    purchases.join(matched, Seq("purchase_id"), "left")
+    val matched = rangeJoinCounts(
+      purchases.select(col("purchase_id").as("interval_id"),
+        col("user_id").as("key"), unix_micros(col("p_ts")).as("start_us")),
+      views.select(col("user_id").as("key"), unix_micros(col("v_ts")).as("point_us")),
+      HourUs)
+    purchases.join(
+        matched.select(col("interval_id").as("purchase_id"),
+          col("n_points").as("n_views_1h")),
+        Seq("purchase_id"), "left")
       .select(col("purchase_id"), col("user_id"),
         coalesce(col("n_views_1h"), lit(0L)).as("n_views_1h"))
       .orderBy("purchase_id")
