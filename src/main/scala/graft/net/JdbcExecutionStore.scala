@@ -39,10 +39,28 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
     }
   }
 
+  /** Unquoted identifiers are stored uppercase by Derby and lowercase by
+    * PostgreSQL — probe both so a server-side store isn't re-created.
+    */
+  private def tableExists(name: String): Boolean = {
+    def probe(n: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, n, null)
+      val e = rs.next(); rs.close(); e
+    }
+    probe(name.toUpperCase) || probe(name.toLowerCase)
+  }
+
+  private def columnExists(table: String, column: String): Boolean = {
+    def probe(t: String, c: String): Boolean = {
+      val rs = conn.getMetaData.getColumns(null, null, t, c)
+      val e = rs.next(); rs.close(); e
+    }
+    probe(table.toUpperCase, column.toUpperCase) ||
+      probe(table.toLowerCase, column.toLowerCase)
+  }
+
   private def init(): Unit = synchronized {
-    val rs = conn.getMetaData.getTables(null, null, "JOB_EXECUTIONS", null)
-    val exists = rs.next(); rs.close()
-    if (!exists) {
+    if (!tableExists("JOB_EXECUTIONS")) {
       val st = conn.createStatement()
       // reference: schema/Schemafile:16-26. active_key encodes
       // (jobnet, subsys, job_name) while the execution is non-terminal and
@@ -94,9 +112,7 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
     * silently keeping both).
     */
   private def migrateActiveKey(): Unit = {
-    val cols = conn.getMetaData.getColumns(null, null, "JOB_EXECUTIONS", "ACTIVE_KEY")
-    val hasCol = cols.next(); cols.close()
-    if (!hasCol) {
+    if (!columnExists("JOB_EXECUTIONS", "ACTIVE_KEY")) {
       val st = conn.createStatement()
       st.executeUpdate(
         "ALTER TABLE job_executions ADD COLUMN active_key VARCHAR(1024)")
