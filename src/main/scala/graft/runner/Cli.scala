@@ -474,9 +474,31 @@ object BricolageMain {
       }
       return 0
     }
-    val result =
+    // single-job log wiring (reference: application.rb:77-80 builds the
+    // same LogLocator the jobnet runner uses, jobnet id = subsys/job)
+    val saved = ctx.globalVariables.get _
+    val logFiles = LogFilePath.default(
+      opts.logDir.orElse(saved("log-dir")),
+      opts.logPath.orElse(saved("log-path")))
+    def execute(): graft.core.JobResult =
       if (classMode) job.execute()
       else Application.runJobFile(jobPath, ctx, opts.jobOptions, opts.varAssigns)
+    val result = logFiles match {
+      case Some(lp) =>
+        val ref = graft.net.JobRef(subsys, jobPath.getFileName.toString, isNet = false)
+        val now = java.time.LocalDateTime.now()
+        val p = Paths.get(lp.format(ref, s"$subsys/${jobPath.getFileName}", now, now))
+        val upload = opts.s3Log.orElse(saved("s3-log")).map { spec =>
+          val (dsName, key) = spec.split(":", 2) match {
+            case Array(ds, k) if k.trim.nonEmpty => (ds, k.trim)
+            case other => (other.head, "logs")
+          }
+          val store = ctx.registry.store(dsName)
+          (f: Path) => store.put(f, key.stripSuffix("/") + "/" + f.getFileName.toString)
+        }
+        LogLocator.redirect(p, upload)(execute())
+      case None => execute()
+    }
     if (!result.success) System.err.println(result.message)
     result.exitCode
   }

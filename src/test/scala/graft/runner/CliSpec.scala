@@ -410,6 +410,18 @@ class CliSpec extends AnyFunSuite {
     assert(findLogs(shipped.resolve("jobnet-logs")).nonEmpty) // shipped copy
   }
 
+  test("BricolageMain -L/--log-dir writes the single job's log too (reference application.rb:77-80)") {
+    val home = Files.createTempDirectory("cli-jlog")
+    val logDir = home.resolve("logs")
+    Files.writeString(home.resolve("a.job"), "class: noop\n")
+    assert(BricolageMain.run(Seq(s"--home=$home", s"--log-dir=$logDir",
+      home.resolve("a.job").toString), Some(SparkTestBase.spark)) == 0)
+    import scala.jdk.CollectionConverters._
+    val logs = Files.walk(logDir).iterator().asScala
+      .filter(_.toString.endsWith(".log")).toSeq
+    assert(logs.nonEmpty)
+  }
+
   test("--local-state-dir overrides the derived queue path (reference jobnetrunner.rb:277-279)") {
     val home = Files.createTempDirectory("cli-lsd")
     val state = Files.createTempDirectory("cli-lsd-state")
