@@ -110,7 +110,7 @@ object InsertDeltaJobClass extends JobClass("insert-delta") {
     val dest = p.table("dest-table")
     val cond = vars.expand(p.string("delete-cond"))
     val stmt = bindSql(ctx.sqlText(p.string("sql-file"), vars), vars, ctx)
-    Seq(Action("insert-delta") {
+    Seq(Action.explainable("insert-delta")(ds.explainScript(stmt)) {
       p.stringOpt("partitioned-by") match {
         case Some(_) if ds.tableExists(dest) =>
           // Partitioned dest: dynamic INSERT OVERWRITE rewrites ONLY the
@@ -339,7 +339,7 @@ object UnloadJobClass extends JobClass("unload") {
     val opts = p.pairs("options")
     def has(k: String): Boolean =
       opts.get(k).map(String.valueOf).exists(_ != "false")
-    Seq(Action("unload") {
+    Seq(Action.explainable("unload")(ds.explainScript(stmt)) {
       var df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
       if (has("parallel") && String.valueOf(opts("parallel")).equalsIgnoreCase("off"))
         df = df.coalesce(1)
