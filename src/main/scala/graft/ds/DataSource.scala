@@ -336,6 +336,18 @@ final class JdbcDataSource(val name: String, config: Map[String, String])
       throw new JobError(s"datasource $name: 'url' or 'database' required"))
     s"jdbc:postgresql://$host:$port/$db"
   })
+
+  /** Connection credentials from the datasource config — `password` is
+    * typically merged in from password.yml (reference:
+    * psqldatasource.rb:13-27 username/password keys).
+    */
+  val properties: java.util.Properties = {
+    val p = new java.util.Properties()
+    config.get("username").orElse(config.get("user"))
+      .foreach(p.setProperty("user", _))
+    config.get("password").foreach(p.setProperty("password", _))
+    p
+  }
 }
 
 final class FileDataSource(val name: String, val baseDir: Path) extends DataSource {

@@ -15,14 +15,23 @@ import java.time.Instant
   *
   * URL example: `jdbc:derby:/path/to/db;create=true`.
   */
-final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
-    with AutoCloseable {
+final class JdbcExecutionStore(jdbcUrl: String,
+    connProps: java.util.Properties = new java.util.Properties())
+    extends ExecutionStoreApi with AutoCloseable {
 
   import ExecutionStatus._
 
-  private val conn: Connection = DriverManager.getConnection(jdbcUrl)
+  private val conn: Connection = DriverManager.getConnection(jdbcUrl, connProps)
   conn.setAutoCommit(true)
   init()
+
+  /** Unique-constraint violation across drivers: Derby raises the
+    * SQLIntegrityConstraintViolationException subclass, PostgreSQL raises a
+    * plain SQLException with SQLState class 23 (integrity violation).
+    */
+  private def isIntegrityViolation(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
 
   /** Close the connection; for embedded Derby additionally shut the
     * database down so its `db.lck` is released and a later run in the same
@@ -132,10 +141,24 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
         upd.executeUpdate()
       }
       upd.close()
+    }
+    // Installed separately from the column step so a rerun after a failed
+    // install (pre-existing duplicate live rows must be resolved first)
+    // still gets the constraint instead of silently skipping it. A
+    // duplicate-object error means it is already installed (Derby X0Y32,
+    // PostgreSQL 42710/42P07); a 23xxx violation propagates loudly.
+    try {
       val con = conn.createStatement()
       con.executeUpdate(
         "ALTER TABLE job_executions ADD CONSTRAINT job_exec_active_uq UNIQUE (active_key)")
       con.close()
+    } catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(s =>
+            // Derby: X0Y32 duplicate name, 42Z93 same column set;
+            // PostgreSQL: 42710 duplicate_object, 42P07/42P16 duplicates
+            s == "X0Y32" || s == "42Z93" ||
+              s == "42710" || s == "42P07" || s == "42P16") => ()
     }
   }
 
@@ -240,7 +263,7 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
           record(id, Waiting, "")
           get(id).get
         } catch {
-          case _: java.sql.SQLIntegrityConstraintViolationException =>
+          case e: java.sql.SQLException if isIntegrityViolation(e) =>
             // a racing runner's INSERT committed between our SELECT and
             // INSERT — adopt its execution row
             selectExisting().getOrElse(
@@ -351,7 +374,7 @@ final class JdbcExecutionStore(jdbcUrl: String) extends ExecutionStoreApi
         "INSERT INTO execution_locks (lock_key) VALUES (?)")
       ins.setString(1, key)
       ins.executeUpdate(); ins.close()
-    } catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+    } catch { case e: java.sql.SQLException if isIntegrityViolation(e) => () }
     val upd = conn.prepareStatement(
       """UPDATE execution_locks SET executor_id = ?, locked_at = ?
         | WHERE lock_key = ? AND (executor_id IS NULL OR executor_id = ?)""".stripMargin)

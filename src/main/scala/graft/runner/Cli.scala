@@ -206,6 +206,7 @@ object Cli {
       dbQueuePath: Option[Path],
       dbName: Option[String],
       enableQueue: Boolean,
+      queueDisabled: Boolean,
       clearQueue: Boolean,
       unlockJobnet: Boolean,
       dryRun: Boolean,
@@ -255,8 +256,11 @@ object Cli {
     var dbName: Option[String] = None
     var enableQ = sys.env.contains("BRICOLAGE_ENABLE_QUEUE")
     if (enableQ) sources += ("enable-queue" -> "env BRICOLAGE_ENABLE_QUEUE")
+    // disabled is tracked separately from !enableQ so it can also veto a
+    // bricolage.yml-saved enable-queue/queue-path/db-name at queue build
+    var disabled = false
     if (sys.env.contains("BRICOLAGE_DISABLE_QUEUE")) {
-      enableQ = false
+      enableQ = false; disabled = true
       sources += ("enable-queue" -> "env BRICOLAGE_DISABLE_QUEUE")
     }
     var logDir: Option[String] = sys.env.get("BRICOLAGE_LOG_DIR")
@@ -327,7 +331,8 @@ object Cli {
           // disable wins over every queue enablement, including an earlier
           // --db-queue/--db-name (reference: opts_env/--disable-queue set
           // 'enable-queue' false, and make_queue checks it first)
-          enableQ = false; queue = None; dbQueue = None; dbName = None
+          enableQ = false; disabled = true
+          queue = None; dbQueue = None; dbName = None
           sources += ("enable-queue" -> "--disable-queue option")
         case "--clear-queue" => clear = true
         case "--unlock-jobnet" => unlock = true
@@ -353,10 +358,10 @@ object Cli {
         case a => throw new ParameterError(s"unexpected argument: $a")
       }
     }
-    Options(home, env, vars, jobOpts, queue, dbQueue, dbName, enableQ, clear,
-      unlock, dry, explainFlag, checkOnly, listJobs, listJobClass,
-      listGlobalVars, listVars, listDecls, dump, version, help, stateDir, ecs,
-      logDir, logPath, s3Log, target, sources)
+    Options(home, env, vars, jobOpts, queue, dbQueue, dbName, enableQ,
+      disabled, clear, unlock, dry, explainFlag, checkOnly, listJobs,
+      listJobClass, listGlobalVars, listVars, listDecls, dump, version, help,
+      stateDir, ecs, logDir, logPath, s3Log, target, sources)
   }
 
   /** Cmdline/env values overlaid on bricolage.yml saved options
@@ -475,7 +480,9 @@ object BricolageMain {
       return 0
     }
     // single-job log wiring (reference: application.rb:77-80 builds the
-    // same LogLocator the jobnet runner uses, jobnet id = subsys/job)
+    // same LogLocator the jobnet runner uses, jobnet id = subsys/job).
+    // log-dir beats log-path even when log-path is the cmdline one — the
+    // reference's log_path_format order (application.rb:260-268)
     val saved = ctx.globalVariables.get _
     val logFiles = LogFilePath.default(
       opts.logDir.orElse(saved("log-dir")),
@@ -538,56 +545,86 @@ object JobNetMain {
       if (opts.ecsExecutor) Some(sys.env.getOrElse("ECS_CONTAINER_METADATA_URI",
         throw new ParameterError("--ecs-executor requires ECS_CONTAINER_METADATA_URI")))
       else None)
-    val queue: TaskQueue = (opts.dbName, opts.dbQueuePath, opts.queuePath) match {
-      case (Some(name), _, _) =>
-        // named-datasource DB queue (reference: jobnetrunner.rb:100-105 —
-        // --db-name resolves a datasource; the reference passes
-        // enable_lock: false here because multi-runner exclusion comes
-        // from the store's own conflict handling)
-        val store = new graft.net.JdbcExecutionStore(ctx.registry.jdbc(name).url)
-        if (opts.clearQueue) store.cancelJobnet(jobnetId, "cleared by --clear-queue")
-        if (opts.unlockJobnet) store.forceUnlock(jobnetId)
-        val q = new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
-          enableLock = false)
-        q.restoreJobnet()
-        q
-      case (None, Some(db), _) =>
-        // DB-backed queue (reference: taskqueue.rb:175-310 DatabaseTaskQueue
-        // via --enable-queue): executions + locks live in the database, so
-        // a second runner on the same jobnet is excluded and a restart
-        // resumes the unfinished executions
-        val store = graft.net.JdbcExecutionStore.embedded(db)
-        if (opts.clearQueue) store.cancelJobnet(jobnetId, "cleared by --clear-queue")
-        // a dead runner's lock can only be released by the operator
-        // (its executor_id pid is gone): --unlock-jobnet takes it over
-        // while keeping all recorded progress
-        if (opts.unlockJobnet) store.forceUnlock(jobnetId)
-        val q = new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
-          enableLock = true)
-        q.restoreJobnet()
-        q
-      case (None, None, Some(p)) =>
-        // --clear-queue discards persisted progress before restore
-        // (reference: jobnetrunner.rb:63-66)
-        if (opts.clearQueue) Files.deleteIfExists(p)
-        new FileTaskQueue(p)
-      case (None, None, None) if opts.enableQueue =>
-        // derived file-queue path under the local state dir (reference:
-        // jobnetrunner.rb:126-142 get_queue_file_path —
-        // <state>/queue/<app>.<jobnet-id-dotted>; state dir from
-        // --local-state-dir, bricolage.yml, or <home>/.bricolage)
-        val stateDir = opts.localStateDir
-          .orElse(saved("local-state-dir").map(Paths.get(_)))
-          .getOrElse(opts.home.resolve(".bricolage"))
-        val p = stateDir.resolve("queue")
-          .resolve(s"${Cli.appName(opts.home)}.${jobnetId.replace('/', '.')}.queue")
-        if (opts.clearQueue) Files.deleteIfExists(p)
-        new FileTaskQueue(p)
-      case (None, None, None) => new MemoryTaskQueue
+    // effective queue selection layers bricolage.yml saved values under
+    // cmdline/env (reference: merge_saved_options + make_queue), so
+    // --dump-options reports what actually runs; --disable-queue (or the
+    // env var) vetoes saved enablement too
+    val effDbName = if (opts.queueDisabled) None
+      else opts.dbName.orElse(saved("db-name"))
+    val effDbQueue = if (opts.queueDisabled) None else opts.dbQueuePath
+    val effQueuePath = if (opts.queueDisabled) None
+      else opts.queuePath.orElse(saved("queue-path").map(Paths.get(_)))
+    val effEnableQueue = !opts.queueDisabled &&
+      (opts.enableQueue || saved("enable-queue").contains("true"))
+    // queue construction is side-effect-free: clear/restore happen AFTER
+    // the locked check below, so a locked queue is never mutated
+    val (queue: TaskQueue, clearAction: (() => Unit)) =
+      (effDbName, effDbQueue, effQueuePath) match {
+        case (Some(name), _, _) =>
+          // named-datasource DB queue (reference: jobnetrunner.rb:100-105 —
+          // --db-name resolves a datasource; the reference passes
+          // enable_lock: false here because multi-runner exclusion comes
+          // from the store's own conflict handling)
+          val jds = ctx.registry.jdbc(name)
+          val store = new graft.net.JdbcExecutionStore(jds.url, jds.properties)
+          // a dead runner's lock can only be released by the operator (its
+          // executor_id pid is gone): --unlock-jobnet takes it over while
+          // keeping all recorded progress
+          if (opts.unlockJobnet) store.forceUnlock(jobnetId)
+          (new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
+            enableLock = false),
+            () => store.cancelJobnet(jobnetId, "cleared by --clear-queue"))
+        case (None, Some(db), _) =>
+          // DB-backed queue (reference: taskqueue.rb:175-310
+          // DatabaseTaskQueue): executions + locks live in the database, so
+          // a second runner on the same jobnet is excluded and a restart
+          // resumes the unfinished executions
+          val store = graft.net.JdbcExecutionStore.embedded(db)
+          if (opts.unlockJobnet) store.forceUnlock(jobnetId)
+          (new graft.net.DatabaseTaskQueue(store, jobnetId, executorId,
+            enableLock = true),
+            () => store.cancelJobnet(jobnetId, "cleared by --clear-queue"))
+        case (None, None, Some(p)) =>
+          (new FileTaskQueue(p), () => { Files.deleteIfExists(p); () })
+        case (None, None, None) if effEnableQueue =>
+          // derived file-queue path under the local state dir (reference:
+          // jobnetrunner.rb:126-142 get_queue_file_path —
+          // <state>/queue/<app>.<jobnet-id-dotted>; state dir from
+          // --local-state-dir, bricolage.yml, or <home>/.bricolage)
+          val stateDir = opts.localStateDir
+            .orElse(saved("local-state-dir").map(Paths.get(_)))
+            .getOrElse(opts.home.resolve(".bricolage"))
+          val p = stateDir.resolve("queue")
+            .resolve(s"${Cli.appName(opts.home)}.${jobnetId.replace('/', '.')}.queue")
+          (new FileTaskQueue(p), () => { Files.deleteIfExists(p); () })
+        case (None, None, None) => (new MemoryTaskQueue, () => ())
+      }
+    if (queue.locked) {
+      // reference: jobnetrunner.rb:61-63 — refuse to touch a locked queue
+      // (even for --clear-queue); tell the operator how to unlock. Nothing
+      // has been cleared or restored at this point.
+      queue.close()
+      throw new ParameterError(
+        s"Job queue is still locked. If you are sure to restart jobnet, ${queue.unlockHelp}")
+    }
+    if (opts.clearQueue) {
+      // reference: jobnetrunner.rb:64-68 — --clear-queue clears and QUITS
+      clearAction()
+      queue.close()
+      System.err.println("queue is unlocked and cleared")
+      return 0
+    }
+    // restore persisted progress (DB queues; the file queue restored from
+    // its file at construction)
+    queue match {
+      case q: graft.net.DatabaseTaskQueue => q.restoreJobnet(); ()
+      case _ => ()
     }
     // log-path wiring (reference: application.rb:222-234 common options +
-    // jobnetrunner.rb:85-86 LogLocatorBuilder.for_options): cmdline/env
-    // beat bricolage.yml saved values
+    // jobnetrunner.rb:85-86 LogLocatorBuilder.for_options). Layering is
+    // per option (cmdline/env beat bricolage.yml); between the two,
+    // log-dir wins over log-path — the reference's own log_path_format
+    // order (application.rb:260-268)
     val logFiles = LogFilePath.default(
       opts.logDir.orElse(saved("log-dir")),
       opts.logPath.orElse(saved("log-path")))
@@ -598,32 +635,15 @@ object JobNetMain {
       }
       (ctx.registry.store(dsName), key)
     }
-    if (queue.locked) {
-      // reference: jobnetrunner.rb:61-63 — refuse to touch a locked queue
-      // (even for --clear-queue); tell the operator how to unlock
-      queue.close()
-      throw new ParameterError(
-        s"Job queue is still locked. If you are sure to restart jobnet, ${queue.unlockHelp}")
-    }
-    if (opts.clearQueue) {
-      // reference: jobnetrunner.rb:64-68 — --clear-queue clears (done in
-      // the queue-construction branches above) and QUITS without running
-      queue.close()
-      System.err.println("queue is unlocked and cleared")
-      return 0
-    }
     if (opts.listJobs || opts.checkOnly) {
       // reference: jobnetrunner.rb:69-83 — both operate on the QUEUE after
       // restore-or-enqueue, so a resumed jobnet lists/checks only its
-      // persisted remainder, not the whole net
+      // persisted remainder, not the whole net; the bind + pre-flight are
+      // the same code paths run() uses
       try {
-        if (queue.isEmpty) runner.sequentialJobs(netPath).foreach(queue.enqueue)
+        runner.bindQueue(netPath, queue)
         if (opts.listJobs) { queue.queued.foreach(println); return 0 }
-        queue.queued.foreach { ref =>
-          val jf = JobFile.load(runner.jobFilePath(ref))
-          new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty,
-            opts.varAssigns, Some(runner.jobFilePath(ref).toAbsolutePath)).compile()
-        }
+        runner.preflight(queue, opts.varAssigns)
         println("OK")
         return 0
       } finally queue.close()

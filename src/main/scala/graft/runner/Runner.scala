@@ -217,6 +217,24 @@ final class JobNetRunner(ctx: JobContext,
     * templated log path (reference: jobnetrunner.rb:174-187 +
     * loglocator.rb).
     */
+  /** Restore-or-enqueue: a non-empty restored queue resumes where it
+    * stopped; otherwise the full sequential job list is enqueued. Shared
+    * by run() and the CLI's --list-jobs/--check-only flows so they see the
+    * same job set.
+    */
+  def bindQueue(rootNet: Path, queue: TaskQueue): Unit =
+    if (queue.isEmpty) sequentialJobs(rootNet).foreach(queue.enqueue)
+
+  /** Pre-flight: compile every queued job before running any (reference:
+    * jobnetrunner.rb:150-154 check_jobs). Shared with --check-only.
+    */
+  def preflight(queue: TaskQueue, cliVariables: Variables = Variables.empty): Unit =
+    queue.queued.foreach { ref =>
+      val jf = JobFile.load(jobFilePath(ref))
+      new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables,
+        Some(jobFilePath(ref).toAbsolutePath)).compile()
+    }
+
   def run(rootNet: Path, queue: TaskQueue = new MemoryTaskQueue,
       cliVariables: Variables = Variables.empty,
       logFiles: Option[LogFilePath] = None,
@@ -224,16 +242,8 @@ final class JobNetRunner(ctx: JobContext,
     val jobnetStart = java.time.LocalDateTime.now()
     val jobnetId = (if (ctx.subsys.isEmpty) "" else ctx.subsys + "/") +
       rootNet.getFileName.toString.stripSuffix(".jobnet")
-    val jobs = sequentialJobs(rootNet)
-    // restore-or-enqueue: a non-empty restored queue resumes where it stopped
-    if (queue.isEmpty) jobs.foreach(queue.enqueue)
-    // pre-flight: compile every queued job before running any
-    // (reference: jobnetrunner.rb:150-154 check_jobs)
-    queue.queued.foreach { ref =>
-      val jf = JobFile.load(jobFilePath(ref))
-      new Job(ref.name, jf, ctx.copy(subsys = ref.subsys), Map.empty, cliVariables,
-        Some(jobFilePath(ref).toAbsolutePath)).compile()
-    }
+    bindQueue(rootNet, queue)
+    preflight(queue, cliVariables)
     JobListener.fire(listeners)(_.beforeAllJobs(queue.queued))
     val result = queue.consumeEach { ref =>
       JobListener.fire(listeners)(_.beforeJob(ref))

@@ -476,13 +476,40 @@ class CliSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("still locked"))
     assert(e.getMessage.contains("state.queue.LOCK")) // tells the operator what to remove
-    // --clear-queue must not bypass the lock either
+    // --clear-queue must not bypass the lock NOR mutate the locked queue
+    Files.writeString(qf, "net/a\n")
     intercept[ParameterError] {
       JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf", "--clear-queue",
         home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark))
     }
+    assert(Files.readString(qf).trim == "net/a") // refused BEFORE clearing
+    Files.delete(qf)
     Files.delete(home.resolve("state.queue.LOCK"))
     assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
+  }
+
+  test("bricolage.yml saved queue-path takes effect; --disable-queue vetoes it (reference merge_saved_options)") {
+    val home = Files.createTempDirectory("cli-sq")
+    val qf = home.resolve("saved.queue")
+    Files.writeString(home.resolve("bricolage.yml"), s"queue-path: $qf\n")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> boom\n")
+    val args = Seq(s"--home=$home", home.resolve("net/q.jobnet").toString)
+    // no cmdline queue option: the saved queue-path is the durable queue
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 1)
+    assert(Files.exists(qf))
+    assert(Files.readString(qf).trim == "net/boom")
+    // fix and resume from the saved queue: only the tail reruns
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\n")
+    assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
+    assert(!Files.exists(qf))
+    // --disable-queue vetoes the saved value: a fresh failure persists nothing
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    assert(JobNetMain.run(Seq(s"--home=$home", "--disable-queue",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 1)
+    assert(!Files.exists(qf))
   }
 
   test("--clear-queue clears persisted progress and quits without running (reference jobnetrunner.rb:64-68)") {
