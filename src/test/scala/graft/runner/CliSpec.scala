@@ -564,6 +564,28 @@ class CliSpec extends AnyFunSuite {
     assert(decls.trim.split("\n").contains("failure"))
   }
 
+  test("-l with a DB queue lists the restored remainder after a failure") {
+    val home = Files.createTempDirectory("cli-dbl")
+    val db = home.resolve("dbq")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/ok.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "ok -> boom\n")
+    graft.net.JdbcExecutionStore.quietDerby()
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--db-queue=$db",
+      home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 1)
+    // the DB holds the failed execution; -l lists only that remainder
+    val out = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", s"--db-queue=$db", "-l",
+        home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.trim.split("\n").toSeq == Seq("net/boom"))
+    // and the run afterwards still resumes from the DB remainder
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\n")
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--db-queue=$db",
+      home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+  }
+
   test("--disable-queue clears --db-queue and --db-name too (reference make_queue checks enablement first)") {
     val o = Cli.parseArgs(Seq("--db-queue=/x", "--db-name=y", "--queue=/q",
       "--disable-queue", "f.jobnet"))
