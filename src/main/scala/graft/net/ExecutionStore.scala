@@ -300,6 +300,7 @@ final class DatabaseTaskQueue(
     }
   }
 
+  override def restore(): Unit = if (!bound) { restoreJobnet(); () }
   override def lock(): Unit = store.lock(jobnetId, executorId)
   override def unlock(): Unit = store.unlock(jobnetId, executorId)
   override def locked: Boolean = store.lockedBy(jobnetId).isDefined

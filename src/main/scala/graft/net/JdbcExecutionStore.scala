@@ -68,6 +68,23 @@ final class JdbcExecutionStore(jdbcUrl: String,
       probe(table.toLowerCase, column.toLowerCase)
   }
 
+  /** Is there a unique index covering `column`? Detects the installed
+    * active_key constraint without issuing DDL — a non-owner connection to
+    * a DBA-provisioned server schema cannot even attempt ALTER TABLE.
+    */
+  private def uniqueIndexOn(table: String, column: String): Boolean = {
+    def probe(t: String): Boolean = {
+      val rs = conn.getMetaData.getIndexInfo(null, null, t, true, false)
+      var found = false
+      while (rs.next()) {
+        val c = rs.getString("COLUMN_NAME")
+        if (c != null && c.equalsIgnoreCase(column)) found = true
+      }
+      rs.close(); found
+    }
+    probe(table.toUpperCase) || probe(table.toLowerCase)
+  }
+
   private def init(): Unit = synchronized {
     if (!tableExists("JOB_EXECUTIONS")) {
       val st = conn.createStatement()
@@ -144,21 +161,24 @@ final class JdbcExecutionStore(jdbcUrl: String,
     }
     // Installed separately from the column step so a rerun after a failed
     // install (pre-existing duplicate live rows must be resolved first)
-    // still gets the constraint instead of silently skipping it. A
-    // duplicate-object error means it is already installed (Derby X0Y32,
-    // PostgreSQL 42710/42P07); a 23xxx violation propagates loudly.
-    try {
-      val con = conn.createStatement()
-      con.executeUpdate(
-        "ALTER TABLE job_executions ADD CONSTRAINT job_exec_active_uq UNIQUE (active_key)")
-      con.close()
-    } catch {
-      case e: java.sql.SQLException
-          if Option(e.getSQLState).exists(s =>
-            // Derby: X0Y32 duplicate name, 42Z93 same column set;
-            // PostgreSQL: 42710 duplicate_object, 42P07/42P16 duplicates
-            s == "X0Y32" || s == "42Z93" ||
-              s == "42710" || s == "42P07" || s == "42P16") => ()
+    // still gets the constraint instead of silently skipping it. Existence
+    // is probed via metadata (no DDL on an already-constrained table — a
+    // non-owner connection must not even attempt ALTER); the catch is a
+    // belt-and-braces for two stores racing the install (Derby X0Y32
+    // duplicate name / 42Z93 same column set, PostgreSQL 42710/42P07).
+    // A 23xxx duplicate-data violation propagates loudly by design.
+    if (!uniqueIndexOn("JOB_EXECUTIONS", "ACTIVE_KEY")) {
+      try {
+        val con = conn.createStatement()
+        con.executeUpdate(
+          "ALTER TABLE job_executions ADD CONSTRAINT job_exec_active_uq UNIQUE (active_key)")
+        con.close()
+      } catch {
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(s =>
+              s == "X0Y32" || s == "42Z93" ||
+                s == "42710" || s == "42P07" || s == "42P16") => ()
+      }
     }
   }
 

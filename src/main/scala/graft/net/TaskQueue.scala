@@ -25,6 +25,12 @@ trait TaskQueue {
   def unlock(): Unit = ()
   def locked: Boolean = false
 
+  /** Reload persisted state (no-op for the in-memory queue). Called once
+    * after construction + lock/clear checks; durable queues bind their
+    * restored remainder here.
+    */
+  def restore(): Unit = ()
+
   /** Operator guidance shown when a run finds the queue still locked
     * (reference: taskqueue.rb unlock_help per queue type).
     */
@@ -69,7 +75,7 @@ final class FileTaskQueue(path: Path) extends TaskQueue {
   def queued: Seq[JobRef] = q.toSeq
 
   /** Reload persisted queue state (reference: taskqueue.rb:110-115). */
-  def restore(): Unit = {
+  override def restore(): Unit = {
     q.clear()
     if (Files.exists(path))
       Files.readAllLines(path).asScala.map(_.trim).filter(_.nonEmpty)

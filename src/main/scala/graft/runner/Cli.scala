@@ -309,13 +309,17 @@ object Cli {
           }
         case "-f" => target = Some(Paths.get(nextValue("-f")))
         case a if a.startsWith("--job=") => target = Some(Paths.get(a.drop(6)))
+        // every explicit cmdline enablement lifts an earlier disable (env
+        // BRICOLAGE_DISABLE_QUEUE or a preceding --disable-queue): cmdline
+        // beats env, and between cmdline flags the LAST one wins
         case a if a.startsWith("--queue=") =>
-          queue = Some(Paths.get(a.drop(8))); cmdline("queue-path")
+          queue = Some(Paths.get(a.drop(8))); disabled = false; cmdline("queue-path")
         case a if a.startsWith("--queue-path=") =>
-          queue = Some(Paths.get(a.drop(13))); cmdline("queue-path")
-        case a if a.startsWith("--db-queue=") => dbQueue = Some(Paths.get(a.drop(11)))
+          queue = Some(Paths.get(a.drop(13))); disabled = false; cmdline("queue-path")
+        case a if a.startsWith("--db-queue=") =>
+          dbQueue = Some(Paths.get(a.drop(11))); disabled = false
         case a if a.startsWith("--db-name=") =>
-          dbName = Some(a.drop(10)); cmdline("db-name")
+          dbName = Some(a.drop(10)); disabled = false; cmdline("db-name")
         case "--ecs-executor" => ecs = true; cmdline("ecs-executor")
         case a if a.startsWith("--local-state-dir=") =>
           stateDir = Some(Paths.get(a.drop(18))); cmdline("local-state-dir")
@@ -326,7 +330,8 @@ object Cli {
           logPath = Some(a.drop(11)); cmdline("log-path")
         case a if a.startsWith("--s3-log=") =>
           s3Log = Some(a.drop(9)); cmdline("s3-log")
-        case "-Q" | "--enable-queue" => enableQ = true; cmdline("enable-queue")
+        case "-Q" | "--enable-queue" =>
+          enableQ = true; disabled = false; cmdline("enable-queue")
         case "--disable-queue" =>
           // disable wins over every queue enablement, including an earlier
           // --db-queue/--db-name (reference: opts_env/--disable-queue set
@@ -379,14 +384,27 @@ object Cli {
           case None    => (name, None, "default value")
         }
       }
+    // queue options report what queue construction actually uses: the
+    // disable veto hides saved values, and a saved enable-queue counts
+    def pairQ(name: String, parsed: Option[String]): (String, Option[String], String) =
+      if (opts.queueDisabled) (name, None, opts.source("enable-queue"))
+      else pair(name, parsed)
+    val enableRow: (String, Option[String], String) =
+      if (opts.queueDisabled) ("enable-queue", Some("false"), opts.source("enable-queue"))
+      else if (opts.enableQueue)
+        ("enable-queue", Some("true"), opts.source("enable-queue"))
+      else saved("enable-queue") match {
+        case Some(v) => ("enable-queue", Some(v), "bricolage.yml:enable-queue")
+        case None    => ("enable-queue", Some("false"), "default value")
+      }
     Seq(
       pair("log-path", opts.logPath),
       pair("log-dir", opts.logDir),
       pair("s3-log", opts.s3Log),
       pair("local-state-dir", opts.localStateDir.map(_.toString)),
-      ("enable-queue", Some(opts.enableQueue.toString), opts.source("enable-queue")),
-      pair("queue-path", opts.queuePath.map(_.toString)),
-      pair("db-name", opts.dbName),
+      enableRow,
+      pairQ("queue-path", opts.queuePath.map(_.toString)),
+      pairQ("db-name", opts.dbName),
       ("ecs-executor", Some(opts.ecsExecutor.toString), opts.source("ecs-executor")),
     )
   }
@@ -551,7 +569,8 @@ object JobNetMain {
     // env var) vetoes saved enablement too
     val effDbName = if (opts.queueDisabled) None
       else opts.dbName.orElse(saved("db-name"))
-    val effDbQueue = if (opts.queueDisabled) None else opts.dbQueuePath
+    val effDbQueue = if (opts.queueDisabled) None
+      else opts.dbQueuePath.orElse(saved("db-queue").map(Paths.get(_)))
     val effQueuePath = if (opts.queueDisabled) None
       else opts.queuePath.orElse(saved("queue-path").map(Paths.get(_)))
     val effEnableQueue = !opts.queueDisabled &&
@@ -614,12 +633,9 @@ object JobNetMain {
       System.err.println("queue is unlocked and cleared")
       return 0
     }
-    // restore persisted progress (DB queues; the file queue restored from
-    // its file at construction)
-    queue match {
-      case q: graft.net.DatabaseTaskQueue => q.restoreJobnet(); ()
-      case _ => ()
-    }
+    // restore persisted progress (DB queues bind here; the file queue
+    // restored from its file at construction and re-reading is idempotent)
+    queue.restore()
     // log-path wiring (reference: application.rb:222-234 common options +
     // jobnetrunner.rb:85-86 LogLocatorBuilder.for_options). Layering is
     // per option (cmdline/env beat bricolage.yml); between the two,

@@ -211,12 +211,6 @@ final class JobNetRunner(ctx: JobContext,
     new JobDAG(JobNet.flatten(root, loader)).sequentialJobs
   }
 
-  /** Run the full net through a queue; a restart with the same file queue
-    * skips completed jobs (reference: jobnetrunner.rb:61-72,156-172).
-    * With `logFiles` set, each job's stdout/stderr is redirected to its
-    * templated log path (reference: jobnetrunner.rb:174-187 +
-    * loglocator.rb).
-    */
   /** Restore-or-enqueue: a non-empty restored queue resumes where it
     * stopped; otherwise the full sequential job list is enqueued. Shared
     * by run() and the CLI's --list-jobs/--check-only flows so they see the
@@ -235,6 +229,12 @@ final class JobNetRunner(ctx: JobContext,
         Some(jobFilePath(ref).toAbsolutePath)).compile()
     }
 
+  /** Run the full net through a queue; a restart with the same file queue
+    * skips completed jobs (reference: jobnetrunner.rb:61-72,156-172).
+    * With `logFiles` set, each job's stdout/stderr is redirected to its
+    * templated log path (reference: jobnetrunner.rb:174-187 +
+    * loglocator.rb).
+    */
   def run(rootNet: Path, queue: TaskQueue = new MemoryTaskQueue,
       cliVariables: Variables = Variables.empty,
       logFiles: Option[LogFilePath] = None,

@@ -590,7 +590,34 @@ class CliSpec extends AnyFunSuite {
     val o = Cli.parseArgs(Seq("--db-queue=/x", "--db-name=y", "--queue=/q",
       "--disable-queue", "f.jobnet"))
     assert(o.dbQueuePath.isEmpty && o.dbName.isEmpty && o.queuePath.isEmpty
-      && !o.enableQueue)
+      && !o.enableQueue && o.queueDisabled)
+    // a LATER explicit enablement lifts the disable (last cmdline flag wins)
+    val o2 = Cli.parseArgs(Seq("--disable-queue", "--queue=/q", "f.jobnet"))
+    assert(o2.queuePath.isDefined && !o2.queueDisabled)
+    val o3 = Cli.parseArgs(Seq("--disable-queue", "-Q", "f.jobnet"))
+    assert(o3.enableQueue && !o3.queueDisabled)
+  }
+
+  test("--dump-options reflects effective queue layering (saved enable-queue, disable veto)") {
+    val home = Files.createTempDirectory("cli-dq")
+    Files.writeString(home.resolve("bricolage.yml"),
+      "enable-queue: true\nqueue-path: /var/q/net.queue\n")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/n.jobnet"), "a\n")
+    val out = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", "--dump-options",
+        home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.contains("enable-queue=true (bricolage.yml:enable-queue)"))
+    assert(out.contains("queue-path=/var/q/net.queue (bricolage.yml:queue-path)"))
+    // disable veto hides the saved values the run will not use
+    val out2 = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", "--disable-queue", "--dump-options",
+        home.resolve("net/n.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out2.contains("enable-queue=false (--disable-queue option)"))
+    assert(out2.contains("queue-path=nil (--disable-queue option)"))
   }
 
   test("Cli.executorId: host:pid default, ECS TaskARN:pid (reference jobnetrunner.rb:113-124)") {
