@@ -488,6 +488,22 @@ class CliSpec extends AnyFunSuite {
     assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
   }
 
+  test("bricolage.yml saved enable-queue turns on the derived file queue") {
+    val home = Files.createTempDirectory("cli-seq")
+    Files.writeString(home.resolve("bricolage.yml"), "enable-queue: true\n")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> boom\n")
+    // no cmdline queue flags at all: the saved enable-queue must persist
+    // the failed tail at the derived path
+    assert(JobNetMain.run(Seq(s"--home=$home",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 1)
+    val qf = home.resolve(s".bricolage/queue/${home.getFileName}.net.q.queue")
+    assert(Files.exists(qf))
+    assert(Files.readString(qf).trim == "net/boom")
+  }
+
   test("bricolage.yml saved queue-path takes effect; --disable-queue vetoes it (reference merge_saved_options)") {
     val home = Files.createTempDirectory("cli-sq")
     val qf = home.resolve("saved.queue")
