@@ -48,12 +48,20 @@ final class JdbcExecutionStore(jdbcUrl: String,
     }
   }
 
+  /** Metadata probes narrow to the connection's CURRENT schema: a null
+    * schema pattern means "do not narrow" per the JDBC spec, so on a
+    * shared server database another schema's same-named table/index would
+    * satisfy the probe and corrupt init/migration decisions.
+    */
+  private def currentSchema: String =
+    try conn.getSchema catch { case _: Throwable => null }
+
   /** Unquoted identifiers are stored uppercase by Derby and lowercase by
     * PostgreSQL — probe both so a server-side store isn't re-created.
     */
   private def tableExists(name: String): Boolean = {
     def probe(n: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, null, n, null)
+      val rs = conn.getMetaData.getTables(null, currentSchema, n, null)
       val e = rs.next(); rs.close(); e
     }
     probe(name.toUpperCase) || probe(name.toLowerCase)
@@ -61,20 +69,21 @@ final class JdbcExecutionStore(jdbcUrl: String,
 
   private def columnExists(table: String, column: String): Boolean = {
     def probe(t: String, c: String): Boolean = {
-      val rs = conn.getMetaData.getColumns(null, null, t, c)
+      val rs = conn.getMetaData.getColumns(null, currentSchema, t, c)
       val e = rs.next(); rs.close(); e
     }
     probe(table.toUpperCase, column.toUpperCase) ||
       probe(table.toLowerCase, column.toLowerCase)
   }
 
-  /** Is there a unique index covering `column`? Detects the installed
-    * active_key constraint without issuing DDL — a non-owner connection to
-    * a DBA-provisioned server schema cannot even attempt ALTER TABLE.
+  /** Is there a unique index covering `column` in the current schema?
+    * Detects the installed active_key constraint without issuing DDL — a
+    * non-owner connection to a DBA-provisioned server schema cannot even
+    * attempt ALTER TABLE.
     */
   private def uniqueIndexOn(table: String, column: String): Boolean = {
     def probe(t: String): Boolean = {
-      val rs = conn.getMetaData.getIndexInfo(null, null, t, true, false)
+      val rs = conn.getMetaData.getIndexInfo(null, currentSchema, t, true, false)
       var found = false
       while (rs.next()) {
         val c = rs.getString("COLUMN_NAME")

@@ -317,7 +317,7 @@ object Cli {
         case a if a.startsWith("--queue-path=") =>
           queue = Some(Paths.get(a.drop(13))); disabled = false; cmdline("queue-path")
         case a if a.startsWith("--db-queue=") =>
-          dbQueue = Some(Paths.get(a.drop(11))); disabled = false
+          dbQueue = Some(Paths.get(a.drop(11))); disabled = false; cmdline("db-queue")
         case a if a.startsWith("--db-name=") =>
           dbName = Some(a.drop(10)); disabled = false; cmdline("db-name")
         case "--ecs-executor" => ecs = true; cmdline("ecs-executor")
@@ -385,9 +385,15 @@ object Cli {
         }
       }
     // queue options report what queue construction actually uses: the
-    // disable veto hides saved values, and a saved enable-queue counts
+    // disable veto hides saved values, queue layering is by group (any
+    // cmdline queue option hides ALL saved queue values), and a saved
+    // enable-queue counts
+    val anyCmdlineQueue =
+      opts.dbName.isDefined || opts.dbQueuePath.isDefined || opts.queuePath.isDefined
     def pairQ(name: String, parsed: Option[String]): (String, Option[String], String) =
       if (opts.queueDisabled) (name, None, opts.source("enable-queue"))
+      else if (anyCmdlineQueue)
+        (name, parsed, parsed.map(_ => opts.source(name)).getOrElse("default value"))
       else pair(name, parsed)
     val enableRow: (String, Option[String], String) =
       if (opts.queueDisabled) ("enable-queue", Some("false"), opts.source("enable-queue"))
@@ -404,6 +410,7 @@ object Cli {
       pair("local-state-dir", opts.localStateDir.map(_.toString)),
       enableRow,
       pairQ("queue-path", opts.queuePath.map(_.toString)),
+      pairQ("db-queue", opts.dbQueuePath.map(_.toString)),
       pairQ("db-name", opts.dbName),
       ("ecs-executor", Some(opts.ecsExecutor.toString), opts.source("ecs-executor")),
     )
@@ -567,12 +574,17 @@ object JobNetMain {
     // cmdline/env (reference: merge_saved_options + make_queue), so
     // --dump-options reports what actually runs; --disable-queue (or the
     // env var) vetoes saved enablement too
-    val effDbName = if (opts.queueDisabled) None
-      else opts.dbName.orElse(saved("db-name"))
-    val effDbQueue = if (opts.queueDisabled) None
-      else opts.dbQueuePath.orElse(saved("db-queue").map(Paths.get(_)))
-    val effQueuePath = if (opts.queueDisabled) None
-      else opts.queuePath.orElse(saved("queue-path").map(Paths.get(_)))
+    // layering is by GROUP, not per option: any cmdline/env queue option
+    // makes the whole cmdline group win, otherwise the saved group
+    // applies — a saved higher-priority type (db-queue) must never
+    // override an explicit cmdline lower-priority one (--queue)
+    val anyCmdlineQueue =
+      opts.dbName.isDefined || opts.dbQueuePath.isDefined || opts.queuePath.isDefined
+    val (effDbName, effDbQueue, effQueuePath) =
+      if (opts.queueDisabled) (None, None, None)
+      else if (anyCmdlineQueue) (opts.dbName, opts.dbQueuePath, opts.queuePath)
+      else (saved("db-name"), saved("db-queue").map(Paths.get(_)),
+        saved("queue-path").map(Paths.get(_)))
     val effEnableQueue = !opts.queueDisabled &&
       (opts.enableQueue || saved("enable-queue").contains("true"))
     // queue construction is side-effect-free: clear/restore happen AFTER

@@ -488,6 +488,29 @@ class CliSpec extends AnyFunSuite {
     assert(JobNetMain.run(args, Some(SparkTestBase.spark)) == 0)
   }
 
+  test("cmdline --queue beats a saved higher-priority db-queue (group layering)") {
+    val home = Files.createTempDirectory("cli-gl")
+    Files.writeString(home.resolve("bricolage.yml"),
+      s"db-queue: ${home.resolve("saved-db")}\n")
+    Files.createDirectories(home.resolve("net"))
+    Files.writeString(home.resolve("net/a.job"), "class: noop\n")
+    Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
+    Files.writeString(home.resolve("net/q.jobnet"), "a -> boom\n")
+    val qf = home.resolve("cli.queue")
+    // an explicit cmdline file queue must win over the saved db-queue
+    assert(JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf",
+      home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 1)
+    assert(Files.exists(qf)) // the cmdline file queue was used
+    assert(!Files.exists(home.resolve("saved-db"))) // the saved DB was not
+    // the dump shows the cmdline group and hides the unused saved value
+    val out = captureOut {
+      assert(JobNetMain.run(Seq(s"--home=$home", s"--queue=$qf", "--dump-options",
+        home.resolve("net/q.jobnet").toString), Some(SparkTestBase.spark)) == 0)
+    }
+    assert(out.contains(s"queue-path=$qf (--queue-path option)"))
+    assert(out.contains("db-queue=nil (default value)"))
+  }
+
   test("bricolage.yml saved enable-queue turns on the derived file queue") {
     val home = Files.createTempDirectory("cli-seq")
     Files.writeString(home.resolve("bricolage.yml"), "enable-queue: true\n")
