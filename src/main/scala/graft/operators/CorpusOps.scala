@@ -67,6 +67,102 @@ object CorpusOps {
       |WHERE round(coalesce(h.overlap_grams, 0) / CAST(t.n_grams AS DOUBLE), 4) >= 0.5
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Deterministic global shuffle + shard assignment — how a 100 TB corpus
+    * gets a reproducible training order: h = (doc_id · 2654435761) mod 2³²
+    * (Knuth's multiplicative hash; the odd multiplier makes it a bijection
+    * mod 2³², so there are no order ties), shard = h mod 8, and the
+    * within-shard order is ascending h. No rand(), no monotonically_
+    * increasing_id — the same corpus always yields the same order, on any
+    * partitioning, which is what makes a training run re-startable.
+    * Output is the per-shard manifest (count, first/last doc in shard
+    * order, order checksum); the full (shard, position) assignment is the
+    * same frame before the aggregate, and needs no global sort — shards
+    * are independent.
+    */
+  def qGlobalShuffle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("h")).as("first_doc"),
+        max_by(col("doc_id"), col("h")).as("last_doc"),
+        sum(col("h")).as("h_sum"))
+      .orderBy("shard")
+
+  val qGlobalShuffleOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+      |  FROM documents)
+      |SELECT h % 8 AS shard, count(*) AS n_docs,
+      |  arg_min(doc_id, h) AS first_doc, arg_max(doc_id, h) AS last_doc,
+      |  CAST(sum(h) AS BIGINT) AS h_sum
+      |FROM h GROUP BY h % 8 ORDER BY shard""".stripMargin
+
+  /** Quality funnel: the per-stage retention report every curation
+    * pipeline publishes — how many docs survive each successive filter
+    * (length → token count → vocabulary diversity → language allowlist →
+    * deterministic 25% sample). Computed in ONE scan: each stage is a
+    * conjunction of per-row booleans summed as conditional counts, so the
+    * report costs one narrow pass + a scalar aggregate at any corpus
+    * size (running 6 separate filtered counts would scan 6×).
+    */
+  def qQualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("c0", lit(true))
+      .withColumn("c1", col("n_chars") >= 50L)
+      .withColumn("c2", col("c1") && size(col("ws")) >= 20)
+      .withColumn("c3", col("c2") &&
+        size(array_distinct(col("ws"))) / size(col("ws")).cast("double") >= 0.4)
+      .withColumn("c4", col("c3") && col("lang").isin("en", "de", "fr", "es"))
+      .withColumn("c5", col("c4") &&
+        substring(md5(encode(col("text"), "UTF-8")), 1, 1) < "4")
+    val stages = Seq("0_total" -> "c0", "1_len" -> "c1",
+      "2_tokens" -> "c2", "3_diversity" -> "c3", "4_lang" -> "c4", "5_sample" -> "c5")
+    val agg = d.select(stages.map { case (_, c) =>
+      sum(when(expr(c), 1L).otherwise(0L)).as(c)
+    }: _*).select(stages.map { case (nm, c) =>
+      struct(lit(nm).as("stage"), col(c).as("n_docs")).as(c)
+    }: _*)
+    // one aggregate row → 6 (stage, n_docs) rows
+    agg.select(explode(array(stages.map(st => col(st._2)): _*)).as("s"))
+      .select(col("s.stage"), col("s.n_docs"))
+      .orderBy("stage")
+  }
+
+  val qQualityFunnelOracle: String =
+    """WITH f AS (
+      |  SELECT n_chars >= 50 AS c1,
+      |    n_chars >= 50 AND len(string_split(text, ' ')) >= 20 AS c2,
+      |    n_chars >= 50 AND len(string_split(text, ' ')) >= 20
+      |      AND len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.4 AS c3,
+      |    n_chars >= 50 AND len(string_split(text, ' ')) >= 20
+      |      AND len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.4
+      |      AND lang IN ('en', 'de', 'fr', 'es') AS c4,
+      |    n_chars >= 50 AND len(string_split(text, ' ')) >= 20
+      |      AND len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.4
+      |      AND lang IN ('en', 'de', 'fr', 'es')
+      |      AND substr(md5(text), 1, 1) < '4' AS c5
+      |  FROM documents),
+      |agg AS (
+      |  SELECT count(*) AS t,
+      |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+      |    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+      |    CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+      |  FROM f)
+      |SELECT stage, n_docs FROM (
+      |  SELECT '0_total' AS stage, t AS n_docs FROM agg
+      |  UNION ALL SELECT '1_len', s1 FROM agg
+      |  UNION ALL SELECT '2_tokens', s2 FROM agg
+      |  UNION ALL SELECT '3_diversity', s3 FROM agg
+      |  UNION ALL SELECT '4_lang', s4 FROM agg
+      |  UNION ALL SELECT '5_sample', s5 FROM agg) u
+      |ORDER BY stage""".stripMargin
+
   /** Per-document repeated-bigram ratio: 1 - distinct/total. Entirely
     * narrow (no shuffle but the final order), so it costs one scan at any
     * corpus size.
@@ -315,5 +411,7 @@ object CorpusOps {
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),
     QueryDef("q_pipeline_e2e", (s, d) => qPipelineE2e(s, d), Some(qPipelineE2eOracle)),
     QueryDef("q_mixture_weights", qMixtureWeights, Some(qMixtureWeightsOracle)),
+    QueryDef("q_global_shuffle", qGlobalShuffle, Some(qGlobalShuffleOracle)),
+    QueryDef("q_quality_funnel", qQualityFunnel, Some(qQualityFunnelOracle)),
   )
 }

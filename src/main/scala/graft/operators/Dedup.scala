@@ -106,15 +106,15 @@ object Dedup {
       | CAST(sum(CASE WHEN substr(md5(text), 1, 1) < '4' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  private val P = 2147483647L // 2^31 - 1
-  private val NumHashes = 32
-  private val Bands = 4 // 4 bands × 8 rows: band-collision prob j^8 keeps
+  private[operators] val P = 2147483647L // 2^31 - 1
+  private[operators] val NumHashes = 32
+  private[operators] val Bands = 4 // 4 bands × 8 rows: band-collision prob j^8 keeps
   // candidate generation selective (s* = (1/4)^(1/8) ≈ 0.84). MinHash runs
   // over word-BIGRAM shingles, not unigrams: with a small vocabulary,
   // unigram token sets are near-identical across documents and every LSH
   // bucket degenerates to "all docs" (candidate join goes quadratic).
-  private def aCoef(i: Int): Long = 1103L * (i + 1) + 7
-  private def bCoef(i: Int): Long = 12289L * (i + 1) + 3
+  private[operators] def aCoef(i: Int): Long = 1103L * (i + 1) + 7
+  private[operators] def bCoef(i: Int): Long = 12289L * (i + 1) + 3
 
   /** Distinct word-bigram shingles over a pre-split word array `ws`.
     * The split is bound ONCE in a prior projection (see [[withWords]]) —
@@ -137,7 +137,7 @@ object Dedup {
   private[operators] val duckWords =
     "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"
 
-  private def withWords(df: DataFrame): DataFrame =
+  private[operators] def withWords(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
 
   /** Polynomial hash of a shingle over (length, first 3 chars, last 3
@@ -149,7 +149,7 @@ object Dedup {
     * `substr`/`ascii`/`greatest`/`length` behave identically in Spark and
     * DuckDB (ascii('') = 0 for the out-of-range positions of short grams).
     */
-  private def shingleHashScalar(g: String): String =
+  private[operators] def shingleHashScalar(g: String): String =
     s"""CAST(((((((CAST(length($g) AS BIGINT) * 131 + ascii(substr($g, 1, 1))) * 131
       |  + ascii(substr($g, 2, 1))) * 131
       |  + ascii(substr($g, 3, 1))) * 131
@@ -162,9 +162,84 @@ object Dedup {
     * partial aggregation — the shuffle carries one 32-column row per doc
     * per map partition, not the shingles.
     */
-  private def mhAggs = (0 until NumHashes).map { i =>
+  private[operators] def mhAggs = (0 until NumHashes).map { i =>
     min(expr(s"(${aCoef(i)} * h + ${bCoef(i)}) % $P")).as(f"mh$i%02d")
   }
+
+  /** (doc_id, grams [, carry…]) projection — the shared input of the LSH
+    * family. `carry` columns (e.g. `source` for the cross-corpus variant)
+    * ride along the narrow per-doc pipeline so no re-join against the
+    * corpus is needed downstream.
+    */
+  private[operators] def gramsOf(docs: DataFrame, carry: String*): DataFrame =
+    withWords(docs).select((col("doc_id") +: carry.map(col) :+ expr(gramsSpark).as("grams")): _*)
+
+  /** 32-permutation MinHash signature of a grams frame (codegen-only:
+    * explode + scalar hash + hash-agg mins; see [[qMinhashSig]]). Carry
+    * columns join the groupBy key — same cardinality (they are functions
+    * of doc_id), so the shuffle is unchanged.
+    */
+  private[operators] def sigOf(grams: DataFrame, carry: String*): DataFrame =
+    grams.select((col("doc_id") +: carry.map(col) :+ explode_outer(col("grams")).as("g")): _*)
+      .select((col("doc_id") +: carry.map(col) :+ expr(shingleHashScalar("g")).as("h")): _*)
+      .groupBy("doc_id", carry: _*).agg(mhAggs.head, mhAggs.tail: _*)
+
+  /** Banded signature rows (doc_id [, carry…], band_idx, band_sig): docs
+    * sharing any (band_idx, band_sig) become LSH candidates.
+    */
+  private[operators] def bandsOf(sig: DataFrame, carry: String*): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      concat_ws(",", (0 until NumHashes / Bands).map(r => col(f"mh${b * (NumHashes / Bands) + r}%02d")): _*)
+    }
+    sig.select((col("doc_id") +: carry.map(col) :+
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_sig"))): _*)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair frame (doc_a, doc_b)
+    * against a (doc_id, grams) frame → (doc_a, doc_b, jaccard ≥ minJ).
+    */
+  private[operators] def verifyPairs(cand: DataFrame, grams: DataFrame, minJ: Double): DataFrame =
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("grams_a"), col("grams_b"))) /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+
+  // ---- DuckDB oracle builders for the same kernels, parameterized over
+  // carry columns so the cross-corpus variant can thread `source` through.
+  private[operators] def mhExprsDuck: String = (0 until NumHashes).map { i =>
+    s"list_min(list_transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P)) AS mh${"%02d".format(i)}"
+  }.mkString(", ")
+
+  private[operators] def bandSigCaseDuck: String =
+    s"CASE band_idx ${(0 until Bands).map(b => s"WHEN $b THEN " + (0 until NumHashes / Bands).map(r => s"CAST(mh${"%02d".format(b * (NumHashes / Bands) + r)} AS VARCHAR)").mkString(" || ',' || ")).mkString(" ")} END"
+
+  /** CTE chain `ths, sig, bands2` over documents, with optional carried
+    * columns; `bands2` has (doc_id [, carry…], band_idx, band_sig).
+    */
+  private[operators] def lshCtesDuck(carry: Seq[String] = Nil): String = {
+    val c = carry.map(_ + ", ").mkString
+    s"""ths AS (
+      |  SELECT doc_id, ${c}list_transform($gramsDuck, g -> ${shingleHashScalar("g")}) AS ths,
+      |         $gramsDuck AS grams
+      |  FROM (SELECT doc_id, ${c}string_split(text, ' ') AS ws FROM documents) w),
+      |sig AS (SELECT doc_id, ${c}$mhExprsDuck FROM ths),
+      |bands2 AS (
+      |  SELECT doc_id, ${c}band_idx, $bandSigCaseDuck AS band_sig
+      |  FROM sig, range($Bands) AS r(band_idx))""".stripMargin
+  }
+
+  /** Jaccard-verified pair SELECT over `cand(doc_a, doc_b)` + `ths`. */
+  private[operators] def lshVerifySelectDuck(minJ: String): String =
+    s"""SELECT doc_a, doc_b,
+      |  round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) AS jaccard
+      |FROM cand
+      |JOIN ths ta ON ta.doc_id = doc_a
+      |JOIN ths tb ON tb.doc_id = doc_b
+      |WHERE round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) >= $minJ""".stripMargin
 
   /** MinHash signatures (32 permutations) over distinct word-bigram
     * shingles. Shingles are EXPLODED to rows so hashing and the 32 mins
@@ -202,19 +277,8 @@ object Dedup {
     // see qMinhashSig) and the tiny band table is persisted so the band
     // self-join doesn't recompute it. At scale these persisted projections
     // are the standard LSH "signature table" — ~1% the width of the corpus.
-    val grams = withWords(t(s, dir, "documents"))
-      .select(col("doc_id"), expr(gramsSpark).as("grams"))
-      .persist()
-    val sig = grams
-      .select(col("doc_id"), explode_outer(col("grams")).as("g"))
-      .select(col("doc_id"), expr(shingleHashScalar("g")).as("h"))
-      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bandCols = (0 until Bands).map { b =>
-      concat_ws(",", (0 until NumHashes / Bands).map(r => col(f"mh${b * (NumHashes / Bands) + r}%02d")): _*)
-    }
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_sig")))
-      .persist()
+    val grams = gramsOf(t(s, dir, "documents")).persist()
+    val bands = bandsOf(sigOf(grams)).persist()
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a.join(b,
@@ -223,42 +287,17 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a"), "doc_a")
-      .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b"), "doc_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("grams_a"), col("grams_b"))) /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyPairs(cand, grams, 0.8).orderBy("doc_a", "doc_b")
   }
 
-  val qMinhashLshOracle: String = {
-    val mhExprs = (0 until NumHashes).map { i =>
-      s"list_min(list_transform(ths, h -> (${aCoef(i)} * h + ${bCoef(i)}) % $P)) AS mh${"%02d".format(i)}"
-    }.mkString(", ")
-    s"""WITH ths AS (
-      |  SELECT doc_id, list_transform($gramsDuck, g -> ${shingleHashScalar("g")}) AS ths,
-      |         $gramsDuck AS grams
-      |  FROM $duckWords),
-      |sig AS (SELECT doc_id, grams, $mhExprs FROM ths),
-      |bands2 AS (
-      |  SELECT doc_id, band_idx,
-      |    CASE band_idx ${(0 until Bands).map(b => s"WHEN $b THEN " + (0 until NumHashes / Bands).map(r => s"CAST(mh${"%02d".format(b * (NumHashes / Bands) + r)} AS VARCHAR)").mkString(" || ',' || ")).mkString(" ")} END AS band_sig
-      |  FROM sig, range($Bands) AS r(band_idx)),
+  val qMinhashLshOracle: String =
+    s"""WITH ${lshCtesDuck()},
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands2 a JOIN bands2 b
       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b,
-      |  round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) AS jaccard
-      |FROM cand
-      |JOIN ths ta ON ta.doc_id = doc_a
-      |JOIN ths tb ON tb.doc_id = doc_b
-      |WHERE round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) >= 0.8
+      |${lshVerifySelectDuck("0.8")}
       |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** n-gram (word bigram) Jaccard similarity on a deterministic pair subset
     * (consecutive doc ids) — the exact-verification kernel of near-dedup.

@@ -303,6 +303,158 @@ object Similarity {
       |FROM assigned WHERE rk = 1
       |GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  /** IVF top-k SEARCH — the query-time half of the IVF index whose build
+    * step is [[qIvfAssign]]: each query ranks the K=8 coarse centroids,
+    * probes its `nprobe`=2 nearest cells, and exact-scores ONLY the
+    * corpus vectors assigned to those cells. Scale shape: the centroid
+    * table and the query set broadcast (corpus never shuffles to score);
+    * the probe is a key-equality join on cent_id — the fraction of the
+    * corpus touched is nprobe/K regardless of corpus size, which is the
+    * entire point of IVF at 100 TB. Ranking uses the bounded
+    * [[graft.functions.TopKAggregator]] (k rows per query per partition
+    * shuffle, same as [[qCosineTopK]]).
+    */
+  def qIvfSearch(s: SparkSession, dir: String, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("qv"), col("nrm").as("cnrm"))
+    // corpus→cell assignment (argmax cosine over the broadcast centroids —
+    // identical arithmetic + tie-break to qIvfAssign, so the index agrees)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val assigned = e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (expr(dotExpr) / (col("cnrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
+      .select("vec_id", "embedding", "nrm", "cent_id")
+    // query→probe-cell list: same centroid scoring, keep top nprobe cells
+    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 11)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qemb"), col("qnrm"), col("cent_id"),
+        expr("vec_dot(qv, qemb)").divide(col("cnrm") * col("qnrm")).as("cos"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("cent_id").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qemb").as("qv"), col("qnrm"), col("cent_id"))
+    // probe join: corpus side keyed by its assigned cell; query side is
+    // tiny (queries × nprobe) and broadcast — only nprobe/K of the corpus
+    // is ever scored
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item._2").as("vec_id"),
+        col("item._1").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qIvfSearchOracle: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |cpairs AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 8),
+      |cscored AS (
+      |  SELECT vec_id, cent_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      |  FROM cpairs GROUP BY vec_id, cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+      |    FROM cscored) a WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+      |    FROM cscored WHERE vec_id BETWEEN 8 AND 10) p WHERE rk <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id
+      |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id),
+      |qpairs AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    unnest(eq.embedding)::DOUBLE AS x, unnest(ev.embedding)::DOUBLE AS y
+      |  FROM cand c
+      |  JOIN embeddings eq ON eq.vec_id = c.query_id
+      |  JOIN embeddings ev ON ev.vec_id = c.vec_id),
+      |qscored AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM qpairs GROUP BY query_id, vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM qscored)
+      |SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** One Lloyd (k-means) iteration over the IVF coarse quantizer: assign
+    * every corpus vector to its nearest seed centroid (identical to
+    * [[qIvfAssign]]) and re-accumulate the centroid sums. Accumulation is
+    * FIXED-POINT (each float component is exactly widened to double,
+    * scaled ×10000 and rounded to an integer BEFORE summing) so the
+    * update is order-independent — a float sum over a shuffled 100 TB
+    * partitioning is not reproducible, an integer sum is. This is the
+    * deterministic-distributed-k-means trick, and what makes the step
+    * oracle-checkable bit-for-bit. Output: per-centroid member count and
+    * the fixed-point sums of the first 3 dimensions (the new centroid is
+    * sum/n in 1e-4 units).
+    */
+  def qKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("qv"), col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id").asc)
+    e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        (expr(dotExpr) / (col("cnrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(element_at(col("embedding"), 1).cast("double") * 10000).cast("long")).as("sum_d1"),
+        sum(round(element_at(col("embedding"), 2).cast("double") * 10000).cast("long")).as("sum_d2"),
+        sum(round(element_at(col("embedding"), 3).cast("double") * 10000).cast("long")).as("sum_d3"))
+      .orderBy("cent_id")
+  }
+
+  val qKmeansStepOracle: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |pairs AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 8),
+      |scored AS (
+      |  SELECT vec_id, cent_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      |  FROM pairs GROUP BY vec_id, cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+      |    FROM scored) a WHERE rk = 1)
+      |SELECT a.cent_id, count(*) AS n_vecs,
+      |  CAST(sum(CAST(round(e.embedding[1]::DOUBLE * 10000) AS BIGINT)) AS BIGINT) AS sum_d1,
+      |  CAST(sum(CAST(round(e.embedding[2]::DOUBLE * 10000) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  CAST(sum(CAST(round(e.embedding[3]::DOUBLE * 10000) AS BIGINT)) AS BIGINT) AS sum_d3
+      |FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+      |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin
+
   /** Per-vector int8 quantization (min/max affine, 0..255): the storage
     * transform that shrinks a 100 TB float corpus 4×. Output keeps the
     * exact per-vector range and the INTEGER sum of quantized codes —
@@ -339,6 +491,8 @@ object Similarity {
     QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
     QueryDef("q_ivf_assign", qIvfAssign, Some(qIvfAssignOracle)),
+    QueryDef("q_ivf_search", (s, d) => qIvfSearch(s, d), Some(qIvfSearchOracle)),
+    QueryDef("q_kmeans_step", qKmeansStep, Some(qKmeansStepOracle)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
   )
 }

@@ -198,8 +198,30 @@ object TextOps {
       |   (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level n-gram DOCUMENT frequency: top 20 word bigrams by the
+    * number of distinct documents containing them (ties broken by gram) —
+    * the vocabulary/boilerplate report behind stop-gram lists and
+    * contamination screens. Per-doc grams are already distinct
+    * ([[Dedup.gramsSpark]]), so count(*) per gram IS document frequency;
+    * the aggregate is map-side partial over exploded grams, and the top-k
+    * is a TakeOrdered over the (bounded) distinct-gram surface, never a
+    * global sort of the corpus.
+    */
+  def qNgramFreq(s: SparkSession, dir: String): DataFrame =
+    Dedup.gramsOf(t(s, dir, "documents"))
+      .select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(20)
+
+  val qNgramFreqOracle: String =
+    s"""SELECT gram, count(*) AS doc_freq
+      |FROM (SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram FROM ${Dedup.duckWords}) g
+      |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_ngram_freq", qNgramFreq, Some(qNgramFreqOracle)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensOracle)),
     QueryDef("q_chunk", qChunk, Some(qChunkOracle)),
     QueryDef("q_scrub", qScrub, Some(qScrubOracle)),

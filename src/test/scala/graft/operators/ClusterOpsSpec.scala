@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Round-4 pipeline operators: duplicate-cluster closure, cross-corpus
+  * dedup, IVF search, k-means step, global shuffle, funnel, n-gram DF.
+  */
+class ClusterOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup clusters form a partition closed over the near-dup pairs") {
+    val comp = ClusterOps.qDedupClusters(spark, dir).collect()
+    assert(comp.nonEmpty)
+    // representative is the min member, so rep <= max_doc and sizes >= 2
+    // only when a component has more than one doc; every cluster here has
+    // >= 2 members (singletons never enter the graph)
+    comp.foreach { r =>
+      assert(r.getLong(1) >= 2, s"singleton cluster ${r.getLong(0)}")
+      assert(r.getLong(0) <= r.getLong(2))
+    }
+    // closure: both endpoints of every verified pair map to one rep
+    val pairs = Dedup.qMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val members = comp.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nMembers = members.values.sum
+    val nNodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(nMembers == nNodes, "every non-singleton doc is in exactly one cluster")
+  }
+
+  test("deeper maxIter does not change the converged clustering") {
+    val a = ClusterOps.qDedupClusters(spark, dir, maxIter = 20)
+      .collect().map(_.mkString("|")).toSeq
+    val b = ClusterOps.qDedupClusters(spark, dir, maxIter = 50)
+      .collect().map(_.mkString("|")).toSeq
+    assert(a == b)
+  }
+
+  test("cross dedup reports only train sources, flagged <= docs") {
+    val rows = ClusterOps.qCrossDedup(spark, dir).collect()
+    val refs = (0 until 4).map(i => s"src$i").toSet
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!refs.contains(r.getString(0)))
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("ivf search: k ranked hits per query, no self-hit, probed cells only") {
+    val hits = Similarity.qIvfSearch(spark, dir).collect()
+    assert(hits.nonEmpty)
+    hits.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val rks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(rks == (1L to rows.length.toLong).toSeq, s"query $q ranks $rks")
+      assert(!rows.exists(_.getLong(1) == q), s"query $q matched itself")
+      // ranked descending by similarity
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("kmeans step partitions the corpus across the seed centroids") {
+    val rows = Similarity.qKmeansStep(spark, dir).collect()
+    val total = graft.Tables.t(spark, dir, "embeddings").count() - 8
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("global shuffle is a deterministic partition of the corpus") {
+    val rows = CorpusOps.qGlobalShuffle(spark, dir).collect()
+    val total = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    val again = CorpusOps.qGlobalShuffle(spark, dir).collect()
+    assert(rows.map(_.mkString("|")).toSeq == again.map(_.mkString("|")).toSeq)
+  }
+
+  test("quality funnel counts are monotone non-increasing") {
+    val rows = CorpusOps.qQualityFunnel(spark, dir).collect()
+    assert(rows.length == 6)
+    val counts = rows.sortBy(_.getString(0)).map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ngram doc-freq: top-20, ordered, bounded by doc count") {
+    val rows = graft.operators.TextOps.qNgramFreq(spark, dir).collect()
+    assert(rows.length == 20)
+    val total = graft.Tables.t(spark, dir, "documents").count()
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.forall(_ <= total))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+  }
+}
