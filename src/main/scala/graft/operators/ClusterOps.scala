@@ -21,14 +21,17 @@ object ClusterOps {
 
   /** Connected components over MinHash-LSH verified near-dup edges
     * (jaccard ≥ 0.8, same kernel as [[Dedup.qMinhashLsh]]), by iterative
-    * min-label propagation: every node starts labeled with its own id and
-    * repeatedly takes the min label over itself and its neighbors until a
-    * fixpoint. Converges in O(component diameter) rounds — near-dup
-    * clusters are dense and shallow, so a handful of rounds in practice;
-    * `maxIter` is a guard, and falling out of it early would only split a
-    * giant chain, never merge two components (labels only move DOWN along
-    * existing edges), so results stay a refinement — the fixpoint check
-    * makes the output exact.
+    * min-label propagation WITH pointer jumping: every node starts labeled
+    * with its own id, and each round takes the min label over itself and
+    * its neighbors, then "jumps" once more through its label's own label
+    * (path halving). Plain neighbor propagation needs O(component
+    * diameter) rounds — a chain of near-dups (doc1~doc2~...~docN, the
+    * shape sequentially-generated corpora actually produce) degrades to
+    * O(N) sequential Spark jobs; the jump composes reachability so rounds
+    * are O(log diameter). `maxIter` is a guard, and falling out of it
+    * early would only split a giant chain, never merge two components
+    * (labels only move DOWN along existing edges), so results stay a
+    * refinement — the fixpoint check makes the output exact.
     *
     * Scale shape: the label frame is one row per NON-SINGLETON doc (docs
     * with no near-dup never enter the graph — at 100 TB that is the vast
@@ -46,7 +49,9 @@ object ClusterOps {
     */
   def qDedupClusters(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
     val grams = Dedup.gramsOf(t(s, dir, "documents")).persist()
-    val bands = Dedup.bandsOf(Dedup.sigOf(grams))
+    // persisted: the self-join below reads it on BOTH branches — without
+    // this the signature pass (explode + min-hash agg) runs twice
+    val bands = Dedup.bandsOf(Dedup.sigOf(grams)).persist()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_sig") === col("b.band_sig") &&
@@ -54,35 +59,86 @@ object ClusterOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val pairs = Dedup.verifyPairs(cand, grams, 0.8).select("doc_a", "doc_b")
-    // undirected edge list, materialized once (reused every round)
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .persist()
-
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true) // materialize + truncate lineage per round
-      val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") =!= col("p.lbl"))
-        .limit(1).count() // scalar fixpoint probe (any-change, not full count)
-      labels = next
-      converged = changed == 0
-      it += 1
-    }
-    grams.unpersist()
-    edges.unpersist() // labels is checkpointed — safe to release upstream
+    val labels = connectedComponents(pairs, maxIter)
+    // blocking: the gram/band caches are the big allocations of this
+    // query — release them HERE rather than letting the async cleaner
+    // charge the work to whatever query runs next
+    grams.unpersist(blocking = true)
+    bands.unpersist(blocking = true)
     labels.groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .orderBy("cluster_rep")
+  }
+
+  /** The connected-components kernel over an undirected pair frame
+    * (doc_a, doc_b) → one (id, lbl) row per vertex with lbl = component
+    * min. Exposed separately so the log-round convergence can be tested
+    * on adversarial graphs (long chains) the LSH corpus never produces.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // undirected edge list, materialized once (reused every round). The
+    // graph is the DUPLICATE surface, not the corpus — orders of magnitude
+    // smaller — so the iteration runs at a parallelism derived from the
+    // observed edge count (~100k edges per task), not the corpus-sized
+    // shuffle default: per-round cost is then a couple of small tasks
+    // instead of a full-width shuffle per round. At 100 TB with a heavy
+    // dup rate the same formula scales the loop back up to wide plans.
+    val edgesRaw = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    val nEdges = edgesRaw.count()
+    val p = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    val edges = edgesRaw.repartition(p, col("src")).persist()
+
+    // persist (not an eager checkpoint — saves one job): round 0's two
+    // reads share the cached blocks, and the first agg checkpoint cuts
+    // the lineage anyway
+    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist()
+    val labels0 = labels
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // one aggregation computes BOTH the new labels and the convergence
+      // signal: self rows carry the previous label, neighbor rows carry
+      // Long.MaxValue in old_lbl, so min(old_lbl) is the previous label
+      // and (lbl < old_lbl) marks any row that improved this round.
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"), lit(Long.MaxValue).as("old_lbl"))
+      // checkpoint the aggregate BEFORE the self-join below — joining an
+      // unmaterialized frame with itself would run the groupBy shuffle
+      // twice (once per branch)
+      val agg = labels.select(col("id"), col("lbl"), col("lbl").as("old_lbl"))
+        .union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
+        .localCheckpoint(true)
+      // pointer jump (path halving): relabel through the label's own
+      // label. Every lbl value is a node id (by induction from lbl=id),
+      // so the lookup side is `agg` itself; left+coalesce keeps the row
+      // even if the invariant were ever violated rather than dropping it.
+      // `next` itself is NOT checkpointed: it is one (tiny, broadcastable)
+      // join over the checkpointed agg, so recomputing it in the next
+      // round's lineage is cheaper than an extra eager-checkpoint job —
+      // lineage depth stays bounded at one join because agg is cut every
+      // round.
+      val next = agg.as("a")
+        .join(agg.as("b"), col("a.lbl") === col("b.id"), "left")
+        .select(col("a.id"),
+          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"),
+          col("a.old_lbl"))
+      val changed = next.filter(col("lbl") < col("old_lbl"))
+        .limit(1).count() // scalar any-change probe (runs the jump join)
+      labels = next.select("id", "lbl")
+      converged = changed == 0
+      it += 1
+    }
+    edgesRaw.unpersist(blocking = true)
+    labels0.unpersist(blocking = true)
+    // labels is checkpointed — safe to release upstream
+    edges.unpersist(blocking = true)
+    labels
   }
 
   val qDedupClustersOracle: String =
@@ -131,6 +187,8 @@ object ClusterOps {
     val flagged = Dedup.verifyPairs(cand, grams, 0.8)
       .select(col("doc_a").as("doc_id")).distinct()
       .withColumn("flag", lit(1L))
+    // the returned plan reads the persisted gram/band tables — caller
+    // owns their lifetime (see qMinhashLsh note)
     docs.filter(!col("source").isInCollection(refSrcs))
       .select("doc_id", "source")
       .join(flagged, Seq("doc_id"), "left")

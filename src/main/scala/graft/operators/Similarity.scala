@@ -110,30 +110,54 @@ object Similarity {
     * stress (which remaps labels to manufacture a pathological cell).
     */
   private[graft] def nearDupPairs(base: DataFrame, blockTarget: Long): DataFrame = {
-    // Block count adapts to the observed cell: one row-per-label pre-agg
-    // (tiny — it is the distinct-label surface) broadcast back, so a hot
-    // label gets ceil(cell / blockTarget) blocks while cold labels stay at
-    // B=1 and pay zero replication. The lossless-meet proof only needs B
-    // constant WITHIN a label, which a per-label count guarantees.
-    val cells = base.groupBy("label").agg(count(lit(1)).as("cell_n"))
-    val e = base.join(broadcast(cells), Seq("label"))
-      .withColumn("nblk",
-        greatest(lit(1L), ceil(col("cell_n").cast("double") / lit(blockTarget.toDouble))).cast("int"))
-      .withColumn("blk", pmod(hash(col("vec_id")), col("nblk")))
-      // replicate each row once per peer block k; the key is the unordered
-      // block pair so (x in i, y in j) meets exactly at key (min(i,j), max(i,j))
-      .withColumn("k", explode(sequence(lit(0), col("nblk") - 1)))
-      .withColumn("lo", least(col("blk"), col("k")))
-      .withColumn("hi", greatest(col("blk"), col("k")))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
-      col("label"), col("nrm").as("nrm_a"), col("blk").as("blk_a"), col("lo"), col("hi"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding"),
-      col("label"), col("nrm").as("nrm_b"), col("blk").as("blk_b"), col("lo"), col("hi"))
-    a.join(b, Seq("label", "lo", "hi"))
-      // keep each pair exactly once: the two blocks must BE the key pair
-      .filter((col("blk_a") === col("lo") && col("blk_b") === col("hi")) ||
-              (col("blk_a") === col("hi") && col("blk_b") === col("lo")))
-      .filter(col("id_a") < col("id_b"))
+    // Block counts adapt to the OBSERVED cells. The per-label count
+    // surface is bounded by label cardinality — the IVF-cell count, a
+    // model-sized quantity like the driver-held centroids, never
+    // data-scale — so it is collected and folded into the plan as
+    // literals instead of a pre-agg + broadcast join: the corpus is
+    // scanned once for counting (a pruned label-only parquet scan) and
+    // once for pairing, with zero join to attach block counts.
+    val cellRows = base.groupBy("label").agg(count(lit(1)).as("cell_n")).collect()
+    val needsBlocking = cellRows.exists(_.getLong(1) > blockTarget)
+    val scored =
+      if (!needsBlocking) {
+        // fast path — every cell already fits a task: plain same-label
+        // self-join, no replication columns, no meet filter
+        val a = base.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
+          col("label"), col("nrm").as("nrm_a"))
+        val b = base.select(col("vec_id").as("id_b"), col("embedding"),
+          col("label"), col("nrm").as("nrm_b"))
+        a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      } else {
+        // skewed path: a hot label gets ceil(cell / blockTarget) blocks
+        // (cold labels stay at B=1, paying zero replication); every
+        // unordered block pair (lo, hi) is its own join key, so the hot
+        // cell decomposes into B(B+1)/2 bounded tasks. The lossless-meet
+        // proof only needs B constant WITHIN a label, which the per-label
+        // literal map guarantees.
+        val nblkByLabel = cellRows.map { r =>
+          r.getInt(0) -> math.max(1L, math.ceil(r.getLong(1).toDouble / blockTarget).toLong).toInt
+        }.toMap
+        val e = base
+          .withColumn("nblk", coalesce(
+            element_at(typedLit(nblkByLabel), col("label")), lit(1)))
+          .withColumn("blk", pmod(hash(col("vec_id")), col("nblk")))
+          // replicate each row once per peer block k; a pair (x in i, y in j)
+          // meets exactly at key (min(i,j), max(i,j))
+          .withColumn("k", explode(sequence(lit(0), col("nblk") - 1)))
+          .withColumn("lo", least(col("blk"), col("k")))
+          .withColumn("hi", greatest(col("blk"), col("k")))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
+          col("label"), col("nrm").as("nrm_a"), col("blk").as("blk_a"), col("lo"), col("hi"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding"),
+          col("label"), col("nrm").as("nrm_b"), col("blk").as("blk_b"), col("lo"), col("hi"))
+        a.join(b, Seq("label", "lo", "hi"))
+          // keep each pair exactly once: the two blocks must BE the key pair
+          .filter((col("blk_a") === col("lo") && col("blk_b") === col("hi")) ||
+                  (col("blk_a") === col("hi") && col("blk_b") === col("lo")))
+          .filter(col("id_a") < col("id_b"))
+      }
+    scored
       .select(col("label"), col("id_a"), col("id_b"),
         round(expr(dotExpr) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
@@ -254,29 +278,58 @@ object Similarity {
       |SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The K=8 seed centroids (first 8 vectors) pulled to the driver — the
+    * bounded-row shape every distributed k-means uses between Lloyd
+    * iterations (MLlib holds centroids on the driver too): K is a model
+    * hyperparameter, never data-scale. The norm replicates vec_norm's
+    * left-to-right double accumulation exactly, so literal-side arithmetic
+    * is bit-identical to the expression path (and the DuckDB oracle).
+    */
+  private def seedCentroids(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().toSeq
+      .map { r =>
+        val cs = r.getSeq[Float](1)
+        var acc = 0.0
+        cs.foreach(x => acc += x.toDouble * x.toDouble)
+        (r.getLong(0), cs, math.sqrt(acc))
+      }.sortBy(_._1)
+
+  /** Per-row centroid scores as an array<struct(cos, nc, cent_id)> over
+    * LITERAL centroids: assignment/probing is a narrow per-row expression —
+    * zero corpus shuffle, no K× row replication, no window sort (the
+    * previous formulation window-ranked corpus×K rows, a needless
+    * corpus-wide exchange at scale). Struct max order = (cos desc, then
+    * nc = -cent_id desc ⇒ smallest cent_id), matching the oracle's
+    * `ORDER BY cos DESC, cent_id` tie-break. Needs `embedding`, `nrm`.
+    */
+  private def centScores(cents: Seq[(Long, Seq[Float], Double)]): Column =
+    array(cents.map { case (id, cs, cnrm) =>
+      struct(
+        call_function("vec_dot", col("embedding"), typedLit(cs))
+          .divide(lit(cnrm) * col("nrm")).as("cos"),
+        lit(-id).as("nc"), lit(id).as("cent_id"))
+    }: _*)
+
   /** IVF coarse-quantizer assignment: each corpus vector is assigned to
     * its nearest of K=8 deterministic seed centroids (the first 8 vectors)
     * by cosine argmax — the k-means-assignment step that builds a real IVF
     * index (where qEmbeddingNearDup uses `label` as a stand-in cell key).
-    * Centroids broadcast (map-side scoring, the corpus never shuffles for
-    * scoring); the argmax is a per-vector window over K rows. Per-cell
-    * occupancy plus an EXACT integer checksum of assigned similarities
-    * (4dp-scaled sum — order-independent, unlike a float avg).
+    * Centroids are driver-held literals ([[seedCentroids]]), so scoring +
+    * argmax is one narrow codegen'd projection; the only shuffle is the
+    * 8-group final aggregate. Per-cell occupancy plus an EXACT integer
+    * checksum of assigned similarities (4dp-scaled sum —
+    * order-independent, unlike a float avg).
     */
   def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("qv"),
-        col("nrm").as("cnrm"))
-    val scored = e.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (expr(dotExpr) / (col("cnrm") * col("nrm"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    val best = array_max(centScores(seedCentroids(e)))
+    e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), best.getField("cent_id").as("cent_id"),
+        best.getField("cos").as("cos"))
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"),
         sum(round(col("cos") * 10000).cast("long")).as("sum_cos4"))
@@ -306,11 +359,12 @@ object Similarity {
   /** IVF top-k SEARCH — the query-time half of the IVF index whose build
     * step is [[qIvfAssign]]: each query ranks the K=8 coarse centroids,
     * probes its `nprobe`=2 nearest cells, and exact-scores ONLY the
-    * corpus vectors assigned to those cells. Scale shape: the centroid
-    * table and the query set broadcast (corpus never shuffles to score);
-    * the probe is a key-equality join on cent_id — the fraction of the
-    * corpus touched is nprobe/K regardless of corpus size, which is the
-    * entire point of IVF at 100 TB. Ranking uses the bounded
+    * corpus vectors assigned to those cells. Scale shape: centroids are
+    * driver-held literals ([[seedCentroids]]) so assignment and probe
+    * selection are narrow per-row expressions; the probe is a broadcast
+    * key-equality join on cent_id — the fraction of the corpus touched is
+    * nprobe/K regardless of corpus size, which is the entire point of IVF
+    * at 100 TB. Ranking uses the bounded
     * [[graft.functions.TopKAggregator]] (k rows per query per partition
     * shuffle, same as [[qCosineTopK]]).
     */
@@ -319,29 +373,19 @@ object Similarity {
     import s.implicits._
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("qv"), col("nrm").as("cnrm"))
-    // corpus→cell assignment (argmax cosine over the broadcast centroids —
-    // identical arithmetic + tie-break to qIvfAssign, so the index agrees)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val scores = centScores(seedCentroids(e))
+    // corpus→cell assignment: narrow argmax over literal centroids —
+    // identical arithmetic + tie-break to qIvfAssign, so the index agrees
     val assigned = e.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        (expr(dotExpr) / (col("cnrm") * col("nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
-      .select("vec_id", "embedding", "nrm", "cent_id")
-    // query→probe-cell list: same centroid scoring, keep top nprobe cells
-    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 11)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
-    val probes = queries
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qemb"), col("qnrm"), col("cent_id"),
-        expr("vec_dot(qv, qemb)").divide(col("cnrm") * col("qnrm")).as("cos"))
-      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cos").desc, col("cent_id").asc)))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qemb").as("qv"), col("qnrm"), col("cent_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        array_max(scores).getField("cent_id").as("cent_id"))
+    // query→probe-cell list: sort the same score array desc, take the top
+    // nprobe cells — still narrow, one row per (query, probed cell)
+    val probes = e.filter(col("vec_id") >= 8 && col("vec_id") < 11)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(transform(slice(sort_array(scores, asc = false), 1, nprobe),
+          x => x.getField("cent_id"))).as("cent_id"))
     // probe join: corpus side keyed by its assigned cell; query side is
     // tiny (queries × nprobe) and broadcast — only nprobe/K of the corpus
     // is ever scored
@@ -416,15 +460,9 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("qv"), col("nrm").as("cnrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id").asc)
+    val best = array_max(centScores(seedCentroids(e)))
     e.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        (expr(dotExpr) / (col("cnrm") * col("nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("embedding"), best.getField("cent_id").as("cent_id"))
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"),
         sum(round(element_at(col("embedding"), 1).cast("double") * 10000).cast("long")).as("sum_d1"),

@@ -22,12 +22,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // q_cosine_topk broadcasts 3 query vectors; q_above_avg and
   // q_mixture_weights broadcast a single-row aggregate (the
   // scalar-subquery-without-collect idiom)
-  // q_ivf_assign / q_ivf_search / q_kmeans_step broadcast 8 centroid
-  // vectors (and, for search, queries × nprobe probe rows) against the
-  // corpus — the corpus side never shuffles
+  // (the IVF family — q_ivf_assign/q_ivf_search/q_kmeans_step — needs no
+  // entry here: centroids are driver-held literals, so assignment is a
+  // narrow projection with no join at all)
   private val crossJoinByDesign =
-    Set("q_cosine_topk", "q_above_avg", "q_mixture_weights", "q_ivf_assign",
-      "q_ivf_search", "q_kmeans_step")
+    Set("q_cosine_topk", "q_above_avg", "q_mixture_weights")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
