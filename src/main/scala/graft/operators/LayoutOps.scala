@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Physical-layout operators — the two data-organization techniques that
+  * decide whether a 100 TB join/scan is cheap or catastrophic:
+  *
+  *  - BUCKETING: pre-hash-partitioning fact tables on their join key at
+  *    write time so the join needs NO exchange at read time (the shuffle
+  *    is paid once, at load, and amortized over every downstream query);
+  *  - PARTITION PRUNING: directory-partitioning on a predicate column so
+  *    a filtered scan touches only matching partitions (PartitionFilters
+  *    in the scan, not a post-scan filter over everything).
+  *
+  * Both are side-effecting queries in the q_csv_roundtrip mold: they
+  * write a scratch warehouse layout keyed by scale dir, read it back the
+  * way a downstream consumer would, and oracle-check the result against
+  * plain SQL over the logical input — proving layout changes semantics
+  * not at all while the plan (PLANS.md / LayoutOpsSpec) proves the
+  * exchange/scan savings.
+  */
+object LayoutOps {
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def scratch(prefix: String, dir: String): String =
+    Files.createDirectories(
+      Paths.get(sys.props("java.io.tmpdir"), s"${prefix}_${tag(dir)}")).toString
+
+  /** Co-located join over bucketed tables: lineitem and orders are written
+    * bucketed (8 buckets) + sorted on the join key, then joined. The merge
+    * hint pins sort-merge (at test SF the orders side would otherwise
+    * broadcast, hiding the point); bucketing makes BOTH exchanges vanish —
+    * the plan has no `Exchange hashpartitioning(l_orderkey/o_orderkey)`,
+    * which at 100 TB is the difference between re-shuffling the fact table
+    * per query and never shuffling it at all. Only the final (5-group)
+    * aggregate exchanges.
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val liT = s"li_bkt_${tag(dir)}"
+    val ordT = s"ord_bkt_${tag(dir)}"
+    val base = scratch("graft_bucketed", dir)
+    s.sql(s"DROP TABLE IF EXISTS $liT")
+    s.sql(s"DROP TABLE IF EXISTS $ordT")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(liT)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ordT)
+    s.table(liT).hint("merge")
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBucketedJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Partition-pruned scan: events are re-laid-out `partitionBy(day)`
+    * (30 directory partitions), then a one-day query reads back through
+    * the partition column. The day literal is resolved from a bounded
+    * scalar pre-query (min day — one value, never data-scale), so the
+    * filter is static at plan time and the scan shows
+    * `PartitionFilters: [day = …], PartitionCount: 1` — reading 1/30th of
+    * the data, which at 100 TB is the entire point of date-partitioned
+    * ingest layouts.
+    */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_day_part", dir)
+    val ev = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode(SaveMode.Overwrite).partitionBy("day")
+      .parquet(base)
+    val day0 = ev.agg(min("day")).head().getString(0)
+    s.read.parquet(base)
+      .filter(col("day") === day0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val qPartitionPruneOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      | round(sum("value"), 2) AS value_sum
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') =
+      |  (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),
+    QueryDef("q_partition_prune", qPartitionPrune, Some(qPartitionPruneOracle)),
+  )
+}

@@ -56,16 +56,24 @@ object SketchOps {
   def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val occ = Dedup.withWords(t(s, dir, "documents"))
       .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("g"))
-    val hv = occ.select(col("g"), expr(Dedup.shingleHashScalar("g")).as("h"))
+    // ONE corpus-wide aggregate produces per-gram counts; both the sketch
+    // scatter and the exact top-10 then run over the distinct-gram surface
+    // (orders of magnitude smaller than the occurrence stream at 100 TB) —
+    // scattering occurrences directly would shuffle depth x occurrences
+    // rows where this shuffles depth x distinct-grams with the counts as
+    // weights, for bit-identical cell totals.
+    val gcnt = occ
+      .select(col("g"), expr(Dedup.shingleHashScalar("g")).as("h"))
+      .groupBy("g", "h").agg(count(lit(1)).as("exact_cnt"))
       .persist() // read by the sketch build AND the exact top-10
-    val top10 = hv.groupBy("g").agg(min("h").as("h"), count(lit(1)).as("exact_cnt"))
+    val top10 = gcnt
       .orderBy(col("exact_cnt").desc, col("g").asc)
       .limit(10)
       .select(col("g").as("gram"), col("h"), col("exact_cnt"))
     val posArr = (0 until CmsDepth).map(i => expr(cmsPosExpr(i, "h")))
-    val sketch = hv
-      .select(posexplode(array(posArr: _*)).as(Seq("i", "pos")))
-      .groupBy("i", "pos").agg(count(lit(1)).as("cnt"))
+    val sketch = gcnt
+      .select(col("exact_cnt"), posexplode(array(posArr: _*)).as(Seq("i", "pos")))
+      .groupBy("i", "pos").agg(sum("exact_cnt").as("cnt"))
     val tpos = top10
       .select(col("gram"), col("exact_cnt"),
         posexplode(array(posArr: _*)).as(Seq("i", "pos")))

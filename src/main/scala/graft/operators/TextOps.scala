@@ -219,8 +219,116 @@ object TextOps {
       |FROM (SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram FROM ${Dedup.duckWords}) g
       |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin
 
+  /** Vocabulary coverage curve: token-occurrence share covered by the
+    * top-100/500/1000 words — the statistic a tokenizer-training pass
+    * reads before fixing a vocab size. Scale shape: one occurrence-stream
+    * aggregate to word counts (map-side combined; the shuffle is the
+    * distinct-word surface), a TakeOrdered top-1000 (vocab-sized, never
+    * corpus-sized), then conditional sums over those 1000 rows unpivoted
+    * with `stack`. The corpus total rides in as a broadcast single-row
+    * aggregate (the scalar-subquery idiom of q_above_avg).
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val words = Dedup.withWords(t(s, dir, "documents"))
+      .select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wcnt = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = wcnt.agg(sum("cnt").as("total"))
+    val top = wcnt
+      .orderBy(col("cnt").desc, col("w").asc).limit(1000)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cnt").desc, col("w").asc)))
+    top
+      .agg(sum(when(col("rk") <= 100, col("cnt"))).as("c100"),
+        sum(when(col("rk") <= 500, col("cnt"))).as("c500"),
+        sum(col("cnt")).as("c1000"))
+      .selectExpr(
+        "stack(3, 100, c100, 500, c500, 1000, c1000) AS (vocab_size, covered)")
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("total"),
+        round(col("covered") / col("total").cast("double"), 4).as("coverage"))
+      .orderBy("vocab_size")
+  }
+
+  val qVocabCoverageOracle: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wcnt AS (
+      |  SELECT w, count(*) AS cnt FROM words WHERE length(w) > 0 GROUP BY w),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wcnt),
+      |top AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+      |  FROM wcnt ORDER BY cnt DESC, w LIMIT 1000),
+      |agg AS (
+      |  SELECT CAST(sum(CASE WHEN rk <= 100 THEN cnt END) AS BIGINT) AS c100,
+      |         CAST(sum(CASE WHEN rk <= 500 THEN cnt END) AS BIGINT) AS c500,
+      |         CAST(sum(cnt) AS BIGINT) AS c1000
+      |  FROM top),
+      |cov AS (
+      |  SELECT 100 AS vocab_size, c100 AS covered FROM agg
+      |  UNION ALL SELECT 500, c500 FROM agg
+      |  UNION ALL SELECT 1000, c1000 FROM agg)
+      |SELECT vocab_size, covered, total,
+      |  round(covered / CAST(total AS DOUBLE), 4) AS coverage
+      |FROM cov, tot ORDER BY vocab_size""".stripMargin
+
+  /** Top-3 TF-IDF terms per document (first 50 docs): per-doc term
+    * frequency joined against the corpus document-frequency table on the
+    * term key, scored with an INTEGER-scaled idf — `floor(nDocs * 1000 /
+    * df)` — so cross-engine float `ln` differences can't flip a rank; the
+    * per-doc top-3 is a doc-partitioned window (bounded by construction).
+    * Scale shape: tf and df are both one hash-aggregate over the token
+    * stream; the join shuffles on the term key; only the filtered report
+    * slice (50 docs) flows into the window.
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val words = Dedup.withWords(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // doc count is a catalog-scale scalar (same class as the centroid
+    // seeds): folded in as a literal
+    val nDocs = t(s, dir, "documents").count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+    tf.filter(col("doc_id") < 50)
+      .join(dfreq, Seq("w"))
+      .withColumn("idf_scaled",
+        floor(lit(nDocs.toDouble * 1000) / col("df")).cast("long"))
+      .withColumn("score", col("tf") * col("idf_scaled"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val qTfidfOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM words
+      |  WHERE length(w) > 0 GROUP BY doc_id, w),
+      |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.w, t.tf, d.df,
+      |    CAST(floor(n.n_docs * 1000 / CAST(d.df AS DOUBLE)) AS BIGINT) AS idf_scaled
+      |  FROM tf t JOIN dfreq d USING (w), n
+      |  WHERE t.doc_id < 50),
+      |ranked AS (
+      |  SELECT doc_id, w, tf, df, tf * idf_scaled AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tf * idf_scaled DESC, w) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, w AS term, tf, df, score
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageOracle)),
+    QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),
     QueryDef("q_ngram_freq", qNgramFreq, Some(qNgramFreqOracle)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensOracle)),
     QueryDef("q_chunk", qChunk, Some(qChunkOracle)),

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Layout operators: the plan-shape claims (no exchange on bucketed join
+  * keys; partition filters on the pruned scan) verified against the real
+  * executed plans, plus result sanity.
+  */
+class LayoutOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed join runs without exchanging either side on the join key") {
+    val df = LayoutOps.qBucketedJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side re-shuffled despite bucketing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side re-shuffled despite bucketing:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 5) // the 5 TPC-H order priorities
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("partition-pruned scan reads only the selected day partition") {
+    val df = LayoutOps.qPartitionPrune(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(plan.contains("(day#") || plan.contains("day = "),
+      s"day filter not pushed to partition level:\n$plan")
+    // the day filter must NOT appear as a post-scan Filter on data rows
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"),
+      s"day treated as a data column, not a partition column:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+}
