@@ -40,9 +40,6 @@ object ClusterOps {
     * doc × doc. `localCheckpoint` truncates the growing lineage each
     * round (on a real cluster, `sparkContext.setCheckpointDir` + reliable
     * checkpoint); the convergence probe is a scalar count, not a collect.
-    * For adversarial graphs (long chains) the doubling variant
-    * (large-star/small-star) bounds rounds at O(log n); near-dup graphs
-    * don't need it.
     *
     * Output: one row per duplicate cluster (representative = min doc_id,
     * member count, max member) — the "keep one, drop n-1" manifest.

@@ -48,14 +48,20 @@ object LayoutOps {
     val base = scratch("graft_bucketed", dir)
     s.sql(s"DROP TABLE IF EXISTS $liT")
     s.sql(s"DROP TABLE IF EXISTS $ordT")
+    // repartition onto the bucket key first: without it every write task
+    // emits a file per bucket (tasks x buckets small files); with it each
+    // bucket is one task -> one file, and the sortBy metadata lets the
+    // join skip its Sort as well
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(8, col("l_orderkey"))
       .write.mode(SaveMode.Overwrite)
       .option("path", s"$base/lineitem")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(liT)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
       .write.mode(SaveMode.Overwrite)
       .option("path", s"$base/orders")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -88,7 +94,10 @@ object LayoutOps {
     val base = scratch("graft_day_part", dir)
     val ev = t(s, dir, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    ev.write.mode(SaveMode.Overwrite).partitionBy("day")
+    // cluster rows by partition value before the write: one task per day
+    // -> one file per partition directory instead of tasks x days
+    ev.repartition(col("day"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day")
       .parquet(base)
     val day0 = ev.agg(min("day")).head().getString(0)
     s.read.parquet(base)
