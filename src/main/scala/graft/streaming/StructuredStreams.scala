@@ -122,4 +122,61 @@ object StructuredStreams {
           }
       }
   }
+
+  /** Per-shard count-min state for [[streamingHeavyHitters]]: a flattened
+    * depth×width sketch, a bounded candidate map, and the processed-token
+    * count. The state is FIXED-SIZE regardless of how long the stream
+    * runs — the property that makes frequency tracking viable in a
+    * never-ending ingest pipeline (exact per-token counts would grow the
+    * state store with the vocabulary).
+    */
+  case class HhState(sketch: Array[Long], cand: Map[String, Long], n: Long)
+  case class HhEstimate(shard: Int, gram: String, est: Long)
+
+  /** Streaming heavy hitters — the stateful counterpart of
+    * `operators.SketchOps.qCmsHeavyHitters`: each shard's token stream
+    * folds into a count-min sketch held in the state store via
+    * `flatMapGroupsWithState`, and every micro-batch re-emits the shard's
+    * current top-k estimates (Update mode). CMS guarantees carry over:
+    * estimates never undercount; the candidate set is bounded at 2k so a
+    * hot token can displace a cold one but state never grows past
+    * depth×width + 2k entries per shard.
+    */
+  def streamingHeavyHitters(tokens: Dataset[(Int, String)], k: Int = 5,
+      depth: Int = 4, width: Int = 256): Dataset[HhEstimate] = {
+    import tokens.sparkSession.implicits._
+    // self-contained closure: everything the state function touches is a
+    // local (referencing object members would drag the whole module into
+    // the serialized task)
+    val p = 2147483647L
+    val cell: (String, Int) => Int = (g, d) => {
+      var h = g.length.toLong
+      var i = 0
+      while (i < g.length) { h = (h * 131 + g.charAt(i)) % p; i += 1 }
+      ((((1103L * (d + 41) + 7) * h + 12289L * (d + 41) + 3) % p) % width).toInt
+    }
+    tokens.groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, HhEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)], state: GroupState[HhState]) =>
+          val st = state.getOption
+            .getOrElse(HhState(new Array[Long](depth * width), Map.empty, 0L))
+          val sketch = st.sketch.clone()
+          var n = st.n
+          val batch = rows.map(_._2).toSeq
+          batch.foreach { g =>
+            var d = 0
+            while (d < depth) { sketch(d * width + cell(g, d)) += 1; d += 1 }
+            n += 1
+          }
+          def est(g: String): Long =
+            (0 until depth).map(d => sketch(d * width + cell(g, d))).min
+          val cand = (st.cand.keySet ++ batch).toSeq
+            .map(g => g -> est(g))
+            .sortBy { case (g, e) => (-e, g) }
+            .take(2 * k)
+          state.update(HhState(sketch, cand.toMap, n))
+          cand.take(k).map { case (g, e) => HhEstimate(shard, g, e) }.iterator
+      }
+  }
 }

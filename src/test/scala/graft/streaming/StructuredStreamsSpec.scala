@@ -125,4 +125,29 @@ class StructuredStreamsSpec extends AnyFunSuite {
     assert(all.exists(r => r.getAs[Long]("user_id") == 1L &&
       r.getAs[Long]("n_events") == 1))
   }
+
+  test("streaming heavy hitters: sketch state accumulates across batches, never undercounts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val hh = StructuredStreams.streamingHeavyHitters(in.toDS(), k = 3)
+    val q = hh.writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    // batch 1: 'hot' x4, 'warm' x2, singles
+    in.addData(Seq("hot", "hot", "hot", "hot", "warm", "warm", "a", "b")
+      .map(0 -> _): _*)
+    q.processAllAvailable()
+    val b1 = spark.table("hh").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(b1("hot") >= 4 && b1("hot") > b1("warm"))
+    // batch 2: more 'warm' — state must carry batch 1's counts forward
+    in.addData(Seq("warm", "warm", "warm").map(0 -> _): _*)
+    q.processAllAvailable()
+    q.stop()
+    val b2 = spark.table("hh").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).max }
+    assert(b2("warm") >= 5, "cross-batch accumulation lost")
+    assert(b2("hot") >= 4)
+  }
 }
