@@ -355,7 +355,46 @@ object Dedup {
       |  FROM documents) sub
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental ingest dedup — the daily-pipeline shape: a new batch
+    * (docs with doc_id % 7 == 3 standing in for "today's crawl") is
+    * deduplicated against the digest index of everything already ingested.
+    * The index is (distinct md5) — 32-char keys, not text — so the join
+    * shuffles the digest surface; at 100 TB the historic index is the
+    * persisted artifact and each day's batch streams against it with a
+    * digest-keyed left-semi/anti join, never re-reading the corpus text.
+    */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(md5(encode(col("text"), "UTF-8")).as("digest")).distinct()
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("source"), md5(encode(col("text"), "UTF-8")).as("digest"))
+    val dup = batch.join(index, Seq("digest"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_batch") - coalesce(col("n_dup"), lit(0L))).as("n_new"))
+      .orderBy("source")
+  }
+
+  val qIncrementalDedupOracle: String =
+    """WITH idx AS (
+      |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 7 <> 3),
+      |batch AS (
+      |  SELECT source, md5(text) AS digest FROM documents WHERE doc_id % 7 = 3),
+      |dup AS (
+      |  SELECT source, count(*) AS n_dup FROM batch
+      |  WHERE digest IN (SELECT digest FROM idx) GROUP BY source)
+      |SELECT b.source, count(*) AS n_batch,
+      |  CAST(coalesce(max(d.n_dup), 0) AS BIGINT) AS n_dup,
+      |  CAST(count(*) - coalesce(max(d.n_dup), 0) AS BIGINT) AS n_new
+      |FROM batch b LEFT JOIN dup d ON b.source = d.source
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),

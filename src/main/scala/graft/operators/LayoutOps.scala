@@ -116,8 +116,40 @@ object LayoutOps {
       |  (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Small-file compaction — the maintenance op every long-lived lake
+    * needs: a fragmented ingest layout (64 shards of a 500-row table,
+    * the "one file per micro-batch" failure mode) is rewritten to a
+    * handful of right-sized files. At 100 TB the driver chooses the
+    * target count from bytes/128MB, not a constant; here the point is the
+    * read-coalesce-rewrite shape plus the identity proof: the readback
+    * aggregate (count, id-sum, char-sum per source) hash-matches plain
+    * SQL over the logical table, so compaction changed bytes-on-disk and
+    * nothing else.
+    */
+  def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val smallDir = scratch("graft_smallfiles", dir)
+    val compactDir = scratch("graft_compacted", dir)
+    t(s, dir, "documents").repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(smallDir)
+    s.read.parquet(smallDir).coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(compactDir)
+    s.read.parquet(compactDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"))
+      .orderBy("source")
+  }
+
+  val qCompactionOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      | CAST(sum(n_chars) AS BIGINT) AS char_sum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),
     QueryDef("q_partition_prune", qPartitionPrune, Some(qPartitionPruneOracle)),
+    QueryDef("q_compaction", qCompaction, Some(qCompactionOracle)),
   )
 }

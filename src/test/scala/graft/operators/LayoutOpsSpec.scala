@@ -37,4 +37,18 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"day treated as a data column, not a partition column:\n$plan")
     assert(df.collect().nonEmpty)
   }
+
+  test("compaction rewrites 64 shards down to <= 4 files, content intact") {
+    import java.nio.file.{Files, Paths}
+    val rows = LayoutOps.qCompaction(spark, dir).collect()
+    def parts(prefix: String): Long = {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = Paths.get(sys.props("java.io.tmpdir"), s"${prefix}_$tag")
+      Files.list(p).filter(_.toString.endsWith(".parquet")).count()
+    }
+    assert(parts("graft_smallfiles") >= 32, "fragmented layout not created")
+    assert(parts("graft_compacted") <= 4, "compaction did not reduce file count")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.Tables.t(spark, dir, "documents").count())
+  }
 }
