@@ -26,8 +26,8 @@ object Similarity {
     * separate so they can be precomputed per row (once) instead of per
     * candidate pair.
     */
-  private val dotExpr = "vec_dot(qv, embedding)"
-  private val normExpr = "vec_norm(embedding)"
+  private[operators] val dotExpr = "vec_dot(qv, embedding)"
+  private[operators] val normExpr = "vec_norm(embedding)"
 
   /** Brute-force cosine top-10 for each of 3 query vectors (vec_id 0..2)
     * against the rest of the corpus. The query side is broadcast (map-side
@@ -285,7 +285,7 @@ object Similarity {
     * left-to-right double accumulation exactly, so literal-side arithmetic
     * is bit-identical to the expression path (and the DuckDB oracle).
     */
-  private def seedCentroids(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
+  private[operators] def seedCentroids(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
     e.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding"))
       .collect().toSeq
@@ -304,7 +304,7 @@ object Similarity {
     * nc = -cent_id desc ⇒ smallest cent_id), matching the oracle's
     * `ORDER BY cos DESC, cent_id` tie-break. Needs `embedding`, `nrm`.
     */
-  private def centScores(cents: Seq[(Long, Seq[Float], Double)]): Column =
+  private[operators] def centScores(cents: Seq[(Long, Seq[Float], Double)]): Column =
     array(cents.map { case (id, cs, cnrm) =>
       struct(
         call_function("vec_dot", col("embedding"), typedLit(cs))

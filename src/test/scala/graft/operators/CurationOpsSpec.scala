@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Curation operators: semantic-dedup accounting, DSIR weight direction,
+  * cross-entropy scoring, and containment bounds.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("semdedup partitions every vector and keeps+removes add up") {
+    val rows = CurationOps.qSemDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.t(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total, "cells must cover all vectors")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"cell ${r.getLong(0)}: kept + removed != occupancy")
+      assert(r.getLong(3) >= 1, "a nonempty cell keeps at least one representative")
+    }
+  }
+
+  test("importance weights favor the target language") {
+    val rows = CurationOps.qImportanceWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.contains("en"))
+    val docTotal = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.values.map(_._1).sum == docTotal)
+    // the target split must score higher on its own likelihood ratio than
+    // the weighted rest: per-doc average weight, en vs non-en
+    val (enN, _, enSum) = rows("en")
+    val others = rows.view.filterKeys(_ != "en").values
+    val othersAvg = others.map(_._3).sum.toDouble / others.map(_._1).sum
+    assert(enSum.toDouble / enN > othersAvg,
+      s"en avg weight ${enSum.toDouble / enN} not above rest $othersAvg")
+  }
+
+  test("unigram cross-entropy covers all docs with positive scores") {
+    val rows = CurationOps.qUnigramCe(spark, dir).collect()
+    val docTotal = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == docTotal)
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0, s"${r.getString(0)}: CE must be positive")
+      assert(r.getLong(2) <= r.getLong(1), "flagged docs bounded by doc count")
+    }
+  }
+
+  test("containment scores are asymmetric-Jaccard bounded and eval-keyed") {
+    val rows = CurationOps.qContainment(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, "left side must be an eval doc")
+      assert(r.getLong(1) % 10 != 0, "right side must be a train doc")
+      val c = r.getDouble(2)
+      assert(c >= 0.3 && c <= 1.0, s"containment $c outside [0.3, 1]")
+    }
+  }
+}
