@@ -147,9 +147,75 @@ object LayoutOps {
       | CAST(sum(n_chars) AS BIGINT) AS char_sum
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // Z-order geometry: 8 bits per dimension interleaved into a 16-bit
+  // z-value, split into 32 static z-ranges ("files").
+  private val ZBits = 8
+  private val ZFiles = 32
+  private val ZSpace = 1L << (2 * ZBits) // 65536 z-values
+
+  /** Interleave the low [[ZBits]] bits of `xb`/`yb` (x in odd positions). */
+  private def zSpark(xb: String, yb: String): String =
+    (0 until ZBits).map(i =>
+      s"(shiftleft((shiftright($xb, $i) & 1), ${2 * i + 1})" +
+        s" + shiftleft((shiftright($yb, $i) & 1), ${2 * i}))").mkString(" + ")
+
+  private def zDuck(xb: String, yb: String): String =
+    (0 until ZBits).map(i =>
+      s"((($xb >> $i) & 1) << ${2 * i + 1}) + ((($yb >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
+  /** Z-order (Morton) clustering of lineitem on (l_partkey, l_suppkey) —
+    * the multi-dimensional layout technique behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`: interleaving the bucketed bits of two columns
+    * makes rows that are close in EITHER dimension land in the same file,
+    * so a range predicate on either column prunes most files by min/max
+    * stats (a linear sort clusters only its leading column). Output: per
+    * z-range file, the row count and both columns' min/max extents — the
+    * stats a format's data-skipping index would persist, hash-checked.
+    *
+    * Scale shape: bucketing + bit interleave is one narrow all-integer
+    * codegen'd projection (min/max bounds broadcast from a 1-row agg);
+    * file assignment uses STATIC z-ranges — no global sort, no ntile
+    * window — and the final aggregate is 32 groups. At 100 TB the same
+    * projection feeds `repartitionByRange(z)` + sortWithinPartitions for
+    * balanced file sizes; the static-range form keeps the oracle exact.
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("x0"), max("l_partkey").as("x1"),
+      min("l_suppkey").as("y0"), max("l_suppkey").as("y1"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr(s"(l_partkey - x0) * ${1 << ZBits} DIV (x1 - x0 + 1)"))
+      .withColumn("yb", expr(s"(l_suppkey - y0) * ${1 << ZBits} DIV (y1 - y0 + 1)"))
+      .withColumn("zv", expr(zSpark("xb", "yb")))
+      .withColumn("file_id", expr(s"zv DIV ${ZSpace / ZFiles}"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("x_min"), max("l_partkey").as("x_max"),
+        min("l_suppkey").as("y_min"), max("l_suppkey").as("y_max"))
+      .orderBy("file_id")
+  }
+
+  val qZorderLayoutOracle: String =
+    s"""WITH r AS (
+      |  SELECT min(l_partkey) AS x0, max(l_partkey) AS x1,
+      |         min(l_suppkey) AS y0, max(l_suppkey) AS y1 FROM lineitem),
+      |b AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    (l_partkey - x0) * ${1 << ZBits} // (x1 - x0 + 1) AS xb,
+      |    (l_suppkey - y0) * ${1 << ZBits} // (y1 - y0 + 1) AS yb
+      |  FROM lineitem, r),
+      |z AS (SELECT l_partkey, l_suppkey, ${zDuck("xb", "yb")} AS zv FROM b)
+      |SELECT zv // ${ZSpace / ZFiles} AS file_id, count(*) AS n_rows,
+      |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+      |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+      |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),
     QueryDef("q_partition_prune", qPartitionPrune, Some(qPartitionPruneOracle)),
     QueryDef("q_compaction", qCompaction, Some(qCompactionOracle)),
+    QueryDef("q_zorder_layout", qZorderLayout, Some(qZorderLayoutOracle)),
   )
 }

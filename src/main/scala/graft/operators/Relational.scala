@@ -455,7 +455,49 @@ object Relational {
       |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100
       |ORDER BY l_suppkey""".stripMargin
 
+  /** Cohort retention over the event stream: users grouped by first-seen
+    * day, retention measured as distinct users active exactly 1 and 7
+    * days later. The classic warehouse funnel metric (the reference's
+    * users run exactly this class of SQL through the `sql` job class).
+    *
+    * Scale shape: one user-keyed aggregate (cohort day), one distinct over
+    * (user, day) — both map-side-combining — then a user-keyed equi-join
+    * that co-partitions with the cohort aggregate's output (AQE reuses the
+    * exchange), and a final day-keyed aggregate over the tiny
+    * (users × active-days) surface. No event×event pairing anywhere.
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct(when(col("d") === date_add(col("cohort_day"), 1),
+          col("user_id"))).as("d1_retained"),
+        countDistinct(when(col("d") === date_add(col("cohort_day"), 7),
+          col("user_id"))).as("d7_retained"))
+      // dates serialize engine-specifically (DATE vs TIMESTAMP repr in
+      // the hash-compare); format to the canonical string like
+      // qEventsHourly does
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("n_users"), col("d1_retained"), col("d7_retained"))
+      .orderBy("cohort_day")
+  }
+
+  val qRetentionOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, d FROM e)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  count(DISTINCT a.user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN d = cohort_day + 1 THEN a.user_id END) AS d1_retained,
+      |  count(DISTINCT CASE WHEN d = cohort_day + 7 THEN a.user_id END) AS d7_retained
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_retention", qRetention, Some(qRetentionOracle)),
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Oracle)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Oracle)),

@@ -25,10 +25,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // (the IVF family — q_ivf_assign/q_ivf_search/q_kmeans_step — needs no
   // entry here: centroids are driver-held literals, so assignment is a
   // narrow projection with no join at all)
-  // q_vocab_coverage broadcasts its single-row corpus total the same way
+  // q_vocab_coverage broadcasts its single-row corpus total the same way,
+  // as does q_zorder_layout's min/max bounds row
   private val crossJoinByDesign =
     Set("q_cosine_topk", "q_above_avg", "q_mixture_weights",
-      "q_vocab_coverage")
+      "q_vocab_coverage", "q_zorder_layout")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

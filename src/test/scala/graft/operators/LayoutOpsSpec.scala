@@ -51,4 +51,24 @@ class LayoutOpsSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(1)).sum
     assert(total == graft.Tables.t(spark, dir, "documents").count())
   }
+
+  test("z-order files bound BOTH dimensions' extents, not just the leading one") {
+    import org.apache.spark.sql.functions.{max => smax, min => smin, col}
+    val rows = LayoutOps.qZorderLayout(spark, dir).collect()
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    val b = li.agg(smin(col("l_partkey")), smax(col("l_partkey")),
+      smin(col("l_suppkey")), smax(col("l_suppkey"))).head()
+    val (xRange, yRange) = (b.getLong(1) - b.getLong(0) + 1, b.getLong(3) - b.getLong(2) + 1)
+    assert(rows.map(_.getLong(1)).sum == li.count(), "files must cover all rows")
+    // a 2048-value z-range fixes the top 3 x-bits and top 2 y-bits, so a
+    // file's extent is at most 1/8 (x) / 1/4 (y) of the global range plus
+    // one bucket width of rounding slack
+    val xBound = xRange / 8 + xRange / 256 + 2
+    val yBound = yRange / 4 + yRange / 256 + 2
+    rows.foreach { r =>
+      val (xe, ye) = (r.getLong(3) - r.getLong(2) + 1, r.getLong(5) - r.getLong(4) + 1)
+      assert(xe <= xBound, s"file ${r.getLong(0)}: x extent $xe > $xBound")
+      assert(ye <= yBound, s"file ${r.getLong(0)}: y extent $ye > $yBound")
+    }
+  }
 }
