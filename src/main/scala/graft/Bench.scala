@@ -10,16 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: run EVERY query once at sf0.001 so whole-stage
-    // codegen compiles (identical plan shapes -> generated-code cache
-    // hits) and JIT warms; the timed runs then measure data processing,
-    // not Janino compilation (~1-3s per fresh plan shape)
+    // two-level untimed warmup, so the timed runs measure data
+    // processing, not compilation:
+    //  1. a full pass over every query at sf0.001 — drives JIT/C2 deep
+    //     enough that heavy multi-stage queries (the iterative
+    //     connected-components loop especially) hit steady-state;
+    //  2. one more run of the SAME query immediately before its timed
+    //     run — whole-stage codegen caches at most 100 generated classes,
+    //     so with this many queries the pass-1 classes are long evicted
+    //     by the time a query's timed slot arrives; re-running it with
+    //     nothing in between guarantees the timed run hits the cache
+    //     instead of paying a fresh Janino compile (~1-7s for the
+    //     widest plans).
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

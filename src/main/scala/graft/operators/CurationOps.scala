@@ -134,11 +134,17 @@ object CurationOps {
     * runs at trillions of tokens.
     */
   def qImportanceWeights(s: SparkSession, dir: String): DataFrame = {
-    val occ = wordOcc(t(s, dir, "documents"))
+    // ONE heavy stage owns the corpus: explode + hash + (doc, lang,
+    // bucket) pre-aggregate. Map-side combine collapses each document's
+    // word occurrences to ≤128 bucket rows before anything shuffles, and
+    // every downstream stage (bucket stats, scoring) works on that
+    // doc×bucket surface instead of re-exploding the corpus.
+    val docB = wordOcc(t(s, dir, "documents"))
       .withColumn("b", expr(Dedup.shingleHashScalar("w")) % NumBuckets)
-    val bstats = occ.groupBy("b").agg(
-      count(lit(1)).as("r_cnt"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+    val bstats = docB.groupBy("b").agg(
+      sum("cnt").as("r_cnt"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("t_cnt"))
     // corpus totals via an unpartitioned window over the ≤128-row bucket
     // frame — a driver-sized frame, so the single-partition window is free
     val all = Window.partitionBy()
@@ -148,9 +154,9 @@ object CurationOps {
       .select(col("b"),
         (log((col("t_cnt") + lit(1.0)) / (col("t_tot") + lit(NumBuckets.toDouble))) -
          log((col("r_cnt") + lit(1.0)) / (col("r_tot") + lit(NumBuckets.toDouble)))).as("lr"))
-    val docW = occ.join(broadcast(lrTab), Seq("b"))
+    val docW = docB.join(broadcast(lrTab), Seq("b"))
       .groupBy("doc_id", "lang")
-      .agg(round(sum("lr") * 10000).cast("long").as("w4"))
+      .agg(round(sum(col("lr") * col("cnt")) * 10000).cast("long").as("w4"))
     docW.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("w4") > 0, 1L).otherwise(0L)).as("n_selected"),
@@ -159,21 +165,22 @@ object CurationOps {
   }
 
   val qImportanceWeightsOracle: String =
-    s"""WITH ob AS (
-      |  SELECT doc_id, lang, ${Dedup.shingleHashScalar("w")} % $NumBuckets AS b
-      |  FROM $duckOcc),
+    s"""WITH db AS (
+      |  SELECT doc_id, lang, ${Dedup.shingleHashScalar("w")} % $NumBuckets AS b,
+      |    count(*) AS cnt
+      |  FROM $duckOcc GROUP BY 1, 2, 3),
       |bs AS (
-      |  SELECT b, count(*) AS r_cnt,
-      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
-      |  FROM ob GROUP BY b),
+      |  SELECT b, sum(cnt) AS r_cnt,
+      |    sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_cnt
+      |  FROM db GROUP BY b),
       |tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM bs),
       |lr AS (
       |  SELECT b, ln((t_cnt + 1.0) / (t_tot + $NumBuckets.0))
       |          - ln((r_cnt + 1.0) / (r_tot + $NumBuckets.0)) AS lr
       |  FROM bs, tot),
       |dw AS (
-      |  SELECT doc_id, lang, CAST(round(sum(lr) * 10000) AS BIGINT) AS w4
-      |  FROM ob JOIN lr USING (b) GROUP BY doc_id, lang)
+      |  SELECT doc_id, lang, CAST(round(sum(lr * cnt) * 10000) AS BIGINT) AS w4
+      |  FROM db JOIN lr USING (b) GROUP BY doc_id, lang)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN w4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
       |  CAST(sum(w4) AS BIGINT) AS sum_w4

@@ -522,6 +522,50 @@ object Similarity {
       | END AS q_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** One distributed power-iteration step toward the embedding corpus's
+    * top principal direction: with v₀ = 1 (uniform), compute
+    * s_i = Σ_d x_{id} per vector and y = Σ_i s_i·x_i per dimension —
+    * i.e. y = (XᵀX)·v₀ without ever materializing XᵀX — then normalize.
+    * The PCA/spectral analogue of [[qKmeansStep]]: the Lloyd/power loop
+    * both reduce to "one narrow pass + a model-sized aggregate per
+    * round", which is why they scale to any corpus.
+    *
+    * All accumulation is fixed-point: each element rounds to round(x·10⁴)
+    * BEFORE any sum, so the per-vector fold and the per-dimension sums
+    * are exact integer arithmetic — order-independent and bit-identical
+    * in the oracle; sqrt/divide touch only the final 64-row vector.
+    * |y_d| ≤ n·d·(10⁴·max|x|)² keeps longs safe through ~10⁹ vectors;
+    * a production variant drops the rounding and accepts float drift.
+    *
+    * Scale shape: one posexplode (narrow), a vec-keyed window sum (the
+    * single data-sized shuffle), a 64-group map-side-combined aggregate.
+    * No vector ever pairs with another vector.
+    */
+  def qPowerIteration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x4 = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("x").cast("double") * 10000).cast("long").as("x4"))
+    val withS = x4.withColumn("s", sum("x4").over(Window.partitionBy("vec_id")))
+    val y = withS.groupBy("dim").agg(sum(col("s") * col("x4")).as("y"))
+    y.withColumn("nrm",
+        sqrt(sum(col("y").cast("double") * col("y").cast("double"))
+          .over(Window.partitionBy())))
+      .select(col("dim"), col("y"), round(col("y") / col("nrm"), 4).as("v1"))
+      .orderBy("dim")
+  }
+
+  val qPowerIterationOracle: String =
+    """WITH x4 AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+      |    CAST(round(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS x4
+      |  FROM embeddings),
+      |ws AS (SELECT dim, x4, sum(x4) OVER (PARTITION BY vec_id) AS s FROM x4),
+      |y AS (SELECT dim, CAST(sum(s * x4) AS BIGINT) AS y FROM ws GROUP BY dim)
+      |SELECT dim, y, round(y / sqrt(sum(y::DOUBLE * y::DOUBLE) OVER ()), 4) AS v1
+      |FROM y ORDER BY dim""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
     QueryDef("q_embedding_near_dup", (s, d) => qEmbeddingNearDup(s, d),
@@ -531,6 +575,7 @@ object Similarity {
     QueryDef("q_ivf_assign", qIvfAssign, Some(qIvfAssignOracle)),
     QueryDef("q_ivf_search", (s, d) => qIvfSearch(s, d), Some(qIvfSearchOracle)),
     QueryDef("q_kmeans_step", qKmeansStep, Some(qKmeansStepOracle)),
+    QueryDef("q_power_iteration", qPowerIteration, Some(qPowerIterationOracle)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
   )
 }

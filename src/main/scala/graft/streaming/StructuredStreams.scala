@@ -66,6 +66,24 @@ object StructuredStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Stream-static enrichment: streaming events join a STATIC dimension
+    * frame (user → segment) before a watermarked windowed aggregate. The
+    * static side is re-resolved every micro-batch, so a slowly-changing
+    * dimension picks up updates without restarting the query, and it
+    * broadcasts while it fits — the stream never shuffles for the join,
+    * only for the windowed agg. The streaming counterpart of the batch
+    * star-join (q5) shape.
+    */
+  def enrichedSegmentStats(events: DataFrame, dim: DataFrame,
+      watermark: String, windowLength: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), windowLength), col("segment"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n_events"), col("value_sum"))
+
   /** Streaming deduplication bounded by the watermark: state for an id is
     * held only while late duplicates can still arrive, so the state store
     * cannot grow without bound (the streaming counterpart of the batch

@@ -37,4 +37,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(annPairs.nonEmpty)
     assert(annPairs.subsetOf(exact)) // approximate recall, exact precision
   }
+
+  test("power-iteration step returns a unit vector matching a driver-side fold") {
+    val rows = Similarity.qPowerIteration(spark, dir).collect()
+    val dims = rows.map(_.getLong(0))
+    assert(dims.head == 1 && dims.length == dims.distinct.length)
+    // normalized output has unit L2 norm (up to the 4dp rounding)
+    val norm = math.sqrt(rows.map(r => r.getDouble(2) * r.getDouble(2)).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"|v1| = $norm")
+    // exact integer check: recompute y = (X^T X) v0 with the same
+    // fixed-point fold on the driver
+    val vecs = graft.Tables.t(spark, dir, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val expected = Array.ofDim[Long](dims.length)
+    vecs.foreach { v =>
+      val x4 = v.map(x => math.round(x.toDouble * 10000)).toArray
+      val s = x4.sum
+      var d = 0
+      while (d < expected.length) { expected(d) += s * x4(d); d += 1 }
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0).toInt - 1),
+        s"dim ${r.getLong(0)}: y mismatch")
+    }
+  }
 }

@@ -77,6 +77,32 @@ class StructuredStreamsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("stream-static enrichment joins the dim per batch and aggregates by segment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val dim = Seq((1L, "free"), (2L, "pro"), (3L, "pro"))
+      .toDF("user_id", "segment")
+    val agg = StructuredStreams.enrichedSegmentStats(events, dim, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("seg_agg")
+      .outputMode("complete").start()
+    in.addData(
+      (Timestamp.valueOf("2024-08-07 10:05:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-08-07 10:15:00"), 2L, 2.0),
+      (Timestamp.valueOf("2024-08-07 10:25:00"), 3L, 3.0),
+      (Timestamp.valueOf("2024-08-07 10:35:00"), 4L, 100.0)) // no dim row: dropped
+    q.processAllAvailable()
+    val rows = spark.table("seg_agg").orderBy("segment").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("segment") == "free")
+    assert(rows(0).getAs[Long]("n_events") == 1)
+    assert(rows(1).getAs[String]("segment") == "pro")
+    assert(rows(1).getAs[Long]("n_events") == 2)
+    assert(rows(1).getAs[Double]("value_sum") == 5.0)
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
