@@ -246,9 +246,14 @@ object CurationOps {
     * signal), which this operator inherits from AQE skew splitting here.
     */
   def qContainment(s: SparkSession, dir: String): DataFrame = {
+    // persisted: three consumers (eval side, train side, eval sizes) would
+    // otherwise each re-run the split+shingle explode over the corpus —
+    // the same shared-projection idiom as the LSH signature table; the
+    // caller owns the cache lifetime (Bench/Verify clear between queries)
     val grams = t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
+      .persist()
     val evalG = grams.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("gram"))
     val trainG = grams.filter(col("doc_id") % 10 =!= 0)

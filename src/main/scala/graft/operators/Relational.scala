@@ -496,8 +496,56 @@ object Relational {
       |FROM a JOIN c USING (user_id)
       |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
 
+  /** Strict ordered conversion funnel with a bounded window: first view →
+    * first click within 3 days of it → first purchase within 3 days of
+    * that click. Each stage is a user-keyed min-aggregate over the
+    * previous stage's survivors, so the funnel is a chain of
+    * co-partitioned equi-joins — the planner reuses the user_id exchange
+    * across stages, and nothing ever pairs events with events.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 3 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 3 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count("t_view").as("n_view"),
+        count("t_click").as("n_click_3d"),
+        count("t_purchase").as("n_purchase_3d"))
+  }
+
+  val qFunnelOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(ts) AS t_click
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ts >= t_view
+      |    AND ts <= t_view + INTERVAL 3 DAY
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(ts) AS t_purchase
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts >= t_click
+      |    AND ts <= t_click + INTERVAL 3 DAY
+      |  GROUP BY e.user_id)
+      |SELECT count(t_view) AS n_view, count(t_click) AS n_click_3d,
+      |  count(t_purchase) AS n_purchase_3d
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_retention", qRetention, Some(qRetentionOracle)),
+    QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Oracle)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Oracle)),

@@ -566,8 +566,49 @@ object Similarity {
       |SELECT dim, y, round(y / sqrt(sum(y::DOUBLE * y::DOUBLE) OVER ()), 4) AS v1
       |FROM y ORDER BY dim""".stripMargin
 
+  /** Per-dimension feature standardization stats: mean and sample stddev
+    * of every embedding dimension (rounded 4dp), plus how many vectors
+    * sit beyond |z| > 3 in that dimension — the z-score normalization /
+    * outlier screen that precedes training on a feature column. Outliers
+    * are counted against the ROUNDED moments on both engines, so the
+    * boundary is deterministic.
+    *
+    * Scale shape: one posexplode feeding a 64-group aggregate (map-side
+    * combined), the 64-row moment table broadcast back over a second
+    * narrow pass. The element surface shuffles only as 64 partial-agg
+    * rows per task.
+    */
+  def qFeatureNorm(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+    val moments = x.groupBy("dim").agg(
+      round(avg("x"), 4).as("mean4"), round(stddev_samp("x"), 4).as("std4"))
+    x.join(broadcast(moments), Seq("dim"))
+      .groupBy("dim").agg(
+        first("mean4").as("mean4"), first("std4").as("std4"),
+        sum(when(abs(col("x") - col("mean4")) / col("std4") > 3.0, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("dim")
+  }
+
+  val qFeatureNormOracle: String =
+    """WITH x AS (
+      |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+      |    unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT dim, round(avg(x), 4) AS mean4, round(stddev_samp(x), 4) AS std4
+      |  FROM x GROUP BY dim)
+      |SELECT x.dim, m.mean4, m.std4,
+      |  CAST(sum(CASE WHEN abs(x - mean4) / std4 > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM x JOIN m ON m.dim = x.dim
+      |GROUP BY x.dim, m.mean4, m.std4 ORDER BY x.dim""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
+    QueryDef("q_feature_norm", qFeatureNorm, Some(qFeatureNormOracle)),
     QueryDef("q_embedding_near_dup", (s, d) => qEmbeddingNearDup(s, d),
       Some(qEmbeddingNearDupOracle)),
     QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),

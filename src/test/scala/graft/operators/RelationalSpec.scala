@@ -30,4 +30,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(days.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
     assert(days.sorted.sameElements(days))
   }
+
+  test("funnel stages shrink monotonically and start from the view-user count") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val r = Relational.qFunnel(spark, dir).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: $v -> $c -> $p")
+    assert(p >= 0 && v > 0)
+    val viewUsers = graft.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .agg(countDistinct("user_id")).head().getLong(0)
+    assert(v == viewUsers)
+  }
 }

@@ -61,4 +61,17 @@ class SimilaritySpec extends AnyFunSuite {
         s"dim ${r.getLong(0)}: y mismatch")
     }
   }
+
+  test("feature-norm covers every dimension with sane moments") {
+    val rows = Similarity.qFeatureNorm(spark, dir).collect()
+    val d = graft.Tables.t(spark, dir, "embeddings")
+      .selectExpr("size(embedding)").head().getInt(0)
+    assert(rows.length == d, s"expected $d dims, got ${rows.length}")
+    val n = graft.Tables.t(spark, dir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0, s"dim ${r.getLong(0)}: std must be positive")
+      // |z|>3 holds for well under half of any sample (Chebyshev: <= n/9)
+      assert(r.getLong(3) <= n / 9 + 1, s"dim ${r.getLong(0)}: too many outliers")
+    }
+  }
 }
