@@ -22,6 +22,11 @@ object Bench {
     //     nothing in between guarantees the timed run hits the cache
     //     instead of paying a fresh Janino compile (~1-7s for the
     //     widest plans).
+    // Residual known cost: the re-warm runs the sf0.001 plan, so a code
+    // path that only materializes at sf scale (e.g. an AQE skew-split
+    // variant that never triggers on the tiny warm input) still compiles
+    // inside its timed window — the warmup excludes the bulk of codegen,
+    // not all of it, for exactly the heaviest queries.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
@@ -40,10 +45,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3 decimals: bench noise is >>1ms and the shorter map keeps more
+    // per-query entries inside the driver's bounded tail capture
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f"${results.map(_._2).sum}%.3f"
+    // canonical full line first (complete in local captures)...
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ...and a compact summary LAST: the driver snapshots only the tail
+    // of the run output, so with this many queries the full line loses
+    // its head to truncation — the line the gates need most must be the
+    // final thing printed (tools/compare_bench.py falls back to it)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for embedding math over `array<float>`
   * columns — the hot path of similarity search. A `zip_with`/`aggregate`
@@ -109,9 +110,79 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass 16-bit SimHash over a space-delimited ASCII text column:
+  * per token th(w) = len(w)*97 + ascii(first)*13 + ascii(last); bit b of
+  * the signature is set iff the +1/-1 majority vote of (th >> b) & 1 over
+  * all tokens is positive.
+  *
+  * One per-row compiled byte scan — no split() array, no exploded rows, no
+  * shuffle, no higher-order-function lambdas. Split semantics match
+  * `split(text, ' ')` with unlimited limit (consecutive delimiters yield
+  * empty tokens, th = 0). Byte-level `first`/`last` equals ascii() for the
+  * ASCII corpus this operates on (same caveat the byte-histogram op
+  * documents).
+  */
+object SimHashHelper {
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](16)
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val len = i - start
+        val first = if (len > 0) bytes(start) & 0xff else 0
+        val last = if (len > 0) bytes(i - 1) & 0xff else 0
+        val th = len.toLong * 97 + first * 13 + last
+        var b = 0
+        while (b < 16) {
+          if (((th >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash16 requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashHelper.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // a static call per ROW (the StaticInvoke pattern) keeps the operator
+    // inside whole-stage codegen; the token loop lives in one JIT-friendly
+    // method instead of inlined generated Java
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashHelper.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
-  /** Register `vec_dot` / `vec_norm` as SQL functions on the session, so
-    * `expr("vec_dot(a, b)")` resolves to the codegen'd expressions.
+  /** Register `vec_dot` / `vec_norm` / `simhash16` as SQL functions on the
+    * session, so `expr("vec_dot(a, b)")` resolves to the codegen'd
+    * expressions.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -119,6 +190,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_norm",
       (exprs: Seq[Expression]) => VecNorm(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("simhash16",
+      (exprs: Seq[Expression]) => SimHash16(exprs.head), "built-in")
   }
 }
 
@@ -139,5 +212,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
   }
 }

@@ -196,16 +196,19 @@ object CurationOps {
     * and an order-independent fixed-point CE sum.
     *
     * Scale shape: the vocab aggregate map-side-combines to the distinct
-    * word surface (language-bounded, NOT corpus-bounded); scoring re-joins
-    * occurrences to the vocab on the word key — broadcastable while vocab
-    * fits, degrading to a key-equality shuffle join that never pairs docs.
+    * word surface — which on typo-heavy web text scales with the corpus,
+    * NOT with the language, so the vocab join is deliberately unhinted:
+    * AQE broadcasts it while it measures small and falls back to a
+    * key-equality shuffle join (which never pairs docs) once it doesn't.
+    * A `broadcast()` hint would instead be mandatory — Spark never
+    * degrades a hinted side — and fail the job at the 100 TB design point.
     */
   def qUnigramCe(s: SparkSession, dir: String): DataFrame = {
     val occ = wordOcc(t(s, dir, "documents"))
     val vocab = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("n", sum("cnt").over(Window.partitionBy()))
       .select(col("w"), log(col("cnt") / col("n")).as("logp"))
-    val docCe = occ.join(broadcast(vocab), Seq("w"))
+    val docCe = occ.join(vocab, Seq("w"))
       .groupBy("doc_id", "lang")
       .agg(round((-sum("logp") / count(lit(1))) * 10000).cast("long").as("ce4"))
     docCe.groupBy("lang").agg(
@@ -240,43 +243,76 @@ object CurationOps {
     *
     * Scale shape: candidate pairs materialize ONLY through shared grams
     * (gram-keyed equi-join; pair surface = Σ_g df_eval·df_train, bounded
-    * by gram document frequency — never eval×train). The eval side is the
-    * small side by construction and broadcasts; production pipelines cap
-    * hot-gram df before the join (the stopword grams carry no attribution
-    * signal), which this operator inherits from AQE skew splitting here.
+    * by gram document frequency — never eval×train). Hot grams are capped
+    * BEFORE the join: any gram appearing in more than [[GramDfCap]]
+    * documents is dropped from both join sides (the production
+    * decontamination idiom — stopword grams carry no attribution signal
+    * and are exactly the df² blowup terms). Eval-set sizes `n_a` are
+    * computed on the UNCAPPED gram sets so the containment denominator
+    * stays true; capping can only lower a score, never inflate it. Both
+    * joins are unhinted — eval docs scale with the corpus, so AQE picks
+    * broadcast vs shuffle by measured size instead of a mandatory
+    * `broadcast()` hint that would OOM the driver at 100 TB.
     */
-  def qContainment(s: SparkSession, dir: String): DataFrame = {
-    // persisted: three consumers (eval side, train side, eval sizes) would
-    // otherwise each re-run the split+shingle explode over the corpus —
-    // the same shared-projection idiom as the LSH signature table; the
-    // caller owns the cache lifetime (Bench/Verify clear between queries)
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    containment(s, dir)._1
+
+  /** [[qContainment]] plus a release handle for the persisted gram table —
+    * the loan-pattern callers (specs, pipelines embedding this op) use to
+    * scope the cache without nuking the whole session's cache
+    * (Bench/Verify/RunOne still clearCache between queries).
+    */
+  def containment(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    // the df cap is a corpus FRACTION (df > 5% of docs ≈ stopword gram) so
+    // the stopword definition is scale-invariant; count(*) on parquet is a
+    // footer-metadata scalar, not a data scan
+    val nDocs = t(s, dir, "documents").count()
+    val dfCap = math.max(1L, nDocs / 20)
+    // persisted: four consumers (df cap, eval side, train side, eval
+    // sizes) would otherwise each re-run the split+shingle explode over
+    // the corpus — the same shared-projection idiom as the LSH signature
+    // table; the caller owns the cache lifetime (Bench/Verify clear
+    // between queries, specs clear after collect)
     val grams = t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
       .persist()
+    val keep = grams.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= dfCap).select("gram")
     val evalG = grams.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("gram"))
     val trainG = grams.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("train_id"), col("gram"))
+    // n_a on the UNCAPPED eval grams: the denominator stays true, so a
+    // capped score is a lower bound and the ≥ threshold never over-reports
     val sizes = evalG.groupBy("eval_id").agg(count(lit(1)).as("n_a"))
-    broadcast(evalG).join(trainG, Seq("gram"))
+    val result = evalG.join(keep, Seq("gram"), "left_semi")
+      .join(trainG.join(keep, Seq("gram"), "left_semi"), Seq("gram"))
       .groupBy("eval_id", "train_id").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes), Seq("eval_id"))
+      .join(sizes, Seq("eval_id"))
       .select(col("eval_id"), col("train_id"),
         round(col("inter") / col("n_a").cast("double"), 4).as("containment"))
       .filter(col("containment") >= 0.3)
       .orderBy("eval_id", "train_id")
+    (result, () => { grams.unpersist(); () })
   }
 
   val qContainmentOracle: String =
     s"""WITH g AS (
       |  SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram FROM ${Dedup.duckWords}),
+      |cap AS (SELECT greatest(1, count(*) // 20) AS dfcap FROM documents),
+      |keep AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) d, cap
+      |  WHERE df <= dfcap),
       |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 10 = 0),
       |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 <> 0),
       |sz AS (SELECT eval_id, count(*) AS n_a FROM e GROUP BY eval_id),
       |inter AS (
       |  SELECT eval_id, train_id, count(*) AS i
-      |  FROM e JOIN tr USING (gram) GROUP BY eval_id, train_id)
+      |  FROM (SELECT eval_id, gram FROM e JOIN keep USING (gram)) ek
+      |  JOIN (SELECT train_id, gram FROM tr JOIN keep USING (gram)) tk
+      |  USING (gram) GROUP BY eval_id, train_id)
       |SELECT inter.eval_id, train_id, round(i / n_a::DOUBLE, 4) AS containment
       |FROM inter JOIN sz ON sz.eval_id = inter.eval_id
       |WHERE round(i / n_a::DOUBLE, 4) >= 0.3

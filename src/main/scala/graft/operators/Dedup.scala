@@ -23,12 +23,6 @@ import graft.Tables.t
   */
 object Dedup {
 
-  /** Deterministic token hash used across dedup ops:
-    * th(w) = len(w)*97 + ascii(first)*13 + ascii(last).
-    */
-  private val thSpark = "w -> CAST(length(w) * 97 + ascii(substring(w, 1, 1)) * 13 + ascii(substring(w, length(w), 1)) AS BIGINT)"
-  private val thDuck = "w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)"
-
   /** Exact deduplication: one representative (min doc_id) per distinct text.
     * Single shuffle keyed on the text; at scale, key on a 128-bit content
     * digest instead of the full text to shrink shuffle width.
@@ -328,19 +322,20 @@ object Dedup {
       |ORDER BY doc_a""".stripMargin
 
   /** SimHash (16-bit) per document: per-bit majority vote over token
-    * hashes. Pure per-row compute (narrow); duplicate clusters are found
-    * by exact grouping on the signature — a single small shuffle.
+    * hashes, as ONE narrow per-row pass through the native
+    * [[graft.functions.SimHash16]] expression (a single compiled byte
+    * scan, no split array, no shuffle). Two rejected formulations, both
+    * measured slower at sf0.1: nested `aggregate(sequence(0,15), ...)`
+    * higher-order functions (~16 × tokens interpreted lambda calls per
+    * doc, HOFs never enter whole-stage codegen), and explode + 16
+    * conditional sums (codegen'd but pays the token-row explode plus a
+    * doc-keyed hash aggregate for what is inherently per-row compute).
     */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), expr(s"transform(split(text, ' '), $thSpark)").as("ths"))
-    // bit b of simhash = 1 iff sum over tokens of (+1 if bit set else -1) > 0
-    val sim = expr(
-      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
-        |  acc + CASE WHEN aggregate(ths, CAST(0 AS BIGINT),
-        |    (v, h) -> v + CASE WHEN CAST(h / CAST(pow(2, b) AS BIGINT) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) > 0
-        |  THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-    d.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    graft.functions.VectorFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
+      .orderBy("doc_id")
   }
 
   val qSimhashOracle: String =

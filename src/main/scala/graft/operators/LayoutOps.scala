@@ -116,22 +116,54 @@ object LayoutOps {
       |  (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Default compacted-file size target. Conf-overridable
+    * (`graft.compaction.targetFileBytes`) so tests can exercise the
+    * byte-derived file count at toy scale factors.
+    */
+  private def targetFileBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.compaction.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+
+  /** ceil(totalBytes / targetBytes), floored at one file. */
+  private[operators] def compactionFileCount(totalBytes: Long, targetBytes: Long): Int =
+    math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+
+  /** Bytes of data files under a directory — a driver-side metadata
+    * listing of ONE layout directory (the maintenance op already owns it),
+    * never a data scan.
+    */
+  private[operators] def dataBytes(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
   /** Small-file compaction — the maintenance op every long-lived lake
     * needs: a fragmented ingest layout (64 shards of a 500-row table,
-    * the "one file per micro-batch" failure mode) is rewritten to a
-    * handful of right-sized files. At 100 TB the driver chooses the
-    * target count from bytes/128MB, not a constant; here the point is the
-    * read-coalesce-rewrite shape plus the identity proof: the readback
-    * aggregate (count, id-sum, char-sum per source) hash-matches plain
-    * SQL over the logical table, so compaction changed bytes-on-disk and
-    * nothing else.
+    * the "one file per micro-batch" failure mode) is rewritten to
+    * right-sized files. The target count is DERIVED FROM BYTES —
+    * ceil(input bytes / 128 MB), exactly what the op does at 100 TB —
+    * not a constant; plus the identity proof: the readback aggregate
+    * (count, id-sum, char-sum per source) hash-matches plain SQL over
+    * the logical table, so compaction changed bytes-on-disk and nothing
+    * else.
+    *
+    * `repartition(n)` (round-robin), not `coalesce(n)`: the scan layer
+    * bin-packs small files into splits of `maxPartitionBytes`, so coalesce
+    * would inherit the READER's packing and silently ignore the derived
+    * count; round-robin guarantees exactly n balanced output files. The
+    * extra exchange re-buffers bytes the rewrite was going to move anyway
+    * — compaction is IO-bound either way.
     */
   def qCompaction(s: SparkSession, dir: String): DataFrame = {
     val smallDir = scratch("graft_smallfiles", dir)
     val compactDir = scratch("graft_compacted", dir)
     t(s, dir, "documents").repartition(64)
       .write.mode(SaveMode.Overwrite).parquet(smallDir)
-    s.read.parquet(smallDir).coalesce(4)
+    val nFiles = compactionFileCount(dataBytes(s, smallDir), targetFileBytes(s))
+    s.read.parquet(smallDir).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(compactDir)
     s.read.parquet(compactDir)
       .groupBy("source")

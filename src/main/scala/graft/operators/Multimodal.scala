@@ -11,13 +11,16 @@ import graft.Tables.t
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition.
   *
-  * The container has no image/audio codecs, so DECODE IS A DETERMINISTIC
-  * STUB (clearly marked below): it synthesizes payload bytes from the
-  * documents table and "decodes" them by parsing a fake fixed-layout
-  * header. Everything around the stub — the binary column, the metadata
-  * struct, the mapPartitions batch shape, partition-local feature
-  * extraction, frame sampling — is the real Spark plumbing a production
-  * decode (JNI/codec or Pandas-UDF equivalent) would drop into.
+  * This environment has no image/audio codec libraries, so assets are
+  * SYNTHETIC: payload bytes are generated from the documents table as a
+  * real binary container — a 16-byte magic/width/height/n_frames header
+  * physically prepended to the body bytes. The decode, however, is real
+  * executor-side byte work: it validates the magic and parses the header
+  * fields out of the payload bytes (not out of the metadata struct), then
+  * folds a checksum over the body. The binary column, metadata struct,
+  * mapPartitions batch shape, partition-local feature extraction, and
+  * frame sampling are exactly the Spark plumbing a production codec
+  * (JNI or Arrow-batched UDF) would drop into.
   *
   * At 100 TB: all transforms here are narrow (no shuffle); binary payloads
   * stay columnar in Tungsten rows; the only aggregation shuffles tiny
@@ -25,51 +28,78 @@ import graft.Tables.t
   */
 object Multimodal {
 
+  /** The 16-byte container header every synthetic payload starts with:
+    * magic "GRFT" then width/height/n_frames as big-endian int32. This is
+    * the byte-level contract [[qDecodeStats]] parses — the decode reads
+    * these fields out of the payload BYTES, not out of the metadata
+    * struct.
+    */
+  val HeaderBytes = 16
+  private val Magic = "GRFT"
+
+  /** int32 → 4 big-endian bytes, codegen-side (hex/lpad/unhex are all
+    * codegen'd string ops; no UDF).
+    */
+  private def i32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+
   /** Synthesize a deterministic binary "asset" per document: a 16-byte
     * header (magic, width, height, n_frames — all derived from doc fields)
-    * followed by a payload derived from the text bytes. Stands in for real
-    * image/video blobs; layout is the contract the fake decoder parses.
+    * physically prepended to a body derived from the text bytes. Stands in
+    * for real image/video blobs; the header layout is the contract the
+    * decoder parses from the bytes themselves.
     */
   def assets(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    val width = (col("n_chars") % 640 + 16).cast("int")
+    val height = (col("n_chars") % 480 + 16).cast("int")
+    val nFrames = (col("n_chars") % 24 + 1).cast("int")
     d.select(
       col("doc_id").as("asset_id"),
       struct(
         col("lang").as("codec"),
-        (col("n_chars") % 640 + 16).cast("int").as("width"),
-        (col("n_chars") % 480 + 16).cast("int").as("height"),
-        (col("n_chars") % 24 + 1).cast("int").as("n_frames")).as("meta"),
-      // payload: utf-8 text bytes standing in for encoded media
-      encode(col("text"), "UTF-8").as("payload"))
+        width.as("width"),
+        height.as("height"),
+        nFrames.as("n_frames")).as("meta"),
+      // payload: binary header + utf-8 text bytes standing in for encoded media
+      concat(lit(Magic.getBytes("US-ASCII")),
+        i32(width), i32(height), i32(nFrames),
+        encode(col("text"), "UTF-8")).as("payload"))
   }
 
-  /** DECODE STUB — deterministic fake. A real implementation decodes
-    * `payload` with a codec; this parses the synthesized layout instead.
-    * Runs per-partition over an iterator of rows: the exact batch shape a
-    * JNI decoder or Arrow-batched UDF would use.
+  /** Deterministic decode of the binary column: validates the magic,
+    * parses width/height/n_frames out of the big-endian header BYTES, and
+    * folds a rolling checksum over the body bytes — all executor-side byte
+    * work on the payload itself (the metadata struct is consulted only for
+    * the codec label, which a real container also carries out-of-band).
+    * A production codec (JNI decoder or Arrow-batched UDF) drops into the
+    * same per-partition iterator shape; only the pixel math changes.
     */
   def qDecodeStats(s: SparkSession, dir: String): DataFrame = {
     val a = assets(s, dir)
-    val spark = s
-    import spark.implicits._
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("codec", StringType),
       StructField("pixels", LongType),
       StructField("payload_bytes", IntegerType),
       StructField("checksum", LongType)))
+    def be32(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
     val decoded = a.mapPartitions { rows =>
       rows.map { r =>
-        val meta = r.getStruct(r.fieldIndex("meta"))
         val payload = r.getAs[Array[Byte]]("payload")
-        // ??? real decode goes here; the stub computes deterministic stats
+        require(payload.length >= HeaderBytes &&
+          new String(payload, 0, 4, "US-ASCII") == Magic,
+          s"bad asset container header (len=${payload.length})")
+        val width = be32(payload, 4)
+        val height = be32(payload, 8)
         var sum = 0L
-        var i = 0
+        var i = HeaderBytes
         while (i < payload.length) { sum = (sum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
         Row(r.getLong(r.fieldIndex("asset_id")),
-          meta.getString(0),
-          meta.getInt(1).toLong * meta.getInt(2),
-          payload.length,
+          r.getStruct(r.fieldIndex("meta")).getString(0),
+          width.toLong * height,
+          payload.length - HeaderBytes,
           sum)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -94,9 +124,9 @@ object Multimodal {
   def qFrameSample(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
       .select(col("asset_id"), col("meta.n_frames").as("n_frames"),
-        expr("""transform(
+        expr(s"""transform(
           |  filter(sequence(0, meta.n_frames - 1), f -> f % 4 = 0),
-          |  f -> substring(payload, f * 8 + 1, 8))""".stripMargin).as("frames"))
+          |  f -> substring(payload, f * 8 + ${HeaderBytes + 1}, 8))""".stripMargin).as("frames"))
       .select(col("asset_id"), col("n_frames"), size(col("frames")).cast("long").as("n_sampled"),
         length(concat_ws("", col("frames").cast("array<string>"))).cast("long").as("sampled_bytes"))
       .orderBy("asset_id")
@@ -111,7 +141,7 @@ object Multimodal {
         col("meta.width").as("width"), col("meta.height").as("height"),
         floor(col("meta.width") / 2).cast("int").as("out_width"),
         floor(col("meta.height") / 2).cast("int").as("out_height"),
-        substring(col("payload"), 1, 64).as("thumb"))
+        substring(col("payload"), HeaderBytes + 1, 64).as("thumb"))
       .select(col("asset_id"), col("out_width"), col("out_height"),
         length(col("thumb")).cast("long").as("thumb_bytes"))
       .orderBy("asset_id")
@@ -128,7 +158,9 @@ object Multimodal {
     */
   def qByteHistogram(s: SparkSession, dir: String): DataFrame = {
     val base = assets(s, dir)
-      .select(col("asset_id"), decode(col("payload"), "UTF-8").as("txt"))
+      .select(col("asset_id"),
+        decode(expr(s"substring(payload, ${HeaderBytes + 1}, length(payload) - $HeaderBytes)"),
+          "UTF-8").as("txt"))
     val counts = base
       .select(col("asset_id"), explode(split(col("txt"), "")).as("ch"))
       .where(length(col("ch")) === 1) // split(-1) keeps a trailing ""

@@ -571,7 +571,10 @@ object Similarity {
     * sit beyond |z| > 3 in that dimension — the z-score normalization /
     * outlier screen that precedes training on a feature column. Outliers
     * are counted against the ROUNDED moments on both engines, so the
-    * boundary is deterministic.
+    * boundary is deterministic; a (near-)constant dimension whose rounded
+    * std is 0 counts zero outliers on BOTH engines (the z-score is gated
+    * on std4 > 0 — without the gate Spark's Divide yields NULL while
+    * DuckDB's IEEE division yields inf, a silent engine divergence).
     *
     * Scale shape: one posexplode feeding a 64-group aggregate (map-side
     * combined), the 64-row moment table broadcast back over a second
@@ -587,7 +590,8 @@ object Similarity {
     x.join(broadcast(moments), Seq("dim"))
       .groupBy("dim").agg(
         first("mean4").as("mean4"), first("std4").as("std4"),
-        sum(when(abs(col("x") - col("mean4")) / col("std4") > 3.0, 1L)
+        sum(when(col("std4") > 0 &&
+            abs(col("x") - col("mean4")) / col("std4") > 3.0, 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy("dim")
   }
@@ -601,8 +605,8 @@ object Similarity {
       |  SELECT dim, round(avg(x), 4) AS mean4, round(stddev_samp(x), 4) AS std4
       |  FROM x GROUP BY dim)
       |SELECT x.dim, m.mean4, m.std4,
-      |  CAST(sum(CASE WHEN abs(x - mean4) / std4 > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_outliers
+      |  CAST(sum(CASE WHEN std4 > 0 AND abs(x - mean4) / std4 > 3.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM x JOIN m ON m.dim = x.dim
       |GROUP BY x.dim, m.mean4, m.std4 ORDER BY x.dim""".stripMargin
 

@@ -76,8 +76,34 @@ object Cli {
     builtin.union(scoped("bricolage.yml")).union(scoped("variable.yml"))
   }
 
+  /** Prelude auto-load (reference: context.rb:55 `load_configurations`
+    * evaluates `config_pathes('prelude.rb')` at every context creation).
+    * The Spark-side prelude is `prelude.conf` on the same search paths
+    * (`config/prelude.conf`, `config/<env>/prelude.conf`): one
+    * fully-qualified feature object per line (`#` comments allowed), each
+    * loaded through [[requireFeature]] — the auto-discovery counterpart of
+    * explicit `-r/--require`. A Ruby `prelude.rb` found on the search path
+    * cannot be evaluated here, so it is LOUDLY skipped with a pointer at
+    * the conf/flag equivalents — a ported home directory never silently
+    * loses its prelude.
+    */
+  def loadPrelude(home: Path, env: String = environment): Unit = {
+    configPaths(home, "prelude.rb", env).filter(Files.exists(_)).foreach { p =>
+      System.err.println(s"[graft] WARNING: skipping $p — Ruby preludes are " +
+        s"not evaluated; list feature objects in " +
+        s"${p.resolveSibling("prelude.conf")} or pass -r/--require")
+    }
+    configPaths(home, "prelude.conf", env).filter(Files.exists(_)).foreach { p =>
+      Files.readAllLines(p).forEach { line =>
+        val l = line.trim
+        if (l.nonEmpty && !l.startsWith("#")) requireFeature(l)
+      }
+    }
+  }
+
   def loadContext(home: Path, subsys: String, spark: => SparkSession,
       env: String = environment): JobContext = {
+    loadPrelude(home, env)
     // datasource.yml with database.yml fallback, each searched through the
     // config paths; password.yml entries merge into the same-named
     // datasource configs (reference: datasource.rb:10-22,32-50

@@ -55,6 +55,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash16 matches the per-bit majority-vote reference and split semantics") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // reference implementation over split(text, ' ') with unlimited limit
+    def ref(text: String): Long = {
+      val counts = new Array[Int](16)
+      text.split(" ", -1).foreach { w =>
+        val th = w.length.toLong * 97 +
+          (if (w.nonEmpty) w.head.toInt * 13 + w.last.toInt else 0)
+        (0 until 16).foreach { b =>
+          if (((th >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        }
+      }
+      (0 until 16).map(b => if (counts(b) > 0) 1L << b else 0L).sum
+    }
+    val texts = Seq("the quick brown fox", "a", "", "a  b", " lead", "trail ",
+      "same same same other")
+    val rows = texts.toDF("text").select(expr("simhash16(text)")).collect()
+    texts.zip(rows).foreach { case (txt, r) =>
+      assert(r.getLong(0) == ref(txt), s"mismatch for '$txt'")
+    }
+    // null text propagates null
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(expr("simhash16(text)")).head.isNullAt(0))
+  }
+
   test("interpreted eval path (codegen disabled) agrees") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")

@@ -50,7 +50,11 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("containment scores are asymmetric-Jaccard bounded and eval-keyed") {
-    val rows = CurationOps.qContainment(spark, dir).collect()
+    // the loan-pattern handle releases ONLY containment's gram table —
+    // suites share the session in parallel, so a clearCache() here would
+    // race other suites' pinned caches
+    val (df, release) = CurationOps.containment(spark, dir)
+    val rows = try df.collect() finally release()
     rows.foreach { r =>
       assert(r.getLong(0) % 10 == 0, "left side must be an eval doc")
       assert(r.getLong(1) % 10 != 0, "right side must be a train doc")

@@ -38,18 +38,47 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
-  test("compaction rewrites 64 shards down to <= 4 files, content intact") {
+  test("compaction derives its file count from bytes, content intact") {
     import java.nio.file.{Files, Paths}
-    val rows = LayoutOps.qCompaction(spark, dir).collect()
-    def parts(prefix: String): Long = {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def parts(prefix: String, d: String): Long = {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val p = Paths.get(sys.props("java.io.tmpdir"), s"${prefix}_$tag")
       Files.list(p).filter(_.toString.endsWith(".parquet")).count()
     }
-    assert(parts("graft_smallfiles") >= 32, "fragmented layout not created")
-    assert(parts("graft_compacted") <= 4, "compaction did not reduce file count")
+    def smallBytes(d: String): Long = {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      LayoutOps.dataBytes(spark,
+        Paths.get(sys.props("java.io.tmpdir"), s"graft_smallfiles_$tag").toString)
+    }
+    // at the default 128 MB target a toy table compacts to exactly 1 file
+    val rows = LayoutOps.qCompaction(spark, dir).collect()
+    assert(parts("graft_smallfiles", dir) >= 32, "fragmented layout not created")
+    assert(parts("graft_compacted", dir) == 1,
+      "toy input under one 128 MB target must compact to a single file")
     val total = rows.map(_.getLong(1)).sum
     assert(total == graft.Tables.t(spark, dir, "documents").count())
+    // with a small target the derived count scales with input bytes: run
+    // the same op at two SFs and check ceil(bytes/target) lands on disk
+    val target = 64L * 1024
+    spark.conf.set("graft.compaction.targetFileBytes", target.toString)
+    try {
+      Seq(dir, "/root/testdata/sf0.1").foreach { d =>
+        LayoutOps.qCompaction(spark, d).collect()
+        val expected = LayoutOps.compactionFileCount(smallBytes(d), target)
+        assert(parts("graft_compacted", d) == expected,
+          s"$d: expected $expected derived files")
+      }
+      assert(smallBytes("/root/testdata/sf0.1") > smallBytes(dir),
+        "sf0.1 input must be larger for the scaling check to mean anything")
+    } finally spark.conf.unset("graft.compaction.targetFileBytes")
+  }
+
+  test("compactionFileCount is ceil(bytes/target) floored at one") {
+    assert(LayoutOps.compactionFileCount(0L, 128L << 20) == 1)
+    assert(LayoutOps.compactionFileCount(1L, 128L << 20) == 1)
+    assert(LayoutOps.compactionFileCount(128L << 20, 128L << 20) == 1)
+    assert(LayoutOps.compactionFileCount((128L << 20) + 1, 128L << 20) == 2)
+    assert(LayoutOps.compactionFileCount(100L << 30, 128L << 20) == 800)
   }
 
   test("z-order files bound BOTH dimensions' extents, not just the leading one") {

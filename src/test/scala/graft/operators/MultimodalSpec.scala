@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Multimodal container plumbing: the synthetic assets carry a real
+  * 16-byte binary header and the decode parses its fields out of the
+  * payload bytes (not the metadata struct).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("payloads start with the GRFT header and the body is the text bytes") {
+    import org.apache.spark.sql.functions._
+    val r = Multimodal.assets(spark, dir)
+      .join(graft.Tables.t(spark, dir, "documents"),
+        col("asset_id") === col("doc_id"))
+      .select("payload", "meta.width", "meta.height", "text")
+      .head()
+    val payload = r.getAs[Array[Byte]](0)
+    assert(new String(payload, 0, 4, "US-ASCII") == "GRFT")
+    def be32(off: Int): Int =
+      ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+        ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+    assert(be32(4) == r.getInt(1), "width must round-trip through the header bytes")
+    assert(be32(8) == r.getInt(2), "height must round-trip through the header bytes")
+    val body = new String(payload, Multimodal.HeaderBytes,
+      payload.length - Multimodal.HeaderBytes, "UTF-8")
+    assert(body == r.getString(3), "body must be exactly the text bytes")
+  }
+
+  test("decode derives pixels from the header bytes and sizes from the body") {
+    import org.apache.spark.sql.functions._
+    val decoded = Multimodal.qDecodeStats(spark, dir)
+      .join(Multimodal.assets(spark, dir), Seq("asset_id"))
+      .select(col("pixels"),
+        (col("meta.width").cast("long") * col("meta.height")).as("expected_px"),
+        col("payload_bytes"), (length(col("payload")) - Multimodal.HeaderBytes).as("body_len"))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "pixels must equal header width*height")
+      assert(r.getInt(2) == r.getInt(3), "payload_bytes must exclude the header")
+    }
+  }
+
+  test("asset stats and frame sampling stay consistent with the corpus") {
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    val stats = Multimodal.qAssetStats(spark, dir).collect()
+    assert(stats.map(_.getLong(1)).sum == nDocs, "every doc becomes one asset")
+    Multimodal.qFrameSample(spark, dir).collect().foreach { r =>
+      val (n, sampled) = (r.getInt(1), r.getLong(2))
+      assert(sampled == (n + 3) / 4, s"every 4th of $n frames: got $sampled")
+    }
+  }
+}

@@ -687,4 +687,50 @@ class CliSpec extends AnyFunSuite {
     assert(BricolageMain.run(Seq(home.resolve("nop2.job").toString),
       Some(SparkTestBase.spark)) == 0)
   }
+
+  test("prelude.conf auto-requires features at context creation (reference context.rb:55)") {
+    val home = Files.createTempDirectory("cli-prelude")
+    Files.createDirectories(home.resolve("config/staging"))
+    Files.writeString(home.resolve("config/prelude.conf"),
+      "# global prelude\ngraft.runner.PreludeProbe\n\n")
+    Files.writeString(home.resolve("config/staging/prelude.conf"),
+      "graft.runner.PreludeEnvProbe\n")
+    PreludeProbe.loads = 0
+    PreludeEnvProbe.loads = 0
+    Cli.loadContext(home, "", SparkTestBase.spark, env = "staging")
+    assert(PreludeProbe.loads == 1, "config/prelude.conf feature not required")
+    assert(PreludeEnvProbe.loads == 1, "config/<env>/prelude.conf feature not required")
+    // a different env loads only the global layer
+    Cli.loadContext(home, "", SparkTestBase.spark, env = "production")
+    assert(PreludeProbe.loads == 2 && PreludeEnvProbe.loads == 1)
+  }
+
+  test("a Ruby prelude.rb is loudly skipped, never silently ignored") {
+    val home = Files.createTempDirectory("cli-preluderb")
+    Files.createDirectories(home.resolve("config"))
+    Files.writeString(home.resolve("config/prelude.rb"), "require 'foo'\n")
+    val bos = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    System.setErr(new java.io.PrintStream(bos, true))
+    try Cli.loadContext(home, "", SparkTestBase.spark)
+    finally System.setErr(saved)
+    val err = bos.toString
+    assert(err.contains("prelude.rb") && err.contains("WARNING"),
+      s"expected a loud skip warning, got: $err")
+    assert(err.contains("prelude.conf") && err.contains("--require"),
+      "warning must point at the supported equivalents")
+  }
+}
+
+/** Fixture features for the prelude auto-require tests; `register()` is
+  * the observable load side effect (same hook the real plugins use).
+  */
+object PreludeProbe {
+  @volatile var loads = 0
+  def register(): Unit = loads += 1
+}
+
+object PreludeEnvProbe {
+  @volatile var loads = 0
+  def register(): Unit = loads += 1
 }

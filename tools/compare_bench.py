@@ -23,13 +23,44 @@ def load_bench(path):
         return doc
     # driver wrapper: find the bench line inside "tail"
     tail = doc.get("tail", "")
+    candidates = []
     for m in re.finditer(r'\{"metric".*\}', tail):
         try:
             inner = json.loads(m.group(0))
             if "queries" in inner:
-                return inner
+                candidates.append(inner)
         except json.JSONDecodeError:
             continue
+    if candidates:
+        # prefer the line with the richest per-query map (the compact
+        # trailer Bench prints last carries an empty map by design)
+        best = max(candidates, key=lambda c: len(c["queries"]))
+        if not best["queries"]:
+            # the full line lost its head to tail truncation: recover the
+            # per-query entries that survived in the truncated fragment
+            frag = tail[: tail.rfind('{"metric"')]
+            recovered = dict(
+                (q, float(t))
+                for q, t in re.findall(r'"(q[0-9a-z_]+)":([0-9.]+)', frag)
+            )
+            if recovered:
+                print(
+                    f"note: {path} tail-truncated; recovered "
+                    f"{len(recovered)} per-query entries", file=sys.stderr)
+                best = dict(best, queries=recovered)
+        return best
+    # legacy truncated artifact (no metric line survived at all): recover
+    # what per-query entries remain; the total is unknowable, so main()
+    # skips the total gate for this side
+    recovered = dict(
+        (q, float(t)) for q, t in re.findall(r'"(q[0-9a-z_]+)":([0-9.]+)', tail)
+    )
+    if recovered:
+        print(
+            f"note: {path} has no intact bench line; recovered "
+            f"{len(recovered)} per-query entries, total unavailable",
+            file=sys.stderr)
+        return {"value": None, "queries": recovered}
     raise SystemExit(f"no bench JSON found in {path}")
 
 
@@ -71,11 +102,14 @@ def main():
             print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s ({ratio:5.2f}x)")
         if not ok:
             failures.append(q)
-    tb, tn = base["value"], new["value"]
-    tot_ok = tn <= tb * threshold
-    print(f"{'PASS' if tot_ok else 'FAIL'}     {'TOTAL':32s} {tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x)")
-    if not tot_ok:
-        failures.append("TOTAL")
+    tb, tn = base.get("value"), new.get("value")
+    if tb is None or tn is None:
+        print(f"SKIP     {'TOTAL':32s} (total unavailable on one side)")
+    else:
+        tot_ok = tn <= tb * threshold
+        print(f"{'PASS' if tot_ok else 'FAIL'}     {'TOTAL':32s} {tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x)")
+        if not tot_ok:
+            failures.append("TOTAL")
     if failures:
         print(f"\n{len(failures)} regression(s) beyond {threshold}x: {', '.join(failures)}")
         return 1
