@@ -72,7 +72,15 @@ object ClusterOps {
     * min. Exposed separately so the log-round convergence can be tested
     * on adversarial graphs (long chains) the LSH corpus never produces.
     */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds the loop ran —
+    * the observable the O(log diameter) claim is asserted against
+    * (ClusterOpsSpec / [[qStressChainClusters]]).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // undirected edge list, materialized once (reused every round). The
     // graph is the DUPLICATE surface, not the corpus — orders of magnitude
     // smaller — so the iteration runs at a parallelism derived from the
@@ -111,20 +119,27 @@ object ClusterOps {
         .union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
         .localCheckpoint(true)
-      // pointer jump (path halving): relabel through the label's own
-      // label. Every lbl value is a node id (by induction from lbl=id),
-      // so the lookup side is `agg` itself; left+coalesce keeps the row
-      // even if the invariant were ever violated rather than dropping it.
-      // `next` itself is NOT checkpointed: it is one (tiny, broadcastable)
-      // join over the checkpointed agg, so recomputing it in the next
-      // round's lineage is cheaper than an extra eager-checkpoint job —
-      // lineage depth stays bounded at one join because agg is cut every
-      // round.
-      val next = agg.as("a")
-        .join(agg.as("b"), col("a.lbl") === col("b.id"), "left")
-        .select(col("a.id"),
-          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"),
-          col("a.old_lbl"))
+      // pointer jumps: relabel through the label's own label, THREE hops
+      // per round. Every lbl value is a node id (by induction from
+      // lbl=id), so the lookup side is `agg` itself; left+coalesce keeps
+      // the row even if the invariant were ever violated rather than
+      // dropping it. Each extra hop is one more narrow join over the
+      // SAME checkpointed tiny frame — nearly free next to the fixed
+      // per-round cost (checkpoint job + probe job), while every hop
+      // shortens the rounds a long chain needs: the per-round jobs are
+      // what dominate wall-clock on adversarial chains
+      // (q_stress_chain_clusters), so trading 2 extra cheap joins for
+      // ~2× fewer rounds wins. `next` itself is NOT checkpointed:
+      // lineage depth stays bounded at three joins because agg is cut
+      // every round.
+      val next = (1 to 3).foldLeft(
+        agg.select(col("id"), col("lbl"), col("old_lbl"))) { (cur, _) =>
+        cur.as("a")
+          .join(agg.as("b"), col("a.lbl") === col("b.id"), "left")
+          .select(col("a.id"),
+            least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"),
+            col("a.old_lbl"))
+      }
       val changed = next.filter(col("lbl") < col("old_lbl"))
         .limit(1).count() // scalar any-change probe (runs the jump join)
       labels = next.select("id", "lbl")
@@ -135,7 +150,7 @@ object ClusterOps {
     labels0.unpersist(blocking = true)
     // labels is checkpointed — safe to release upstream
     edges.unpersist(blocking = true)
-    labels
+    (labels, it)
   }
 
   val qDedupClustersOracle: String =
@@ -212,8 +227,48 @@ object ClusterOps {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** Adversarial closure stress — the worst-case graph for label
+    * propagation, mirroring how [[StressOps.qStressHotNearDup]] proves the
+    * block bound: one MAXIMAL-DIAMETER chain per source (each source's
+    * docs linked in doc_id order), so component diameter ≈ component size.
+    * Plain neighbor propagation would need O(chain length) sequential
+    * Spark rounds here — the exact shape `connectedComponents`' doc says
+    * the LSH corpus never produces; the pointer-jumping kernel must close
+    * every chain within the same O(log diameter) budget
+    * (`ClusterOpsSpec` asserts the measured round count; `maxIter = 64`
+    * covers log2 of any conceivable chain, it is a guard not a budget).
+    *
+    * Scale shape: chain construction is one window over (source, doc_id)
+    * — a per-source sort, fine for a synthetic constructor; the closure
+    * inherits the kernel's dup-surface-sized rounds. Oracle: each chain's
+    * cluster stats are just min/count/max of its source's doc ids — the
+    * recursive CTE is unnecessary BECAUSE the expected closure is total
+    * per source, which is also why any split chain (early exit, dropped
+    * jump) hash-fails immediately.
+    */
+  def qStressChainClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select("doc_id", "source")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = docs.withColumn("nxt", lead("doc_id", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+    connectedComponents(pairs, maxIter = 64)
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .orderBy("cluster_rep")
+  }
+
+  val qStressChainClustersOracle: String =
+    """SELECT min(doc_id) AS cluster_rep, count(*) AS n_docs,
+      |  max(doc_id) AS max_doc
+      |FROM documents GROUP BY source HAVING count(*) > 1
+      |ORDER BY cluster_rep""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
     QueryDef("q_cross_dedup", qCrossDedup, Some(qCrossDedupOracle)),
+    QueryDef("q_stress_chain_clusters", qStressChainClusters,
+      Some(qStressChainClustersOracle)),
   )
 }

@@ -39,6 +39,41 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pointer jumping closes a 512-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // one maximal-diameter chain: 0-1-2-...-511 (diameter 511). Plain
+    // min-label propagation needs 511 rounds; path halving must land
+    // well inside a logarithmic budget.
+    val n = 512
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      ClusterOps.connectedComponentsWithRounds(pairs, maxIter = 64)
+    val rows = labels.collect()
+    assert(rows.length == n, "every chain node must be labeled")
+    assert(rows.forall(_.getLong(1) == 0L), "single component, rep = 0")
+    val logBudget = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= logBudget,
+      s"$rounds rounds for a $n-chain — pointer jumping is not engaging " +
+        s"(budget $logBudget, plain propagation would need ${n - 1})")
+  }
+
+  test("chain-cluster stress closes each per-source chain completely") {
+    val rows = ClusterOps.qStressChainClusters(spark, dir).collect()
+    val expected = graft.Tables.t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("rep"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("doc_id").as("mx"))
+      .collect()
+      .filter(_.getLong(2) > 1)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == expected,
+      "every source's chain must close to exactly one cluster")
+  }
+
   test("cross dedup reports only train sources, flagged <= docs") {
     val rows = ClusterOps.qCrossDedup(spark, dir).collect()
     val refs = (0 until 4).map(i => s"src$i").toSet

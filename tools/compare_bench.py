@@ -102,14 +102,24 @@ def main():
             print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s ({ratio:5.2f}x)")
         if not ok:
             failures.append(q)
-    tb, tn = base.get("value"), new.get("value")
-    if tb is None or tn is None:
-        print(f"SKIP     {'TOTAL':32s} (total unavailable on one side)")
-    else:
+    # the total gate compares the COMMON query subset: the raw totals span
+    # different query sets as rounds add operators, so their ratio measures
+    # coverage growth, not regression
+    common = sorted(set(base["queries"]) & set(new["queries"]))
+    if common:
+        tb = sum(base["queries"][q] for q in common)
+        tn = sum(new["queries"][q] for q in common)
         tot_ok = tn <= tb * threshold
-        print(f"{'PASS' if tot_ok else 'FAIL'}     {'TOTAL':32s} {tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x)")
+        print(f"{'PASS' if tot_ok else 'FAIL'}     "
+              f"{'TOTAL (%d common)' % len(common):32s} "
+              f"{tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x)")
         if not tot_ok:
             failures.append("TOTAL")
+    else:
+        print(f"SKIP     {'TOTAL':32s} (no common queries)")
+    if base.get("value") is not None and new.get("value") is not None:
+        print(f"         {'(raw totals, all queries)':32s} "
+              f"{base['value']:8.3f}s -> {new['value']:8.3f}s")
     if failures:
         print(f"\n{len(failures)} regression(s) beyond {threshold}x: {', '.join(failures)}")
         return 1
