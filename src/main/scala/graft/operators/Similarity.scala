@@ -278,6 +278,263 @@ object Similarity {
       |SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** ANN quality measurement — recall@10 of the hyperplane-bucket search
+    * against exact brute force, per query: the standard eval every
+    * approximate index ships with, and the number that decides whether
+    * the `q_ann_near_dup` scale path is usable for a given workload.
+    * Candidates are corpus vectors sharing the query's 8-bit bucket;
+    * both the exact and the ANN top-10 use the same rounded cosine and
+    * the same bounded [[graft.functions.TopKAggregator]] ranking, so the
+    * overlap count is exactly reproducible in the oracle.
+    *
+    * Scale shape: the query set broadcasts (3 rows); the exact arm is the
+    * [[qCosineTopK]] map-side scoring pass, the ANN arm touches only the
+    * bucket-collision fraction (~1/256 under a uniform hash), and the
+    * recall join is over 10-row-per-query frames.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"),
+        hyperplaneBucket.as("bucket"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val corpus = e.filter(col("vec_id") >= 3)
+    def score(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("vec_id"),
+        round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
+    def top10(scored: DataFrame): DataFrame =
+      scored.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(graft.functions.TopKAggregator.topK(10))
+        .toDF("query_id", "top")
+        .select(col("query_id"), explode(col("top")).as("item"))
+        .select(col("query_id"), col("item._2").as("vec_id"))
+    val exact = top10(score(corpus.crossJoin(broadcast(q))))
+    val cand = corpus.join(broadcast(q), col("bucket") === col("qbucket"))
+    val ann = top10(score(cand))
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select("query_id")
+      .join(nCand, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 10.0, 4).as("recall4"))
+      .orderBy("query_id")
+  }
+
+  val qAnnRecallOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |comp AS (
+      |  SELECT vec_id, p.p AS p,
+      |    sum((e.embedding[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
+      |  FROM embeddings e, range(8) AS p(p), range(64) AS j(j)
+      |  GROUP BY vec_id, p.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM comp GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id, unnest(q.qv)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY query_id, vec_id),
+      |exact10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM scored) WHERE rk <= 10),
+      |cand AS (
+      |  SELECT s.query_id, s.vec_id, s.cos_sim
+      |  FROM scored s
+      |  JOIN buckets bq ON bq.vec_id = s.query_id
+      |  JOIN buckets bc ON bc.vec_id = s.vec_id AND bc.bucket = bq.bucket),
+      |ann10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM cand) WHERE rk <= 10),
+      |nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+      |hits AS (
+      |  SELECT e.query_id, count(*) AS n_hits
+      |  FROM exact10 e JOIN ann10 a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      |  GROUP BY e.query_id)
+      |SELECT q.query_id,
+      |  CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall4
+      |FROM q LEFT JOIN nc ON nc.query_id = q.query_id
+      |LEFT JOIN hits h ON h.query_id = q.query_id
+      |ORDER BY q.query_id""".stripMargin
+
+  /** Product-quantization encode — the codebook half of a real ANN index
+    * (IVF-PQ): dim 64 splits into M=8 subspaces of 8 dims; each subvector
+    * is assigned to its nearest of 8 deterministic sub-centroids (the
+    * first 8 vectors' corresponding subvectors) by squared-L2 argmin, so
+    * every vector compresses to an 8-byte code. Distances are fixed-point
+    * (×1e6, rounded to integer) BEFORE the argmin, so the assignment
+    * boundary is deterministic on both engines. Output: per (subspace,
+    * code) occupancy and the integer distance checksum — the codebook
+    * utilization stats a PQ build reports.
+    *
+    * Scale shape: one corpus-owning stage (posexplode + 512-row codebook
+    * broadcast + two map-side-combined aggregates); the codebook is
+    * model-sized (M × K × dims/M = 512 rows) exactly like the IVF
+    * centroid literals. Nothing pairs corpus×corpus.
+    */
+  /** PQ codebook rows (m, c, j, y): subspace m, code c, within-subspace
+    * dim j, component y — driver-held because K and M are hyperparameters,
+    * never data-scale (same justification as seedCentroids).
+    */
+  private def pqCodebook(e: DataFrame): Seq[(Int, Long, Int, Double)] =
+    e.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect().toSeq
+      .flatMap { r =>
+        val c = r.getLong(0)
+        val emb = r.getSeq[Float](1)
+        for (m <- 0 until 8; j <- 0 until 8)
+          yield (m, c, j, emb(m * 8 + j).toDouble)
+      }
+
+  /** Encode the non-codebook corpus: one (vec_id, m, code, d2i) row per
+    * vector per subspace — squared-L2 argmin over the broadcast codebook,
+    * distances fixed-point (×1e6) BEFORE the argmin so the boundary is
+    * deterministic on both engines.
+    */
+  private def pqCodes(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val cents = pqCodebook(e).toDF("m", "c", "j", "y")
+    val x = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"),
+        (col("pos") / 8).cast("int").as("m"), (col("pos") % 8).as("j"),
+        col("xf").cast("double").as("x"))
+    val d = x.join(broadcast(cents), Seq("m", "j"))
+      .groupBy("vec_id", "m", "c")
+      .agg(round(sum((col("x") - col("y")) * (col("x") - col("y"))) * 1000000)
+        .cast("long").as("d2i"))
+    d.groupBy("vec_id", "m")
+      .agg(min(struct(col("d2i"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.c").as("code"), col("best.d2i").as("d2i"))
+  }
+
+  def qPqEncode(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, t(s, dir, "embeddings"))
+      .groupBy(col("m").cast("long").as("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum("d2i").as("sum_d2i"))
+      .orderBy("subspace", "code")
+
+  /** Shared oracle CTEs: codebook, corpus components, per-subspace
+    * distances, and the argmin code assignment.
+    */
+  private val pqCodeCtes: String =
+    """cent AS (
+      |  SELECT vec_id AS c, m.m AS m, j.j AS j,
+      |    (embedding[m.m * 8 + j.j + 1])::DOUBLE AS y
+      |  FROM embeddings, range(8) AS m(m), range(8) AS j(j) WHERE vec_id < 8),
+      |x AS (
+      |  SELECT vec_id, m.m AS m, j.j AS j,
+      |    (embedding[m.m * 8 + j.j + 1])::DOUBLE AS x
+      |  FROM embeddings, range(8) AS m(m), range(8) AS j(j) WHERE vec_id >= 8),
+      |d AS (
+      |  SELECT x.vec_id, x.m, cent.c,
+      |    CAST(round(sum((x.x - cent.y) * (x.x - cent.y)) * 1000000) AS BIGINT) AS d2i
+      |  FROM x JOIN cent ON cent.m = x.m AND cent.j = x.j
+      |  GROUP BY x.vec_id, x.m, cent.c),
+      |code AS (
+      |  SELECT vec_id, m, c AS code, d2i FROM (
+      |    SELECT vec_id, m, c, d2i,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2i, c) AS rk
+      |    FROM d) WHERE rk = 1)""".stripMargin
+
+  val qPqEncodeOracle: String =
+    s"""WITH $pqCodeCtes
+      |SELECT m AS subspace, code, count(*) AS n_vecs,
+      |  CAST(sum(d2i) AS BIGINT) AS sum_d2i
+      |FROM code GROUP BY m, code ORDER BY subspace, code""".stripMargin
+
+  /** PQ ADC search — the query-time half of the IVF-PQ index: each query
+    * builds an 8×8 distance table against the codebook (driver-side, 192
+    * fixed-point entries — the lookup table a real ADC scan holds in
+    * registers), then every encoded corpus vector is scored as the SUM of
+    * its 8 codes' table entries and the top-5 nearest are ranked. This is
+    * the approximation that makes billion-vector search affordable: the
+    * scan reads 8 bytes per vector (the codes), never the 64 floats.
+    *
+    * Scale shape: the distance table broadcasts (query-count × 64 rows);
+    * scoring is one key-equality join + a (query, vec) sum — map-side
+    * combined; ranking is the bounded [[graft.functions.TopKAggregator]]
+    * (negated distance, so asc-distance/asc-id ties match the oracle's
+    * `ORDER BY d2i, vec_id`).
+    */
+  def qPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val book = pqCodebook(e)
+    // per-query distance table, driver-computed with the SAME j-order
+    // double accumulation and ×1e6 fixed-point as the encode side
+    val queries = e.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dt = (for {
+      (qid, qv) <- queries
+      ((m, c), entries) <- book.groupBy(bc => (bc._1, bc._2)).toSeq
+    } yield {
+      var acc = 0.0
+      entries.sortBy(_._3).foreach { case (_, _, j, y) =>
+        val diff = qv(m * 8 + j).toDouble - y
+        acc += diff * diff
+      }
+      (qid, m, c, math.round(acc * 1000000))
+    }).toDF("query_id", "m", "code", "qd2i")
+    val adc = pqCodes(s, e)
+      .join(broadcast(dt), Seq("m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd2i").as("d2i"))
+    adc.select(col("query_id"), col("vec_id"), col("d2i"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._3.toDouble, r._2))
+      .agg(graft.functions.TopKAggregator.topK(5))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item._2").as("vec_id"),
+        (-col("item._1")).cast("long").as("d2i"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qPqSearchOracle: String =
+    s"""WITH $pqCodeCtes,
+      |q AS (
+      |  SELECT vec_id AS query_id, m.m AS m, j.j AS j,
+      |    (embedding[m.m * 8 + j.j + 1])::DOUBLE AS x
+      |  FROM embeddings, range(8) AS m(m), range(8) AS j(j) WHERE vec_id < 3),
+      |dt AS (
+      |  SELECT q.query_id, q.m, cent.c AS code,
+      |    CAST(round(sum((q.x - cent.y) * (q.x - cent.y)) * 1000000) AS BIGINT) AS qd2i
+      |  FROM q JOIN cent ON cent.m = q.m AND cent.j = q.j
+      |  GROUP BY q.query_id, q.m, cent.c),
+      |adc AS (
+      |  SELECT dt.query_id, code.vec_id, CAST(sum(dt.qd2i) AS BIGINT) AS d2i
+      |  FROM code JOIN dt ON dt.m = code.m AND dt.code = code.code
+      |  GROUP BY dt.query_id, code.vec_id)
+      |SELECT query_id, vec_id, d2i, rk FROM (
+      |  SELECT query_id, vec_id, d2i,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d2i, vec_id) AS rk
+      |  FROM adc) WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   /** The K=8 seed centroids (first 8 vectors) pulled to the driver — the
     * bounded-row shape every distributed k-means uses between Lloyd
     * iterations (MLlib holds centroids on the driver too): K is a model
@@ -616,6 +873,9 @@ object Similarity {
     QueryDef("q_embedding_near_dup", (s, d) => qEmbeddingNearDup(s, d),
       Some(qEmbeddingNearDupOracle)),
     QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),
+    QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
+    QueryDef("q_pq_encode", qPqEncode, Some(qPqEncodeOracle)),
+    QueryDef("q_pq_search", qPqSearch, Some(qPqSearchOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
     QueryDef("q_ivf_assign", qIvfAssign, Some(qIvfAssignOracle)),
     QueryDef("q_ivf_search", (s, d) => qIvfSearch(s, d), Some(qIvfSearchOracle)),

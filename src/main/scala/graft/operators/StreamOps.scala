@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.QueryDef
+
+/** Oracle-gated Structured Streaming: a REAL streaming query (file source
+  * → watermarked window aggregate → memory sink) driven end-to-end inside
+  * a `queries()` entry, so streaming correctness is hash-checked against
+  * the DuckDB batch oracle instead of asserted only in unit specs. The
+  * invariant proven: stream(events) == batch(events) == oracle — the
+  * exactly-once contract every production streaming ingest is built on.
+  *
+  * Reference scope: the reference's only streaming surface is
+  * `streaming_load` (jobclass/streaming_load.rb) — batch-faithful
+  * equivalents live in `streaming/StreamingLoad.scala`; this is the
+  * idiomatic Structured Streaming counterpart over the analytics tables.
+  */
+object StreamOps {
+
+  /** Streaming twin of [[Relational.qEventsHourly]]: hourly event counts
+    * and value sums computed by a watermarked tumbling-window streaming
+    * aggregate drained with `Trigger.AvailableNow` (no distinct-count —
+    * streaming aggregates cannot hold per-user distinct state unbounded).
+    * A fresh checkpoint per call forces a full deterministic reprocess,
+    * so the memory-sink table is the complete answer every run.
+    *
+    * Scale shape: identical to the batch plan — the window aggregate
+    * shuffles (hour, event_type) partials with map-side combine; the
+    * watermark bounds the state store to open windows. At 100 TB the same
+    * query runs incrementally over arriving files instead of draining.
+    */
+  def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries INT64 TIMESTAMP(NANOS) — same raw-long read +
+    // micros truncation as graft.Tables.t, but through readStream (the
+    // batch reader's resolved schema provides the streaming schema)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file streaming source requires a DIRECTORY; select just the
+    // events table out of the scale dir with a name glob
+    val ev = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = graft.streaming.StructuredStreams
+      .windowedEventStats(ev, "1 hour", "1 hour")
+    val sink = "stream_hourly_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete") // re-emit all windows; append would hold
+      // open windows back behind the watermark at end-of-input
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("n_events"),
+        round(col("value_sum"), 2).as("value_sum"))
+      .orderBy("hr", "event_type")
+  }
+
+  val qStreamHourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+      | event_type, count(*) AS n_events, round(sum("value"), 2) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
+  )
+}

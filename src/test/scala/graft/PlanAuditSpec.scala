@@ -28,7 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // q_vocab_coverage broadcasts its single-row corpus total the same way,
   // as does q_zorder_layout's min/max bounds row
   private val crossJoinByDesign =
-    Set("q_cosine_topk", "q_above_avg", "q_mixture_weights",
+    Set("q_cosine_topk", "q_ann_recall", "q_above_avg", "q_mixture_weights",
       "q_vocab_coverage", "q_zorder_layout")
 
   // queries that run their own writes/side effects before returning a

@@ -37,26 +37,32 @@ class LoadOptionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxerror"))
   }
 
+  // suites share the session and run in parallel, so GLOBAL persistent-RDD
+  // counts race other suites' persist/unpersist churn; count only RDDs
+  // whose scan references THIS test's unique temp path
+  private def cachedFor(path: String): Int =
+    spark.sparkContext.getPersistentRDDs.values
+      .count(_.toString.contains(path))
+
   test("withRead releases the maxerror full-parse cache after consumption") {
     val path = writeLines("lo-rel", "1,10.5", "2,oops", "3,30.0")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedFor(path) == 0)
     val n = LoadOptions.withRead(spark, path, "csv",
       Map("maxerror" -> "5"), StructType.fromDDL("id BIGINT, v DOUBLE")) { df =>
-      assert(spark.sparkContext.getPersistentRDDs.size > before) // pinned inside
+      assert(cachedFor(path) > 0) // pinned inside
       df.count()
     }
     assert(n == 2)
-    assert(spark.sparkContext.getPersistentRDDs.size == before) // released
+    assert(cachedFor(path) == 0) // released
   }
 
   test("withRead releases the cache when maxerror is exceeded") {
     val path = writeLines("lo-rel2", "1,oops", "2,bad")
-    val before = spark.sparkContext.getPersistentRDDs.size
     intercept[JobFailure] {
       LoadOptions.withRead(spark, path, "csv",
         Map("maxerror" -> "0"), StructType.fromDDL("id BIGINT, v DOUBLE"))(_.count())
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert(cachedFor(path) == 0)
   }
 
   test("no maxerror: FAILFAST fails on the first bad row") {

@@ -38,6 +38,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(annPairs.subsetOf(exact)) // approximate recall, exact precision
   }
 
+  test("ann recall@10 is bounded, hits never exceed candidates or k") {
+    val rows = Similarity.qAnnRecall(spark, dir).collect()
+    assert(rows.length == 3, "one row per query vector")
+    rows.foreach { r =>
+      val (nCand, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHits <= 10 && nHits <= nCand,
+        s"query ${r.getLong(0)}: $nHits hits, $nCand candidates")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall == math.round(nHits / 10.0 * 10000) / 10000.0)
+    }
+  }
+
+  test("pq encode assigns every non-codebook vector one code per subspace") {
+    val rows = Similarity.qPqEncode(spark, dir).collect()
+    val total = graft.Tables.t(spark, dir, "embeddings").count() - 8
+    val bySubspace = rows.groupBy(_.getLong(0))
+    assert(bySubspace.keySet == (0L until 8L).toSet, "all 8 subspaces present")
+    bySubspace.foreach { case (m, rs) =>
+      assert(rs.map(_.getLong(2)).sum == total, s"subspace $m must cover the corpus")
+      assert(rs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8), "codes are 3-bit")
+    }
+  }
+
+  test("pq adc search ranks 5 ascending-distance hits per query") {
+    val rows = Similarity.qPqSearch(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q must rank 5 hits")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 5L), s"query $q ranks")
+      val ds = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"query $q distances not ascending: ${ds.mkString(",")}")
+      assert(rs.forall(_.getLong(1) >= 8), "hits come from the encoded corpus")
+    }
+  }
+
   test("power-iteration step returns a unit vector matching a driver-side fold") {
     val rows = Similarity.qPowerIteration(spark, dir).collect()
     val dims = rows.map(_.getLong(0))

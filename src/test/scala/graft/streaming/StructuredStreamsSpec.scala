@@ -19,6 +19,22 @@ class StructuredStreamsSpec extends AnyFunSuite {
 
   private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
 
+  test("q_stream_hourly: the streaming window agg equals the batch plan") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.operators.StreamOps.qStreamHourly(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    val batch = graft.Tables.t(spark, dir, "events")
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("value"))
+      .groupBy("hr", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .orderBy("hr", "event_type")
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream(events) must equal batch(events) row for row")
+  }
+
   test("loadAvailableNow drains queue once; re-run loads only new files") {
     val queue = tmp("ss-queue")
     val dest = tmp("ss-dest").resolve("out").toString
