@@ -72,15 +72,23 @@ object ClusterOps {
     * min. Exposed separately so the log-round convergence can be tested
     * on adversarial graphs (long chains) the LSH corpus never produces.
     */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
+      hops: Int = 1): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, hops)._1
 
   /** [[connectedComponents]] plus the number of rounds the loop ran —
     * the observable the O(log diameter) claim is asserted against
     * (ClusterOpsSpec / [[qStressChainClusters]]).
+    *
+    * `hops` = pointer jumps per round. One hop (path halving) already
+    * gives O(log diameter) rounds; extra hops are a constant-factor trade
+    * — each adds a cheap join per round but only pays off when the
+    * diameter is large enough that fewer rounds are bought (the chain
+    * stress passes 3; the LSH dup graph's components are dense and
+    * shallow, so its caller keeps 1 and saves the extra plan cost).
     */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+      pairs: DataFrame, maxIter: Int, hops: Int = 1): (DataFrame, Int) = {
     // undirected edge list, materialized once (reused every round). The
     // graph is the DUPLICATE surface, not the corpus — orders of magnitude
     // smaller — so the iteration runs at a parallelism derived from the
@@ -119,20 +127,17 @@ object ClusterOps {
         .union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
         .localCheckpoint(true)
-      // pointer jumps: relabel through the label's own label, THREE hops
-      // per round. Every lbl value is a node id (by induction from
+      // pointer jumps: relabel through the label's own label, `hops`
+      // times per round. Every lbl value is a node id (by induction from
       // lbl=id), so the lookup side is `agg` itself; left+coalesce keeps
       // the row even if the invariant were ever violated rather than
       // dropping it. Each extra hop is one more narrow join over the
-      // SAME checkpointed tiny frame — nearly free next to the fixed
-      // per-round cost (checkpoint job + probe job), while every hop
-      // shortens the rounds a long chain needs: the per-round jobs are
-      // what dominate wall-clock on adversarial chains
-      // (q_stress_chain_clusters), so trading 2 extra cheap joins for
-      // ~2× fewer rounds wins. `next` itself is NOT checkpointed:
-      // lineage depth stays bounded at three joins because agg is cut
+      // SAME checkpointed tiny frame; on long chains the per-round fixed
+      // cost (checkpoint job + probe job) dominates, so extra hops buy
+      // ~2× fewer rounds cheaply. `next` itself is NOT checkpointed:
+      // lineage depth stays bounded at `hops` joins because agg is cut
       // every round.
-      val next = (1 to 3).foldLeft(
+      val next = (1 to hops).foldLeft(
         agg.select(col("id"), col("lbl"), col("old_lbl"))) { (cur, _) =>
         cur.as("a")
           .join(agg.as("b"), col("a.lbl") === col("b.id"), "left")
@@ -253,7 +258,7 @@ object ClusterOps {
     val pairs = docs.withColumn("nxt", lead("doc_id", 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
-    connectedComponents(pairs, maxIter = 64)
+    connectedComponents(pairs, maxIter = 64, hops = 3)
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .orderBy("cluster_rep")

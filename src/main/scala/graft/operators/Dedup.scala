@@ -350,6 +350,61 @@ object Dedup {
       |  FROM documents) sub
       |ORDER BY doc_id""".stripMargin
 
+  /** Line-level exact dedup (the RefinedWeb/CCNet pass that runs BELOW
+    * document granularity): documents split into non-overlapping 10-word
+    * "lines"; a line occurrence is removed when the same line appears in
+    * more than one document and this document is not the line's keeper
+    * (min doc_id) — boilerplate headers/footers and quoted passages are
+    * exactly what this removes at corpus scale. Output: per-source line
+    * counts, removals, and the retained fraction.
+    *
+    * Scale shape: lines shuffle as 128-bit digests, never as text (the
+    * same width trick as [[qIncrementalDedup]]'s index); one digest-keyed
+    * aggregate (df + keeper, map-side combined) and one digest-keyed join
+    * back — no doc×doc or line×line surface anywhere. The `CASE WHEN
+    * size >= 10` guard matters: Spark's `sequence(1, 0)` yields [1, 0]
+    * (descending), not empty, so short docs must short-circuit explicitly.
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = withWords(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(ws) >= 10 THEN
+          |  transform(sequence(1, size(ws) div 10),
+          |    i -> array_join(slice(ws, (i - 1) * 10 + 1, 10), ' '))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("line"))
+      .select(col("doc_id"), col("source"),
+        md5(encode(col("line"), "UTF-8")).as("h"))
+    val stats = lines.groupBy("h").agg(
+      countDistinct("doc_id").as("n_docs"), min("doc_id").as("keeper"))
+    lines.join(stats, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_docs") > 1 && col("doc_id") =!= col("keeper"), 1L)
+          .otherwise(0L)).as("n_removed"))
+      .select(col("source"), col("n_lines"), col("n_removed"),
+        round((col("n_lines") - col("n_removed")) / col("n_lines").cast("double"), 4)
+          .as("retained4"))
+      .orderBy("source")
+  }
+
+  val qLineDedupOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |l AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(ws[(i - 1) * 10 + 1:i * 10], ' ')) AS h
+      |  FROM w, unnest(generate_series(1, len(ws) // 10)) AS t(i)),
+      |st AS (
+      |  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+      |  FROM l GROUP BY h)
+      |SELECT source, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN n_docs > 1 AND doc_id <> keeper THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_removed,
+      |  round((count(*) - sum(CASE WHEN n_docs > 1 AND doc_id <> keeper
+      |    THEN 1 ELSE 0 END)) / count(*)::DOUBLE, 4) AS retained4
+      |FROM l JOIN st USING (h)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Incremental ingest dedup — the daily-pipeline shape: a new batch
     * (docs with doc_id % 7 == 3 standing in for "today's crawl") is
     * deduplicated against the digest index of everything already ingested.
@@ -390,6 +445,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
+    QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),

@@ -70,7 +70,50 @@ object StreamOps {
       | event_type, count(*) AS n_events, round(sum("value"), 2) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** Stream-static enrichment under the oracle gate: streaming events
+    * join a static user→segment dimension (derived deterministically from
+    * the distinct user surface, segment = user_id % 4) before the
+    * watermarked hourly window — the streaming star-join shape of
+    * [[graft.streaming.StructuredStreams.enrichedSegmentStats]], proven
+    * equal to the batch join + aggregate in DuckDB. The join is size
+    * -chosen, not hinted (see the helper's doc).
+    */
+  def qStreamEnriched(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val ev = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dim = graft.Tables.t(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 4))
+    val agg = graft.streaming.StructuredStreams
+      .enrichedSegmentStats(ev, dim, "1 hour", "1 hour")
+    val sink = "stream_enriched_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("segment"), col("n_events"),
+        round(col("value_sum"), 2).as("value_sum"))
+      .orderBy("hr", "segment")
+  }
+
+  val qStreamEnrichedOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+      | 'seg' || CAST(user_id % 4 AS VARCHAR) AS segment,
+      | count(*) AS n_events, round(sum("value"), 2) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY hr, segment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
+    QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
   )
 }

@@ -69,16 +69,19 @@ object StructuredStreams {
   /** Stream-static enrichment: streaming events join a STATIC dimension
     * frame (user → segment) before a watermarked windowed aggregate. The
     * static side is re-resolved every micro-batch, so a slowly-changing
-    * dimension picks up updates without restarting the query, and it
-    * broadcasts while it fits — the stream never shuffles for the join,
-    * only for the windowed agg. The streaming counterpart of the batch
-    * star-join (q5) shape.
+    * dimension picks up updates without restarting the query. The join is
+    * deliberately UNHINTED: Spark broadcasts the static side while it
+    * measures under the threshold (no stream shuffle for the join, only
+    * for the windowed agg) and falls back to a stream-side-keyed join
+    * when a user dimension has grown data-scale — a `broadcast()` hint
+    * would be mandatory and OOM instead of degrading. The streaming
+    * counterpart of the batch star-join (q5) shape.
     */
   def enrichedSegmentStats(events: DataFrame, dim: DataFrame,
       watermark: String, windowLength: String): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .join(broadcast(dim), Seq("user_id"))
+      .join(dim, Seq("user_id"))
       .groupBy(window(col("ts"), windowLength), col("segment"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum"))
       .select(col("window.start").as("window_start"), col("segment"),

@@ -56,6 +56,12 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(rounds <= logBudget,
       s"$rounds rounds for a $n-chain — pointer jumping is not engaging " +
         s"(budget $logBudget, plain propagation would need ${n - 1})")
+    // extra hops per round (the chain-stress configuration) must buy
+    // strictly fewer rounds on a long chain
+    val (labels3, rounds3) =
+      ClusterOps.connectedComponentsWithRounds(pairs, maxIter = 64, hops = 3)
+    assert(labels3.collect().forall(_.getLong(1) == 0L))
+    assert(rounds3 < rounds, s"3 hops ($rounds3) should beat 1 hop ($rounds)")
   }
 
   test("chain-cluster stress closes each per-source chain completely") {

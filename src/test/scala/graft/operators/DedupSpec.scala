@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Dedup-family invariants not already enforced by the oracle gate. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("line dedup matches an exact driver-side reference at toy scale") {
+    val rows = Dedup.qLineDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side reference: 10-word non-overlapping lines, occurrence
+    // removed iff the line spans >1 doc and this doc is not min(doc_id)
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val occ = docs.flatMap { case (id, src, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length / 10).map(i =>
+        (id, src, ws.slice(i * 10, i * 10 + 10).mkString(" ")))
+    }
+    val byLine = occ.groupBy(_._3).map { case (line, os) =>
+      line -> (os.map(_._1).distinct.size, os.map(_._1).min)
+    }
+    val expected = occ.groupBy(_._2).map { case (src, os) =>
+      val removed = os.count { case (id, _, line) =>
+        val (nDocs, keeper) = byLine(line)
+        nDocs > 1 && id != keeper
+      }
+      src -> (os.size.toLong, removed.toLong)
+    }
+    assert(rows == expected, "per-source line counts and removals must match")
+    assert(rows.values.exists(_._2 > 0), "corpus must exercise real removals")
+  }
+}
