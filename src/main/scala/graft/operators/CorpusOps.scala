@@ -404,8 +404,58 @@ object CorpusOps {
       |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
       |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
 
+  /** Temperature-scaled mixture weights (the multilingual-sampling rule
+    * from the mBERT/XLM-R line of work: w_i ∝ p_i^α with α = 0.7): the
+    * natural token share p_i of each source is exponentiated and
+    * renormalized, flattening the distribution toward small sources, and
+    * each source's epoch count over a fixed token budget (2× the corpus)
+    * falls out as w_i·budget/tokens_i. Two 1-row/|sources|-row aggregates
+    * broadcast back over a 20-row frame — the corpus is scanned exactly
+    * once for the per-source token totals; everything after is
+    * model-sized arithmetic.
+    */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val bySource = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+    val tot = bySource.agg(sum("tokens").as("tot_tokens"))
+    val withP = bySource.crossJoin(broadcast(tot))
+      .withColumn("p", col("tokens") / col("tot_tokens").cast("double"))
+      .withColumn("p_alpha", pow(col("p"), alpha))
+    val z = withP.agg(sum("p_alpha").as("z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("w", col("p_alpha") / col("z"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("p"), 4).as("p"),
+        round(col("w"), 4).as("w"),
+        round(col("w") * 2.0 * col("tot_tokens") / col("tokens"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
+  val qTemperatureMixOracle: String =
+    """WITH by_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens FROM by_source),
+      |with_p AS (
+      |  SELECT b.*, t.tot_tokens,
+      |    b.tokens / CAST(t.tot_tokens AS DOUBLE) AS p,
+      |    power(b.tokens / CAST(t.tot_tokens AS DOUBLE), 0.7) AS p_alpha
+      |  FROM by_source b CROSS JOIN tot t),
+      |z AS (SELECT sum(p_alpha) AS z FROM with_p)
+      |SELECT w.source, w.n_docs, w.tokens,
+      |  round(w.p, 4) AS p,
+      |  round(w.p_alpha / z.z, 4) AS w,
+      |  round(w.p_alpha / z.z * 2.0 * w.tot_tokens / w.tokens, 4) AS epochs
+      |FROM with_p w CROSS JOIN z
+      |ORDER BY w.source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
+    QueryDef("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Incremental-maintenance operators — the three kernels that keep a
+  * long-lived lake table correct as new data arrives, each expressed as
+  * the single-join plan it must be at 100 TB:
+  *
+  *  - MERGE (upsert + delete): one full-outer key-equality join between
+  *    target and change set, CASE-resolved per row. The reference's
+  *    insert-delta job class (jobclass/insert-delta.rb) is the
+  *    DELETE-then-INSERT half of this; MERGE is the general form every
+  *    CDC consumer needs.
+  *  - CDC latest-version compaction: collapse a change stream to the
+  *    newest version per key with a partial-aggregatable max(struct) —
+  *    one shuffle, no per-key sort, unlike the row_number() formulation
+  *    whose window must sort every partition.
+  *  - Bloom-prefiltered incremental dedup: the scale path for
+  *    "new batch vs seen store" when the seen store is huge — a
+  *    register-blocked bloom filter built IN SQL (bit_or of per-digest
+  *    bit masks), broadcast to prefilter the batch, with an exact
+  *    anti-join only over the may-match survivors. Output is exact for
+  *    any hash function (no false negatives by construction), so the
+  *    oracle is the plain anti-join.
+  */
+object LakeOps {
+
+  /** MERGE kernel: a deterministic change set (updates, deletes, inserts
+    * derived from disjoint `o_orderkey % 21` classes) merged into orders
+    * via ONE full-outer join — the canonical MERGE plan. Kept/updated/
+    * inserted rows resolve with CASE on the change op; matched deletes
+    * drop. At 100 TB the join is the only corpus-owning stage (AQE sizes
+    * it; the change side usually broadcasts), and a copy-on-write table
+    * format rewrites only the files the join matched.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val m = col("o_orderkey") % 21
+    // price deltas are exact-in-binary (+100.0), so merge output is
+    // reproducible across engines without per-row rounding
+    val updates = o.filter(m === 0).select(
+      col("o_orderkey").as("key"), lit("U").as("op"),
+      (col("o_totalprice") + 100.0).as("new_price"),
+      col("o_orderpriority").as("new_priority"))
+    val deletes = o.filter(m === 1).select(
+      col("o_orderkey").as("key"), lit("D").as("op"),
+      lit(null).cast("double").as("new_price"),
+      lit(null).cast("string").as("new_priority"))
+    val inserts = o.filter(m === 2).select(
+      (col("o_orderkey") + 100000000L).as("key"), lit("I").as("op"),
+      col("o_totalprice").as("new_price"),
+      col("o_orderpriority").as("new_priority"))
+    val changes = updates.union(deletes).union(inserts)
+    val merged = o.join(changes, o("o_orderkey") === changes("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(col("o_totalprice")).as("price"),
+        coalesce(col("new_priority"), col("o_orderpriority")).as("o_orderpriority"))
+    merged.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price").cast("decimal(30,6)")).cast("double"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qMergeUpsertOracle: String =
+    """WITH changes AS (
+      |  SELECT o_orderkey AS key, 'U' AS op, o_totalprice + 100.0 AS new_price,
+      |         o_orderpriority AS new_priority
+      |  FROM orders WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 21 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 21 = 2),
+      |merged AS (
+      |  SELECT CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+      |              ELSE o.o_totalprice END AS price,
+      |         coalesce(c.new_priority, o.o_orderpriority) AS o_orderpriority
+      |  FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.key
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE), 2) AS total
+      |FROM merged GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Latest-version-per-key CDC compaction over the events change feed:
+    * `max(struct(ts, event_id, …))` picks the newest version (event_id
+    * breaks timestamp ties deterministically) in ONE partial-aggregatable
+    * shuffle — map-side combine collapses each key to a single struct
+    * before the exchange, so a key with a million versions ships one row
+    * per input partition, where the equivalent `row_number() = 1` window
+    * must shuffle and sort every version of every key.
+    */
+  def qCdcLatest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct(col("ts"), col("event_id"),
+          col("event_type"), col("value"))).as("last"))
+      .select(col("user_id"), col("n_versions"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 4).as("last_value"))
+      .orderBy("user_id")
+
+  val qCdcLatestOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_versions
+      |  FROM events)
+      |SELECT user_id, n_versions, event_type AS last_type,
+      |  round(value, 4) AS last_value
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // Register-blocked bloom geometry: 64 blocks x 64 bits, k=2 bit
+  // positions per digest within its block. At 100 TB the block count
+  // scales with the seen store (the mask table stays a bit_or-mergeable
+  // aggregate; broadcasting it costs 8 bytes per block).
+  private val BloomBlocks = 64
+
+  private def block(c: Column): Column = pmod(xxhash64(c), lit(BloomBlocks))
+
+  // both bit positions in one expression so build and probe sides are
+  // textually identical (no false negatives by construction)
+  private def bits(digestCol: String): Column = expr(
+    s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64($digestCol, 1), 64) AS INT)) | " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64($digestCol, 2), 64) AS INT))")
+
+  /** Incremental dedup with a bloom prefilter — the "new batch vs huge
+    * seen store" scale path. The seen store folds to a [[BloomBlocks]]-row
+    * mask table (`bit_or` of per-digest bit pairs — a register-blocked
+    * bloom filter built entirely in codegen'd SQL, no driver-side bloom
+    * object); the batch probes it through an auto-broadcast join and
+    * splits: bloom-negative rows are PROVABLY new (same hashes on both
+    * sides → no false negatives) and skip the join; only may-match rows
+    * pay the exact digest anti-join against the store. False positives
+    * cost extra join input, never wrong output, so the oracle is the
+    * plain anti-join.
+    */
+  def qBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val digests = t(s, dir, "documents")
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("digest"))
+    val seen = digests.filter(col("doc_id") % 2 === 0).select("digest")
+    val batch = digests.filter(col("doc_id") % 2 =!= 0)
+    val bloom = seen
+      .groupBy(block(col("digest")).as("blk"))
+      .agg(bit_or(bits("digest")).as("mask"))
+    val probed = batch
+      .withColumn("blk", block(col("digest")))
+      .withColumn("b", bits("digest"))
+      .join(bloom, Seq("blk"), "left")
+      // an absent block (mask NULL) means no seen digest hashed there
+      .withColumn("might",
+        coalesce(col("mask").bitwiseAND(col("b")) === col("b"), lit(false)))
+    val provablyNew = probed.filter(!col("might")).select("doc_id")
+    val confirmedNew = probed.filter(col("might"))
+      .join(seen, Seq("digest"), "left_anti").select("doc_id")
+    provablyNew.union(confirmedNew).orderBy("doc_id")
+  }
+
+  val qBloomDedupOracle: String =
+    """SELECT b.doc_id FROM documents b
+      |WHERE b.doc_id % 2 <> 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents s
+      |  WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(b.text))
+      |ORDER BY b.doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertOracle)),
+    QueryDef("q_cdc_latest", qCdcLatest, Some(qCdcLatestOracle)),
+    QueryDef("q_bloom_dedup", qBloomDedup, Some(qBloomDedupOracle)),
+  )
+}

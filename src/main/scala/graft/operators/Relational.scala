@@ -543,8 +543,106 @@ object Relational {
       |  count(t_purchase) AS n_purchase_3d
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
 
+  /** Pivot (long → wide): monthly activity value by event type. Spark's
+    * `pivot` with an EXPLICIT value list stays a single hash aggregate
+    * (one conditional-sum column per pivot value, one shuffle of
+    * |months| rows) — without the list Spark first runs a distinct scan
+    * to discover values, an extra corpus pass a 100 TB pipeline
+    * shouldn't pay when the dictionary is known.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(month(col("ts")).as("mnth"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .orderBy("mnth")
+
+  val qPivotOracle: String =
+    """SELECT CAST(month(ts) AS INT) AS mnth,
+      | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+      | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+      | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+      | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+      | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+      |FROM events GROUP BY 1 ORDER BY mnth""".stripMargin
+
+  /** Unpivot (wide → long) via `stack` — the melt side of reshaping, a
+    * pure projection (n output rows per input row, no shuffle beyond the
+    * feeding aggregate). All measures cast to double so the stacked
+    * value column is one type. The avg is computed as exact decimal sum /
+    * count so both engines divide the same two numbers.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double"), 2)
+          .as("total_price"),
+        round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double") /
+          count(lit(1)), 2).as("avg_price"))
+    wide.select(col("o_orderpriority"),
+        expr("stack(3, 'n_orders', n_orders, 'total_price', total_price, " +
+          "'avg_price', avg_price) AS (metric, value)"))
+      .orderBy("o_orderpriority", "metric")
+  }
+
+  val qUnpivotOracle: String =
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+      |      AS total_price,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |      / count(*), 2) AS avg_price
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, metric, value FROM (
+      |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'total_price', total_price FROM wide
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'avg_price', avg_price FROM wide) u
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
+  /** Quantile bucketing with `ntile` + `percent_rank`, PARTITIONED BY
+    * priority so each window sorts only its group (the global-ORDER
+    * variant is a single-partition sort — the one window shape that can
+    * never scale; global quantile cuts at 100 TB come from
+    * `q_approx_quantiles`' mergeable sketch instead). o_orderkey breaks
+    * price ties so both engines rank identically.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(max("pr"), 4).as("max_pr"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  val qNtileOracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice, o_orderkey) AS quartile,
+      |    percent_rank() OVER (PARTITION BY o_orderpriority
+      |                         ORDER BY o_totalprice, o_orderkey) AS pr
+      |  FROM orders)
+      |SELECT o_orderpriority, quartile, count(*) AS n,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  round(max(pr), 4) AS max_pr
+      |FROM ranked GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_retention", qRetention, Some(qRetentionOracle)),
+    QueryDef("q_pivot", qPivot, Some(qPivotOracle)),
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotOracle)),
+    QueryDef("q_ntile", qNtile, Some(qNtileOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Oracle)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle)),

@@ -82,8 +82,55 @@ object StressOps {
       |WHERE round(coalesce(h.overlap_grams, 0) / CAST(t.n_grams AS DOUBLE), 4) >= 0.5
       |ORDER BY t.doc_id""".stripMargin
 
+  // Salt fan-out for the skewed fact side: 8 sub-keys per hot key.
+  private val Salts = 8
+
+  /** Salted skew join — THE join-side skew defense: a fact stream where
+    * one key carries 50% of all rows (every even event lands on key 0)
+    * joined to a per-key dimension. The fact side gets a deterministic
+    * salt (`xxhash64(event_id) % 8`), the dim side is replicated across
+    * all salts via explode, and the join keys on (k, salt) — so the hot
+    * key's rows spread over [[Salts]] shuffle partitions instead of one
+    * straggler task. The merge hint pins sort-merge at toy SF (the
+    * replicated dim would otherwise broadcast, which hides the
+    * demonstration — though at 100 TB broadcasting a small salted dim IS
+    * the other valid defense). Salting is plan-only: the per-key
+    * aggregate is independent of the salt function, so the oracle is the
+    * plain unsalted join.
+    */
+  def qStressSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    // integer measure: the op proves join TOPOLOGY under skew; an exact
+    // integer weighted sum keeps the oracle free of cross-engine
+    // double→decimal rounding at the .005 boundary
+    val fact = t(s, dir, "events").select(
+      expr("CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END").as("k"),
+      col("event_id"), (col("event_id") % 1000).as("measure"))
+    val dim = fact.select("k").distinct()
+      .withColumn("attr", col("k") + 1L)
+    val factS = fact.withColumn("salt", pmod(xxhash64(col("event_id")), lit(Salts.toLong)))
+    val dimS = dim.withColumn("salt",
+      explode(array((0 until Salts).map(i => lit(i.toLong)): _*)))
+    factS.join(dimS.hint("merge"), Seq("k", "salt"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("measure") * col("attr")).as("weighted"))
+      .orderBy("k")
+  }
+
+  val qStressSaltedJoinOracle: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END AS k,
+      |         event_id % 1000 AS measure
+      |  FROM events),
+      |dim AS (SELECT DISTINCT k, k + 1 AS attr FROM fact)
+      |SELECT f.k, count(*) AS n_events,
+      |  CAST(sum(f.measure * d.attr) AS BIGINT) AS weighted
+      |FROM fact f JOIN dim d ON f.k = d.k
+      |GROUP BY f.k ORDER BY f.k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stress_hot_near_dup", qStressHotNearDup, Some(qStressHotNearDupOracle)),
     QueryDef("q_stress_contam_skew", qStressContamSkew, Some(qStressContamSkewOracle)),
+    QueryDef("q_stress_salted_join", qStressSaltedJoin, Some(qStressSaltedJoinOracle)),
   )
 }

@@ -26,10 +26,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // entry here: centroids are driver-held literals, so assignment is a
   // narrow projection with no join at all)
   // q_vocab_coverage broadcasts its single-row corpus total the same way,
-  // as does q_zorder_layout's min/max bounds row
+  // as does q_zorder_layout's min/max bounds row and q_temperature_mix's
+  // two scalar totals (corpus tokens, p^alpha normalizer)
   private val crossJoinByDesign =
     Set("q_cosine_topk", "q_ann_recall", "q_above_avg", "q_mixture_weights",
-      "q_vocab_coverage", "q_zorder_layout")
+      "q_vocab_coverage", "q_zorder_layout", "q_temperature_mix")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

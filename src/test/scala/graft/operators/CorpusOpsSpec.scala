@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Corpus mixing: temperature scaling must renormalize to 1 and flatten
+  * the source distribution (boost rare sources, damp dominant ones).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("temperature mix weights sum to 1 and flatten toward uniform") {
+    val rows = CorpusOps.qTemperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val pSum = rows.map(_._2).sum
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(pSum - 1.0) < 0.01, s"p sums to $pSum")
+    assert(math.abs(wSum - 1.0) < 0.01, s"w sums to $wSum")
+    // α < 1 compresses: sources above uniform share get damped, below get
+    // boosted — w must be strictly between p and uniform on both sides
+    val uniform = 1.0 / rows.length
+    rows.foreach { case (src, p, w, epochs) =>
+      if (p > uniform + 1e-3) assert(w < p, s"$src: dominant source not damped")
+      if (p < uniform - 1e-3) assert(w > p, s"$src: rare source not boosted")
+      assert(epochs > 0, s"$src: non-positive epoch count")
+    }
+  }
+}

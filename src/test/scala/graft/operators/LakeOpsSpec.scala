@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.Tables.t
+
+/** Incremental-maintenance operators: MERGE row accounting, CDC
+  * latest-version semantics vs the window formulation, and the bloom
+  * prefilter's exactness + plan split.
+  */
+class LakeOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("merge upsert preserves row accounting: target - deletes + inserts") {
+    val o = t(spark, dir, "orders")
+    val target = o.count()
+    val deletes = o.filter(col("o_orderkey") % 21 === 1).count()
+    val inserts = o.filter(col("o_orderkey") % 21 === 2).count()
+    val merged = LakeOps.qMergeUpsert(spark, dir).collect()
+    assert(merged.map(_.getLong(1)).sum == target - deletes + inserts)
+  }
+
+  test("merge upsert shifts total price by exactly +100 per updated row") {
+    val o = t(spark, dir, "orders")
+    val updates = o.filter(col("o_orderkey") % 21 === 0)
+    val nUpd = updates.count()
+    // unmerged total over (kept + updated-at-old-price + inserted copies)
+    val baseTotal = o.filter(col("o_orderkey") % 21 =!= 1)
+      .agg(sum(col("o_totalprice").cast("decimal(30,6)"))).collect()(0)
+      .getDecimal(0).doubleValue() +
+      o.filter(col("o_orderkey") % 21 === 2)
+        .agg(sum(col("o_totalprice").cast("decimal(30,6)"))).collect()(0)
+        .getDecimal(0).doubleValue()
+    val mergedTotal = LakeOps.qMergeUpsert(spark, dir).collect()
+      .map(_.getDouble(2)).sum
+    assert(math.abs(mergedTotal - (baseTotal + 100.0 * nUpd)) < 0.5,
+      s"merged $mergedTotal vs expected ${baseTotal + 100.0 * nUpd}")
+  }
+
+  test("cdc latest matches the row_number window formulation") {
+    val viaStruct = LakeOps.qCdcLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    graft.Tables.registerAll(spark, dir)
+    val viaWindow = spark.sql(
+      """SELECT user_id, n_versions, event_type FROM (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(viaStruct == viaWindow)
+  }
+
+  test("bloom dedup equals the plain anti-join and its plan splits the batch") {
+    val viaBloom = LakeOps.qBloomDedup(spark, dir).collect().map(_.getLong(0)).toSeq
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("digest"))
+    val exact = d.filter(col("doc_id") % 2 =!= 0)
+      .join(d.filter(col("doc_id") % 2 === 0).select("digest"),
+        Seq("digest"), "left_anti")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaBloom == exact, "bloom path changed the dedup result")
+    // the prefilter must actually partition the plan: one exact anti-join
+    // (over may-match rows only) unioned with a joinless provably-new leg
+    val plan = LakeOps.qBloomDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no exact anti-join leg:\n$plan")
+    assert(plan.contains("Union"), s"no provably-new fast path:\n$plan")
+  }
+}

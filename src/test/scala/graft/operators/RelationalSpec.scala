@@ -42,4 +42,46 @@ class RelationalSpec extends AnyFunSuite {
       .agg(countDistinct("user_id")).head().getLong(0)
     assert(v == viewUsers)
   }
+
+  test("pivot columns cover the event-type dictionary and totals match") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val df = Relational.qPivot(spark, dir)
+    assert(df.columns.toSeq ==
+      Seq("mnth", "click", "error", "purchase", "signup", "view"))
+    val pivotTotal = df.collect()
+      .flatMap(r => (1 to 5).map(i => if (r.isNullAt(i)) 0.0 else r.getDouble(i)))
+      .sum
+    val rawTotal = graft.Tables.t(spark, dir, "events")
+      .agg(fsum(col("value"))).head().getDouble(0)
+    assert(math.abs(pivotTotal - rawTotal) < 1.0,
+      s"pivot total $pivotTotal vs raw $rawTotal")
+  }
+
+  test("unpivot emits 3 metric rows per priority with stable names") {
+    val rows = Relational.qUnpivot(spark, dir).collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    assert(byPrio.size == 5)
+    byPrio.values.foreach { g =>
+      assert(g.map(_.getString(1)).sorted.toSeq ==
+        Seq("avg_price", "n_orders", "total_price"))
+    }
+  }
+
+  test("ntile produces 4 quartiles per priority with sizes within one") {
+    val rows = Relational.qNtile(spark, dir).collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.foreach { case (prio, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4),
+        s"$prio: missing quartiles")
+      val sizes = g.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$prio: unbalanced ntile $sizes")
+      // quartile price ranges must be non-overlapping and ordered
+      val ordered = g.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3),
+          s"$prio: quartile ranges overlap")
+      case _ => ()
+      }
+    }
+  }
 }
