@@ -443,9 +443,74 @@ object Dedup {
       |FROM batch b LEFT JOIN dup d ON b.source = d.source
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  // Exact-substring span length in words. 8 keeps the toy corpus's
+  // duplicated-span surface non-trivial; production uses ~50 tokens.
+  private val SpanWords = 8
+
+  /** Exact-substring duplication accounting (the span-level analysis from
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": any ≥k-token span shared across documents is duplicated
+    * text): every OVERLAPPING [[SpanWords]]-word span is hashed, spans
+    * whose document frequency exceeds 1 are duplicated, and each doc
+    * reports its duplicated-span fraction — the per-doc signal an exact
+    * substring dedup pass removes. Unlike [[qLineDedup]]'s fixed
+    * non-overlapping lines, overlapping spans catch shared text at ANY
+    * alignment. Spans shuffle as 128-bit md5 digests, never text; the df
+    * count and the per-doc rollup are both map-side combinable hash
+    * aggregates, so the whole op is two digest-keyed shuffles of the
+    * span surface.
+    */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanWords
+    val docs = t(s, dir, "documents")
+    val spans = withWords(docs).select(col("doc_id"),
+        explode(expr(
+          s"""CASE WHEN size(ws) >= $k
+             | THEN transform(sequence(1, size(ws) - ${k - 1}),
+             |                i -> array_join(slice(ws, i, $k), ' '))
+             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("span"))
+      .select(col("doc_id"), md5(encode(col("span"), "UTF-8")).as("h"))
+    val df = spans.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = spans.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(round(col("n_dup_spans") / col("n_spans").cast("double"), 4),
+          lit(0.0)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qSpanDedupOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |spans AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $SpanWords
+      |    THEN list_transform(range(1, len(ws) - ${SpanWords - 2}),
+      |           i -> array_to_string(ws[i:i + ${SpanWords - 1}], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS span
+      |  FROM w),
+      |df AS (
+      |  SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span),
+      |per_doc AS (
+      |  SELECT s.doc_id, count(*) AS n_spans,
+      |    sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+      |  FROM spans s JOIN df USING (span) GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  coalesce(round(p.n_dup_spans / CAST(p.n_spans AS DOUBLE), 4), 0.0)
+      |    AS dup_frac
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
+    QueryDef("q_span_dedup", qSpanDedup, Some(qSpanDedupOracle)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),

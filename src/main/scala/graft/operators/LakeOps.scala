@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -171,9 +172,41 @@ object LakeOps {
       |  WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(b.text))
       |ORDER BY b.doc_id""".stripMargin
 
+  /** SCD Type-2 validity intervals from the change feed: each version of
+    * a key is valid from its own timestamp until the next version's
+    * (`lead` over the per-key window); the newest version stays open
+    * (`is_current`). One shuffle on the key, per-key sort inside the
+    * window — the standard dimension-history build. Durations compare as
+    * floor-of-epoch-seconds deltas so the arithmetic is integer-exact in
+    * both engines.
+    */
+  def qScd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("valid_to").cast("long") - col("ts").cast("long"),
+          lit(-1L)).as("duration_sec"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qScd2IntervalsOracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id
+      |                   ORDER BY ts, event_id) AS valid_to
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  coalesce(CAST(floor(epoch(valid_to)) AS BIGINT) -
+      |           CAST(floor(epoch(valid_from)) AS BIGINT), -1) AS duration_sec,
+      |  valid_to IS NULL AS is_current
+      |FROM iv ORDER BY user_id, event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertOracle)),
     QueryDef("q_cdc_latest", qCdcLatest, Some(qCdcLatestOracle)),
     QueryDef("q_bloom_dedup", qBloomDedup, Some(qBloomDedupOracle)),
+    QueryDef("q_scd2_intervals", qScd2Intervals, Some(qScd2IntervalsOracle)),
   )
 }

@@ -325,8 +325,38 @@ object TextOps {
       |SELECT doc_id, rk, w AS term, tf, df, score
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** One counting pass of BPE vocabulary induction (Sennrich et al. 2016:
+    * each merge iteration counts adjacent symbol pairs corpus-wide and
+    * merges the most frequent): adjacent CHARACTER pairs over every word,
+    * global top-20 by count with a lexicographic tie-break. The pair
+    * explosion is a narrow projection and the count is a map-side
+    * combinable hash aggregate, so each merge iteration is one
+    * |distinct pairs|-row shuffle — the shape that lets the full merge
+    * loop run iteration-per-job at corpus scale.
+    */
+  def qBpeMergeStep(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  val qBpeMergeStepOracle: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> w[i:i + 1])) AS pair
+      |  FROM words WHERE length(w) >= 2)
+      |SELECT pair, count(*) AS cnt FROM pairs
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_bpe_merge_step", qBpeMergeStep, Some(qBpeMergeStepOracle)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageOracle)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),
     QueryDef("q_ngram_freq", qNgramFreq, Some(qNgramFreqOracle)),

@@ -36,4 +36,30 @@ class DedupSpec extends AnyFunSuite {
     assert(rows == expected, "per-source line counts and removals must match")
     assert(rows.values.exists(_._2 > 0), "corpus must exercise real removals")
   }
+
+  test("span dedup bounds hold and exact-duplicate docs are fully duplicated") {
+    val spark = graft.SparkTestBase.spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.qSpanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (n, dup, frac)) =>
+      assert(dup <= n, s"doc $id: dup spans exceed span count")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id: dup_frac $frac out of range")
+    }
+    // any text that appears verbatim in >1 doc must have EVERY span
+    // duplicated in all its copies
+    import org.apache.spark.sql.functions._
+    val dupDocs = graft.Tables.t(spark, dir, "documents")
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0))
+    // (sf0.001 has no verbatim duplicates; the invariant still must hold
+    // for any that exist, and SOME spans must be shared corpus-wide)
+    dupDocs.filter(id => rows(id)._1 > 0).foreach { id =>
+      assert(rows(id)._3 == 1.0, s"exact-duplicate doc $id has dup_frac ${rows(id)._3}")
+    }
+    assert(rows.values.exists(_._3 > 0.0), "no shared spans anywhere in the corpus")
+  }
 }

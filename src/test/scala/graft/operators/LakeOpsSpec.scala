@@ -56,6 +56,20 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(viaStruct == viaWindow)
   }
 
+  test("scd2 intervals: one open version per key, non-negative durations") {
+    val rows = LakeOps.qScd2Intervals(spark, dir).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    val users = t(spark, dir, "events").select("user_id").distinct().count()
+    assert(byUser.size == users)
+    byUser.foreach { case (u, g) =>
+      assert(g.count(_.getBoolean(3)) == 1, s"user $u: != 1 current version")
+      g.filter(!_.getBoolean(3)).foreach(r =>
+        assert(r.getLong(2) >= 0, s"user $u: negative validity duration"))
+      g.filter(_.getBoolean(3)).foreach(r =>
+        assert(r.getLong(2) == -1L, s"user $u: open interval has a duration"))
+    }
+  }
+
   test("bloom dedup equals the plain anti-join and its plan splits the batch") {
     val viaBloom = LakeOps.qBloomDedup(spark, dir).collect().map(_.getLong(0)).toSeq
     val d = t(spark, dir, "documents")
