@@ -443,6 +443,66 @@ object Dedup {
       |FROM batch b LEFT JOIN dup d ON b.source = d.source
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  /** Measured MinHash-LSH quality — recall AND candidate precision of the
+    * banded index against exact ground truth (the audit that justifies
+    * the band/row parameters, run on a sample in production; the twin of
+    * `q_ann_recall` for the text arm). Ground truth at J ≥ 0.8 comes from
+    * the gram-keyed candidate join (a qualifying pair shares ≥ 1 gram by
+    * definition, so the pair surface is bounded by gram df — the
+    * decontamination shape, never all-pairs); both arms then apply the
+    * SAME exact-Jaccard verify, so hits ⊆ truth and recall = hits/truth.
+    */
+  def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOf(t(s, dir, "documents")).persist()
+    val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val truthCand = gramRows.select(col("doc_id").as("doc_a"), col("g"))
+      .join(gramRows.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val bands = bandsOf(sigOf(grams))
+    val lshCand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nTrue = verifyPairs(truthCand, grams, 0.8).agg(count(lit(1)).as("n_true"))
+    val nCand = lshCand.agg(count(lit(1)).as("n_cand"))
+    val nHit = verifyPairs(lshCand, grams, 0.8).agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nCand).crossJoin(nHit)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_true").cast("double"), 4).as("recall"),
+        round(col("n_hit") / col("n_cand").cast("double"), 4).as("precision"))
+  }
+
+  private def recallVerifyCountDuck(candCte: String, as: String): String =
+    s"""SELECT count(*) AS $as FROM $candCte c
+      |JOIN ths ta ON ta.doc_id = c.doc_a
+      |JOIN ths tb ON tb.doc_id = c.doc_b
+      |WHERE round(len(list_intersect(ta.grams, tb.grams)) /
+      |  CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4)
+      |  >= 0.8""".stripMargin
+
+  val qMinhashRecallOracle: String =
+    s"""WITH ${lshCtesDuck()},
+      |gram_rows AS (SELECT doc_id, unnest(grams) AS g FROM ths),
+      |truth_cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM gram_rows a JOIN gram_rows b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id),
+      |lsh_cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+      |   AND a.doc_id < b.doc_id),
+      |t AS (${recallVerifyCountDuck("truth_cand", "n_true")}),
+      |nc AS (SELECT count(*) AS n_cand FROM lsh_cand),
+      |h AS (${recallVerifyCountDuck("lsh_cand", "n_hit")})
+      |SELECT n_true, n_cand, n_hit,
+      |  round(n_hit / CAST(n_true AS DOUBLE), 4) AS recall,
+      |  round(n_hit / CAST(n_cand AS DOUBLE), 4) AS precision
+      |FROM t, nc, h""".stripMargin
+
   // Exact-substring span length in words. 8 keeps the toy corpus's
   // duplicated-span surface non-trivial; production uses ~50 tokens.
   private val SpanWords = 8
@@ -511,6 +571,7 @@ object Dedup {
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
     QueryDef("q_span_dedup", qSpanDedup, Some(qSpanDedupOracle)),
+    QueryDef("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallOracle)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),

@@ -62,4 +62,14 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(rows.values.exists(_._3 > 0.0), "no shared spans anywhere in the corpus")
   }
+
+  test("minhash recall measurement is internally consistent") {
+    val spark = graft.SparkTestBase.spark
+    val r = Dedup.qMinhashRecall(spark, "/root/testdata/sf0.001").head()
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= nTrue, "verified hits cannot exceed ground truth")
+    assert(nHit <= nCand, "verified hits cannot exceed candidates")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
 }
