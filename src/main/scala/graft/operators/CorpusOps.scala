@@ -453,9 +453,40 @@ object CorpusOps {
       |FROM with_p w CROSS JOIN z
       |ORDER BY w.source""".stripMargin
 
+  /** Deterministic distributed reservoir — EXACT-k per stratum (the
+    * eval-set construction primitive: "give me exactly 10 uniform docs
+    * per language, reproducibly"): md5(text) is the random priority,
+    * `row_number` per language keeps the k smallest. Rate-based sampling
+    * ([[qStratifiedSample]]) can't hit an exact count; this can, and
+    * Spark's WindowGroupLimit pushes the rank filter below the sort, so
+    * each partition ships only its local top-k to the per-stratum sort —
+    * the classic distributed-reservoir merge.
+    */
+  def qReservoirSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("priority"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val qReservoirSampleOracle: String =
+    """SELECT lang, rk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(text), doc_id) AS INT) AS rk
+      |  FROM documents) r
+      |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
     QueryDef("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
+    QueryDef("q_reservoir_sample", (s, d) => qReservoirSample(s, d), Some(qReservoirSampleOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),

@@ -196,7 +196,59 @@ object SketchOps {
       |  CAST(sum(s * (pos + 1)) AS BIGINT) AS centroid_checksum
       |FROM dims GROUP BY label ORDER BY label""".stripMargin
 
+  /** Table profiling — the statistics pass behind the reference's
+    * `analyze_if` (ANALYZE delegated to Redshift;
+    * psqldatasource.rb's analyze action) and behind every CBO: per-column
+    * row count, null count, and distinct cardinality over representative
+    * lineitem columns, emitted long-form (one row per column). Exact
+    * `count(DISTINCT)` keeps the oracle deterministic; the production
+    * swap-in is `approx_count_distinct` (one pass, mergeable HLL — shown
+    * in `q_approx_distinct`). One scan computes all columns' profiles;
+    * each distinct count is its own map-side-combinable aggregate.
+    */
+  def qProfileStats(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    val agg = l.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))): _*)
+    val stacked = cols.map(c =>
+      s"'$c', null_$c, dist_$c").mkString(s"stack(${cols.size}, ", ", ", ")")
+    agg.select(col("n_rows"),
+        expr(s"$stacked AS (col_name, n_null, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  val qProfileStatsOracle: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_l_returnflag,
+      |    count(DISTINCT l_returnflag) AS dist_l_returnflag,
+      |    sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS null_l_linestatus,
+      |    count(DISTINCT l_linestatus) AS dist_l_linestatus,
+      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_l_quantity,
+      |    count(DISTINCT l_quantity) AS dist_l_quantity,
+      |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_l_orderkey,
+      |    count(DISTINCT l_orderkey) AS dist_l_orderkey
+      |  FROM lineitem)
+      |SELECT col_name, n_rows,
+      |  CAST(n_null AS BIGINT) AS n_null, CAST(n_distinct AS BIGINT) AS n_distinct
+      |FROM (
+      |  SELECT 'l_returnflag' AS col_name, n_rows, null_l_returnflag AS n_null,
+      |         dist_l_returnflag AS n_distinct FROM a
+      |  UNION ALL SELECT 'l_linestatus', n_rows, null_l_linestatus,
+      |         dist_l_linestatus FROM a
+      |  UNION ALL SELECT 'l_quantity', n_rows, null_l_quantity,
+      |         dist_l_quantity FROM a
+      |  UNION ALL SELECT 'l_orderkey', n_rows, null_l_orderkey,
+      |         dist_l_orderkey FROM a) u
+      |ORDER BY col_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_profile_stats", qProfileStats, Some(qProfileStatsOracle)),
     QueryDef("q_cms_heavy_hitters", qCmsHeavyHitters, Some(qCmsHeavyHittersOracle)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
     QueryDef("q_approx_quantiles", qApproxQuantiles, Some(qApproxQuantilesOracle)),

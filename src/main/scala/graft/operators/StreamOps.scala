@@ -112,8 +112,50 @@ object StreamOps {
       | count(*) AS n_events, round(sum("value"), 2) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY hr, segment""".stripMargin
 
+  /** Streaming twin of [[LakeOps.qCdcLatest]] — the CDC-upsert
+    * materialized view: a non-windowed per-key aggregate
+    * (`max(struct(ts, …))` + version count) maintained by the streaming
+    * engine's state store. Complete mode drains the full view into the
+    * memory sink here; at 100 TB the same query runs in update mode
+    * against a key-value sink, emitting one upsert per changed key per
+    * micro-batch — the latest-version table that downstream consumers
+    * read instead of replaying the feed. State is one struct per key
+    * (bounded by key cardinality), and the map-side partial max collapses
+    * each micro-batch's versions before the shuffle, exactly like the
+    * batch plan.
+    */
+  def qStreamCdcLatest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val ev = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct(col("ts"), col("event_id"),
+          col("event_type"), col("value"))).as("last"))
+    val sink = "stream_cdc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("n_versions"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 4).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  // same answer as the batch CDC compaction — stream == batch == oracle
+  val qStreamCdcLatestOracle: String = LakeOps.qCdcLatestOracle
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
     QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
+    QueryDef("q_stream_cdc_latest", qStreamCdcLatest, Some(qStreamCdcLatestOracle)),
   )
 }

@@ -12,6 +12,19 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("reservoir sample returns exactly k rows per stratum, reproducibly") {
+    val a = CorpusOps.qReservoirSample(spark, dir, k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val byLang = a.groupBy(_._1)
+    byLang.foreach { case (lang, g) =>
+      assert(g.length == 5, s"$lang: expected exactly 5 samples")
+      assert(g.map(_._2).sorted.toSeq == (1 to 5), s"$lang: ranks not 1..5")
+    }
+    val b = CorpusOps.qReservoirSample(spark, dir, k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b, "sample must be deterministic across runs")
+  }
+
   test("temperature mix weights sum to 1 and flatten toward uniform") {
     val rows = CorpusOps.qTemperatureMix(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))

@@ -75,4 +75,19 @@ class SketchOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("profile stats report sane cardinalities per column") {
+    val rows = SketchOps.qProfileStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val total = graft.Tables.t(spark, dir, "lineitem").count()
+    assert(rows.keySet == Set("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"))
+    rows.foreach { case (c, (n, nulls, dist)) =>
+      assert(n == total, s"$c: row count mismatch")
+      assert(nulls + dist <= n + 1, s"$c: impossible null/distinct combination")
+      assert(dist >= 1, s"$c: no distinct values")
+    }
+    assert(rows("l_returnflag")._3 <= 3, "returnflag has 3 flags")
+    assert(rows("l_orderkey")._3 > rows("l_quantity")._3,
+      "orderkey must be higher-cardinality than quantity")
+  }
 }
