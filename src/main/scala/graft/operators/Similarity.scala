@@ -535,6 +535,115 @@ object Similarity {
       |  FROM adc) WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** The FULL IVF-PQ index query — [[qIvfSearch]]'s cell restriction
+    * composed with [[qPqSearch]]'s ADC scoring, i.e. what a production
+    * billion-vector index (FAISS IVFPQ) actually executes: each query
+    * probes its nprobe=2 nearest coarse cells, and ONLY the corpus
+    * vectors assigned to those cells are scored — by summing 8 distance-
+    * table entries per vector (8 bytes of codes read), never the floats.
+    * Scale shape: candidate surface = nprobe/K of the corpus regardless
+    * of corpus size (the IVF term) × 8-byte reads per candidate (the PQ
+    * term); the distance table is queries × 64 fixed-point rows
+    * broadcast, and ranking is the bounded top-k aggregator.
+    */
+  def qIvfPqSearch(s: SparkSession, dir: String, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val en = e.select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+    val scores = centScores(seedCentroids(en))
+    val assigned = en.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), array_max(scores).getField("cent_id").as("cent_id"))
+    val probes = en.filter(col("vec_id") >= 8 && col("vec_id") < 11)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(slice(sort_array(scores, asc = false), 1, nprobe),
+          x => x.getField("cent_id"))).as("cent_id"))
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // ADC distance table for the probe queries — driver-computed with the
+    // same j-order accumulation + fixed point as the encode side
+    val book = pqCodebook(e)
+    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 11)
+      .select("vec_id", "embedding").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dt = (for {
+      (qid, qv) <- queries
+      ((m, c), entries) <- book.groupBy(bc => (bc._1, bc._2)).toSeq
+    } yield {
+      var acc = 0.0
+      entries.sortBy(_._3).foreach { case (_, _, j, y) =>
+        val diff = qv(m * 8 + j).toDouble - y
+        acc += diff * diff
+      }
+      (qid, m, c, math.round(acc * 1000000))
+    }).toDF("query_id", "m", "code", "qd2i")
+    val adc = pqCodes(s, e)
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd2i").as("d2i"))
+    adc.select(col("query_id"), col("vec_id"), col("d2i"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._3.toDouble, r._2))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item._2").as("vec_id"),
+        (-col("item._1")).cast("long").as("d2i"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qIvfPqSearchOracle: String =
+    s"""WITH $pqCodeCtes,
+      |ivfcent AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |cpairs AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN ivfcent c WHERE e.vec_id >= 8),
+      |cscored AS (
+      |  SELECT vec_id, cent_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+      |  FROM cpairs GROUP BY vec_id, cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+      |    FROM cscored) a WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+      |    FROM cscored WHERE vec_id BETWEEN 8 AND 10) p WHERE rk <= 2),
+      |cnd AS (
+      |  SELECT p.query_id, a.vec_id
+      |  FROM probes p JOIN assigned a
+      |    ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id),
+      |q AS (
+      |  SELECT vec_id AS query_id, m.m AS m, j.j AS j,
+      |    (embedding[m.m * 8 + j.j + 1])::DOUBLE AS x
+      |  FROM embeddings, range(8) AS m(m), range(8) AS j(j)
+      |  WHERE vec_id BETWEEN 8 AND 10),
+      |dt AS (
+      |  SELECT q.query_id, q.m, cent.c AS code,
+      |    CAST(round(sum((q.x - cent.y) * (q.x - cent.y)) * 1000000) AS BIGINT) AS qd2i
+      |  FROM q JOIN cent ON cent.m = q.m AND cent.j = q.j
+      |  GROUP BY q.query_id, q.m, cent.c),
+      |adc AS (
+      |  SELECT c2.query_id, code.vec_id, CAST(sum(dt.qd2i) AS BIGINT) AS d2i
+      |  FROM cnd c2
+      |  JOIN code ON code.vec_id = c2.vec_id
+      |  JOIN dt ON dt.query_id = c2.query_id
+      |         AND dt.m = code.m AND dt.code = code.code
+      |  GROUP BY c2.query_id, code.vec_id)
+      |SELECT query_id, vec_id, d2i, rk FROM (
+      |  SELECT query_id, vec_id, d2i,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d2i, vec_id) AS rk
+      |  FROM adc) WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   /** The K=8 seed centroids (first 8 vectors) pulled to the driver — the
     * bounded-row shape every distributed k-means uses between Lloyd
     * iterations (MLlib holds centroids on the driver too): K is a model
@@ -876,6 +985,7 @@ object Similarity {
     QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
     QueryDef("q_pq_encode", qPqEncode, Some(qPqEncodeOracle)),
     QueryDef("q_pq_search", qPqSearch, Some(qPqSearchOracle)),
+    QueryDef("q_ivfpq_search", (s, d) => qIvfPqSearch(s, d), Some(qIvfPqSearchOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
     QueryDef("q_ivf_assign", qIvfAssign, Some(qIvfAssignOracle)),
     QueryDef("q_ivf_search", (s, d) => qIvfSearch(s, d), Some(qIvfSearchOracle)),
