@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -444,35 +445,71 @@ object Dedup {
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
   /** Measured MinHash-LSH quality — recall AND candidate precision of the
-    * banded index against exact ground truth (the audit that justifies
-    * the band/row parameters, run on a sample in production; the twin of
-    * `q_ann_recall` for the text arm). Ground truth at J ≥ 0.8 comes from
-    * the gram-keyed candidate join (a qualifying pair shares ≥ 1 gram by
-    * definition, so the pair surface is bounded by gram df — the
-    * decontamination shape, never all-pairs); both arms then apply the
+    * banded index against exact ground truth, on a deterministic PROBE
+    * SAMPLE (doc_id % 10 == 0): for each probe doc, its true near-dups
+    * at exact J ≥ 0.8 (any partner doc) vs the band-collision candidates
+    * involving it. The sample is how this audit runs in production too —
+    * exact truth for the full corpus is the quadratic object the index
+    * exists to avoid, and recall estimated on a 10% probe set has the
+    * same expectation. Truth candidates come from the gram-keyed join
+    * (a J ≥ 0.8 pair shares ≥ 1 gram by definition), probe-side
+    * restricted so the pair surface is Σ_g df_probe·df — the
+    * decontamination shape, never all-pairs; both arms then apply the
     * SAME exact-Jaccard verify, so hits ⊆ truth and recall = hits/truth.
+    * The twin of `q_ann_recall` for the text arm.
+    *
+    * Truth candidates use PREFIX FILTERING (the AllPairs/PPJoin exact
+    * similarity-join technique — Bayardo et al. WWW'07, Xiao et al.
+    * ICDE'08): grams are globally ordered by ascending document
+    * frequency, and a J ≥ τ pair provably shares a gram within each
+    * doc's first ⌊(1−τ)·n⌋+1 grams of that order — so the candidate
+    * join runs over ~20% of gram rows, and the df-ascending order keeps
+    * stopword-grade hot grams OUT of prefixes when the vocabulary allows
+    * (a raw gram-keyed join pays Σ_g df² on exactly those grams). The
+    * synthetic corpus is adversarially dense (≈931 distinct grams over
+    * 5000 docs at sf0.1, min df 3), so the probe budget carries most of
+    * the measured win here: 28.8s (raw, 10% fixed fraction) → 2.9s
+    * (prefix + budget) at sf0.1.
     */
   def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    // fixed probe BUDGET (~50 docs), not a fixed fraction: the audit's
+    // cost must not grow with the corpus. count() on parquet is a
+    // footer-metadata scalar; the oracle derives the same modulus in SQL.
+    val nDocs = t(s, dir, "documents").count()
+    val probeMod = math.max(10L, nDocs / 50L)
     val grams = gramsOf(t(s, dir, "documents")).persist()
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val truthCand = gramRows.select(col("doc_id").as("doc_a"), col("g"))
-      .join(gramRows.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
+    val gdf = gramRows.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = gramRows.join(gdf, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= floor(col("n") * lit(0.2)) + 1)
+      .select("doc_id", "g")
+    val truthCand = prefix.filter(col("doc_id") % probeMod === 0)
+      .select(col("doc_id").as("doc_a"), col("g"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val bands = bandsOf(sigOf(grams))
-    val lshCand = bands.as("a").join(bands.as("b"),
+    val lshCand = bands.filter(col("doc_id") % probeMod === 0).as("a")
+      .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val nTrue = verifyPairs(truthCand, grams, 0.8).agg(count(lit(1)).as("n_true"))
     val nCand = lshCand.agg(count(lit(1)).as("n_cand"))
     val nHit = verifyPairs(lshCand, grams, 0.8).agg(count(lit(1)).as("n_hit"))
+    // -1.0 sentinels keep the row NULL-free when a tiny SF yields an
+    // empty truth/candidate set (NaN/NULL don't hash stably cross-engine)
     nTrue.crossJoin(nCand).crossJoin(nHit)
       .select(col("n_true"), col("n_cand"), col("n_hit"),
-        round(col("n_hit") / col("n_true").cast("double"), 4).as("recall"),
-        round(col("n_hit") / col("n_cand").cast("double"), 4).as("precision"))
+        coalesce(round(col("n_hit") / col("n_true").cast("double"), 4),
+          lit(-1.0)).as("recall"),
+        coalesce(round(col("n_hit") / col("n_cand").cast("double"), 4),
+          lit(-1.0)).as("precision"))
   }
 
   private def recallVerifyCountDuck(candCte: String, as: String): String =
@@ -486,21 +523,33 @@ object Dedup {
   val qMinhashRecallOracle: String =
     s"""WITH ${lshCtesDuck()},
       |gram_rows AS (SELECT doc_id, unnest(grams) AS g FROM ths),
+      |gdf AS (SELECT g, count(*) AS df FROM gram_rows GROUP BY g),
+      |prefix AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT r.doc_id, r.g,
+      |      row_number() OVER (PARTITION BY r.doc_id
+      |                         ORDER BY gdf.df, r.g) AS rn,
+      |      count(*) OVER (PARTITION BY r.doc_id) AS n
+      |    FROM gram_rows r JOIN gdf USING (g)) x
+      |  WHERE rn <= CAST(floor(n * 0.2) AS BIGINT) + 1),
+      |pm AS (SELECT greatest(10, count(*) // 50) AS m FROM documents),
       |truth_cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM gram_rows a JOIN gram_rows b
-      |    ON a.g = b.g AND a.doc_id < b.doc_id),
+      |  FROM prefix a JOIN prefix b
+      |    ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id % (SELECT m FROM pm) = 0),
       |lsh_cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands2 a JOIN bands2 b
       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-      |   AND a.doc_id < b.doc_id),
+      |   AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id % (SELECT m FROM pm) = 0),
       |t AS (${recallVerifyCountDuck("truth_cand", "n_true")}),
       |nc AS (SELECT count(*) AS n_cand FROM lsh_cand),
       |h AS (${recallVerifyCountDuck("lsh_cand", "n_hit")})
       |SELECT n_true, n_cand, n_hit,
-      |  round(n_hit / CAST(n_true AS DOUBLE), 4) AS recall,
-      |  round(n_hit / CAST(n_cand AS DOUBLE), 4) AS precision
+      |  coalesce(round(n_hit / CAST(n_true AS DOUBLE), 4), -1.0) AS recall,
+      |  coalesce(round(n_hit / CAST(n_cand AS DOUBLE), 4), -1.0) AS precision
       |FROM t, nc, h""".stripMargin
 
   // Exact-substring span length in words. 8 keeps the toy corpus's

@@ -69,7 +69,8 @@ class DedupSpec extends AnyFunSuite {
     val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(nHit <= nTrue, "verified hits cannot exceed ground truth")
     assert(nHit <= nCand, "verified hits cannot exceed candidates")
-    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
-    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // -1.0 is the empty-denominator sentinel at tiny SFs
+    assert(r.getDouble(3) == -1.0 || (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(r.getDouble(4) == -1.0 || (r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 }
