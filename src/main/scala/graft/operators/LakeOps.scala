@@ -203,8 +203,108 @@ object LakeOps {
       |  valid_to IS NULL AS is_current
       |FROM iv ORDER BY user_id, event_id""".stripMargin
 
+  /** Snapshot diff — change-data-feed between two table versions (what
+    * Delta/Iceberg CDF computes from the log; computed here relationally
+    * from the data): v2 is v1 after the [[qMergeUpsert]] change classes,
+    * and the diff classifies every key as inserted / deleted / updated /
+    * unchanged by ONE full-outer key join comparing row digests. At
+    * 100 TB this is the audit that validates a migration or replication
+    * stream — digest compare means wide rows ship as one hash column.
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val m = col("o_orderkey") % 21
+    // v2 = merge result as rows (same change classes as qMergeUpsert)
+    val v2 = o.filter(m =!= 1)
+      .select(col("o_orderkey").as("key"),
+        when(m === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")).as("price"))
+      .union(o.filter(m === 2).select(
+        (col("o_orderkey") + 100000000L).as("key"), col("o_totalprice").as("price")))
+    val v1 = o.select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    // digest a FIXED-POINT rendering: double→string formatting differs
+    // across engines (sci-notation thresholds), decimal(18,2) does not
+    val d1 = v1.select(col("key"),
+      md5(col("price").cast("decimal(18,2)").cast("string")).as("dig1"))
+    val d2 = v2.select(col("key"),
+      md5(col("price").cast("decimal(18,2)").cast("string")).as("dig2"))
+    d1.join(d2, Seq("key"), "full_outer")
+      .select(when(col("dig1").isNull, "inserted")
+        .when(col("dig2").isNull, "deleted")
+        .when(col("dig1") =!= col("dig2"), "updated")
+        .otherwise("unchanged").as("change"))
+      .groupBy("change").agg(count(lit(1)).as("n_keys"))
+      .orderBy("change")
+  }
+
+  val qSnapshotDiffOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderkey % 21 AS m FROM orders),
+      |v1 AS (SELECT o_orderkey AS key, o_totalprice AS price FROM o),
+      |v2 AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN m = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+      |  FROM o WHERE m <> 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_totalprice FROM o WHERE m = 2),
+      |d1 AS (SELECT key, md5(CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR)) AS dig1 FROM v1),
+      |d2 AS (SELECT key, md5(CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR)) AS dig2 FROM v2)
+      |SELECT CASE WHEN dig1 IS NULL THEN 'inserted'
+      |            WHEN dig2 IS NULL THEN 'deleted'
+      |            WHEN dig1 <> dig2 THEN 'updated'
+      |            ELSE 'unchanged' END AS change,
+      |  count(*) AS n_keys
+      |FROM d1 FULL OUTER JOIN d2 USING (key)
+      |GROUP BY 1 ORDER BY change""".stripMargin
+
+  /** Data-quality validation — the dbt-test / Great-Expectations rule
+    * pass every warehouse load runs before publishing: primary-key
+    * uniqueness, referential integrity (anti-join — the only
+    * corpus-owning rule, key-equality shuffled), domain ranges, and
+    * non-negativity, each reported as a violation count. Every rule is
+    * one aggregate over one scan or one anti-join; rules over the same
+    * table share the scan.
+    */
+  def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val pkDup = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n")).select(lit("pk_unique_orderkey").as("rule"), col("n"))
+    val fkOrphan = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("fk_lineitem_orders").as("rule"), col("n"))
+    val qtyRange = l.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .agg(count(lit(1)).as("n")).select(lit("range_quantity_1_50").as("rule"), col("n"))
+    val priceNonNeg = o.filter(col("o_totalprice") <= 0)
+      .agg(count(lit(1)).as("n")).select(lit("positive_totalprice").as("rule"), col("n"))
+    pkDup.union(fkOrphan).union(qtyRange).union(priceNonNeg).orderBy("rule")
+  }
+
+  val qDqChecksOracle: String =
+    """SELECT rule, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'pk_unique_orderkey' AS rule,
+      |    (SELECT count(*) FROM (
+      |       SELECT o_orderkey FROM orders GROUP BY o_orderkey
+      |       HAVING count(*) > 1) d) AS n
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders',
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'range_quantity_1_50',
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'positive_totalprice',
+      |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0)) u
+      |ORDER BY rule""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertOracle)),
+    QueryDef("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffOracle)),
+    QueryDef("q_dq_checks", qDqChecks, Some(qDqChecksOracle)),
     QueryDef("q_cdc_latest", qCdcLatest, Some(qCdcLatestOracle)),
     QueryDef("q_bloom_dedup", qBloomDedup, Some(qBloomDedupOracle)),
     QueryDef("q_scd2_intervals", qScd2Intervals, Some(qScd2IntervalsOracle)),

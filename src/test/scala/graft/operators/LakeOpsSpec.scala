@@ -56,6 +56,28 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(viaStruct == viaWindow)
   }
 
+  test("snapshot diff classes partition the key universe of both versions") {
+    val rows = LakeOps.qSnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = t(spark, dir, "orders")
+    val total = o.count()
+    val ins = o.filter(col("o_orderkey") % 21 === 2).count()
+    val del = o.filter(col("o_orderkey") % 21 === 1).count()
+    val upd = o.filter(col("o_orderkey") % 21 === 0).count()
+    assert(rows.getOrElse("inserted", 0L) == ins)
+    assert(rows.getOrElse("deleted", 0L) == del)
+    assert(rows.getOrElse("updated", 0L) == upd)
+    assert(rows.getOrElse("unchanged", 0L) == total - del - upd)
+  }
+
+  test("dq checks report zero violations on the clean testdata") {
+    val rows = LakeOps.qDqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("pk_unique_orderkey", "fk_lineitem_orders",
+      "range_quantity_1_50", "positive_totalprice"))
+    assert(rows.values.forall(_ == 0L), s"unexpected violations: $rows")
+  }
+
   test("scd2 intervals: one open version per key, non-negative durations") {
     val rows = LakeOps.qScd2Intervals(spark, dir).collect()
     val byUser = rows.groupBy(_.getLong(0))
