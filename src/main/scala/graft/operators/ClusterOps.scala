@@ -270,8 +270,75 @@ object ClusterOps {
       |FROM documents GROUP BY source HAVING count(*) > 1
       |ORDER BY cluster_rep""".stripMargin
 
+  /** Duplicate-cluster SIZE DISTRIBUTION — the histogram every dedup run
+    * reports ("how much of the corpus sits in 2-doc pairs vs 1000-doc
+    * template explosions"): cluster sizes from the same LSH → verify →
+    * connected-components pipeline as [[qDedupClusters]], rolled up to
+    * (size → number of clusters, docs absorbed). Singleton docs (no dup
+    * edge) are counted from the corpus total rather than materialized —
+    * the histogram frame is |distinct sizes| rows. The removal headline
+    * falls out: Σ (size−1)·n_clusters docs are droppable.
+    */
+  def qClusterSizeHist(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val grams = Dedup.gramsOf(docs).persist()
+    val bands = Dedup.bandsOf(Dedup.sigOf(grams)).persist()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = Dedup.verifyPairs(cand, grams, 0.8).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs, maxIter)
+    grams.unpersist(blocking = true)
+    bands.unpersist(blocking = true)
+    val clustered = labels.groupBy("lbl").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    val clusteredDocs = clustered
+      .agg(coalesce(sum(col("size") * col("n_clusters")), lit(0L)).as("n"))
+    val singletons = clusteredDocs
+      .select(lit(1L).as("size"), (lit(nDocs) - col("n")).as("n_clusters"))
+    clustered.union(singletons)
+      .groupBy("size").agg(sum("n_clusters").as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy("size")
+  }
+
+  val qClusterSizeHistOracle: String =
+    s"""WITH RECURSIVE ${Dedup.lshCtesDuck()},
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM (${Dedup.lshVerifySelectDuck("0.8")}) v),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
+      |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |sizes AS (SELECT lbl, count(*) AS size FROM comp GROUP BY lbl),
+      |hist AS (SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size),
+      |singles AS (
+      |  SELECT 1 AS size,
+      |    (SELECT count(*) FROM documents) -
+      |      coalesce((SELECT sum(size * n_clusters) FROM hist), 0) AS n_clusters)
+      |SELECT size, n_clusters, size * n_clusters AS n_docs FROM (
+      |  SELECT CAST(size AS BIGINT) AS size,
+      |    CAST(sum(n_clusters) AS BIGINT) AS n_clusters FROM (
+      |    SELECT size, n_clusters FROM hist
+      |    UNION ALL SELECT size, n_clusters FROM singles) u
+      |  GROUP BY size) f
+      |ORDER BY size""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
+    QueryDef("q_cluster_size_hist", (s, d) => qClusterSizeHist(s, d),
+      Some(qClusterSizeHistOracle)),
     QueryDef("q_cross_dedup", qCrossDedup, Some(qCrossDedupOracle)),
     QueryDef("q_stress_chain_clusters", qStressChainClusters,
       Some(qStressChainClustersOracle)),

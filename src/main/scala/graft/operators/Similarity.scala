@@ -644,6 +644,57 @@ object Similarity {
       |  FROM adc) WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Embedding DRIFT MONITORING — the check a production feature store
+    * runs between a reference window and the current window ("did the
+    * encoder or the data shift?"): per label, the L1 distance between the
+    * two windows' mean vectors. Windows here are the deterministic
+    * vec_id-parity split. All arithmetic is FIXED-POINT (components
+    * ×10000 and rounded before summing; per-dimension mean deltas ×10000
+    * again before the final sum) so the drift score is an
+    * order-independent integer — reproducible under any 100 TB shuffle
+    * partitioning, same trick as [[qKmeansStep]]. One posexplode + one
+    * (label, dim) aggregate + one 64-row-per-label rollup; no joins.
+    */
+  def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2 === 0).as("ref"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), col("ref"), col("pos"),
+        round(col("xf").cast("double") * 10000).cast("long").as("xfix"))
+      .groupBy("label", "pos")
+      .agg(sum(when(col("ref"), col("xfix"))).as("sum_ref"),
+        count(when(col("ref"), lit(1))).as("n_ref"),
+        sum(when(!col("ref"), col("xfix"))).as("sum_cur"),
+        count(when(!col("ref"), lit(1))).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        round(abs(col("sum_ref") / col("n_ref").cast("double") -
+          col("sum_cur") / col("n_cur").cast("double"))).cast("long").as("dfix"))
+      .groupBy("label")
+      .agg(first("n_ref").as("n_ref"), first("n_cur").as("n_cur"),
+        sum("dfix").as("drift_l1_fix"))
+      .orderBy("label")
+
+  val qEmbeddingDriftOracle: String =
+    """WITH comp AS (
+      |  SELECT label, vec_id % 2 = 0 AS ref, i.i AS pos,
+      |    CAST(round((embedding[i.i + 1])::DOUBLE * 10000) AS BIGINT) AS xfix
+      |  FROM embeddings, range(64) AS i(i)),
+      |dims AS (
+      |  SELECT label, pos,
+      |    sum(CASE WHEN ref THEN xfix END) AS sum_ref,
+      |    count(CASE WHEN ref THEN 1 END) AS n_ref,
+      |    sum(CASE WHEN NOT ref THEN xfix END) AS sum_cur,
+      |    count(CASE WHEN NOT ref THEN 1 END) AS n_cur
+      |  FROM comp GROUP BY label, pos
+      |  HAVING count(CASE WHEN ref THEN 1 END) > 0
+      |     AND count(CASE WHEN NOT ref THEN 1 END) > 0)
+      |SELECT label, CAST(min(n_ref) AS BIGINT) AS n_ref,
+      |  CAST(min(n_cur) AS BIGINT) AS n_cur,
+      |  CAST(sum(CAST(round(abs(sum_ref / CAST(n_ref AS DOUBLE) -
+      |    sum_cur / CAST(n_cur AS DOUBLE))) AS BIGINT)) AS BIGINT) AS drift_l1_fix
+      |FROM dims GROUP BY label ORDER BY label""".stripMargin
+
   /** The K=8 seed centroids (first 8 vectors) pulled to the driver — the
     * bounded-row shape every distributed k-means uses between Lloyd
     * iterations (MLlib holds centroids on the driver too): K is a model
@@ -986,6 +1037,7 @@ object Similarity {
     QueryDef("q_pq_encode", qPqEncode, Some(qPqEncodeOracle)),
     QueryDef("q_pq_search", qPqSearch, Some(qPqSearchOracle)),
     QueryDef("q_ivfpq_search", (s, d) => qIvfPqSearch(s, d), Some(qIvfPqSearchOracle)),
+    QueryDef("q_embedding_drift", qEmbeddingDrift, Some(qEmbeddingDriftOracle)),
     QueryDef("q_lsh_buckets", qLshBuckets, Some(qLshBucketsOracle)),
     QueryDef("q_ivf_assign", qIvfAssign, Some(qIvfAssignOracle)),
     QueryDef("q_ivf_search", (s, d) => qIvfSearch(s, d), Some(qIvfSearchOracle)),
