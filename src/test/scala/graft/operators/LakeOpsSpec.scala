@@ -41,6 +41,30 @@ class LakeOpsSpec extends AnyFunSuite {
       s"merged $mergedTotal vs expected ${baseTotal + 100.0 * nUpd}")
   }
 
+  test("merge plan is one full-outer sort-merge join, no extra joins") {
+    val plan = LakeOps.qMergeUpsert(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin FullOuter") ||
+      plan.contains("FullOuter, SortMergeJoin") ||
+      (plan.contains("SortMergeJoin") && plan.contains("FullOuter")),
+      s"expected one full-outer SMJ:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).length == 1,
+      s"MERGE must be exactly one join:\n$plan")
+  }
+
+  test("cdc latest compacts versions map-side before the exchange") {
+    val plan = LakeOps.qCdcLatest(spark, dir)
+      .queryExecution.executedPlan.toString
+    // a partial aggregate (max struct) must appear below the user_id
+    // exchange — the shape that ships one row per key per partition
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(user_id")
+    assert(exchangeIdx >= 0, s"no user_id exchange:\n$plan")
+    val below = plan.substring(exchangeIdx)
+    assert(below.contains("partial_max") || below.contains("partial"),
+      s"no partial aggregate below the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"window formulation crept in:\n$plan")
+  }
+
   test("cdc latest matches the row_number window formulation") {
     val viaStruct = LakeOps.qCdcLatest(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
