@@ -483,9 +483,70 @@ object CorpusOps {
       |  FROM documents) r
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** Per-source token-budget selection ("nucleus" curation): within each
+    * source, documents are ranked by a quality key (distinct-word ratio in
+    * basis points — repetitive docs rank last) and kept while the running
+    * token total stays inside half the source's token budget. This is the
+    * budgeted-selection op a mixture pipeline runs after scoring: "spend
+    * at most X tokens per source, best docs first".
+    *
+    * Determinism: the rank key and the kept rule are INTEGER arithmetic
+    * end to end — `(distinct*10000) div tokens` for quality,
+    * `2*cum <= src_tokens` for the budget, share in basis points — so no
+    * float rounding can reorder the prefix between Spark and the oracle.
+    *
+    * Scale shape: one narrow projection computes tokens/quality, then two
+    * windows partitioned BY SOURCE (a per-source sort — parallel across
+    * sources, spill-backed within one; at 100 TB with few giant sources
+    * the same selection runs against a per-source quality THRESHOLD from
+    * an approx-quantile sketch instead of a full sort — the sketch path
+    * trades exactness for a sort-free plan; the exact form here is what
+    * the oracle can check). Final aggregate is source-sized.
+    */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"), col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("(size(array_distinct(ws)) * 10000L) div size(ws)").as("qbp"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("qbp").desc, col("doc_id"))
+    docs
+      .withColumn("src_tokens", sum("n_tokens").over(bySrc))
+      .withColumn("cum", sum("n_tokens").over(ranked))
+      .withColumn("kept", col("cum") * 2 <= col("src_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        max("src_tokens").as("src_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("share_bp", expr("(kept_tokens * 10000) div src_tokens"))
+      .orderBy("source")
+  }
+
+  val qTokenBudgetOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    (len(list_distinct(ws)) * 10000) // len(ws) AS qbp
+      |  FROM (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |b AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY source) AS src_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY qbp DESC, doc_id) AS cum
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN 2 * cum <= src_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+      |  CAST(sum(CASE WHEN 2 * cum <= src_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(CASE WHEN 2 * cum <= src_tokens THEN n_tokens ELSE 0 END) * 10000
+      |    // max(src_tokens) AS BIGINT) AS share_bp
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
     QueryDef("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
+    QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
     QueryDef("q_reservoir_sample", (s, d) => qReservoirSample(s, d), Some(qReservoirSampleOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),

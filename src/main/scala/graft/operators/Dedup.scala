@@ -616,10 +616,98 @@ object Dedup {
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Content-defined chunking (the rsync/LBFS boundary rule: cut where a
+    * rolling content hash hits `h % divisor == 0`, expected chunk length =
+    * divisor words) followed by chunk-level dedup — the storage-layer
+    * dedup used by dataset versioning systems: because boundaries depend
+    * only on LOCAL content, an insertion early in a document shifts word
+    * positions but re-synchronizes at the next boundary, so all later
+    * chunks still fingerprint identically (fixed-size blocks would all
+    * change — the whole point of CDC chunking over [[qLineDedup]]'s
+    * structural lines).
+    *
+    * The fingerprint is local-position-weighted — Σ h_i·(pos_i−start+1),
+    * computed as `Σ h_i·(pos_i+1) − start·Σ h_i` from plain commutative
+    * SUM aggregates — so it is order-sensitive within the chunk yet
+    * position-invariant across documents (the algebraic trick that avoids
+    * a non-deterministic collect_list concat). Keyed on (fp, n_words) to
+    * shrink collision surface.
+    *
+    * Scale shape: one posexplode + narrow hash projection; the chunk-id
+    * running sum is a per-document window (parallel across docs); chunk
+    * aggregation and the instance/df rollups are map-side-combining hash
+    * aggregates on fingerprint keys — the corpus text never shuffles,
+    * only (doc, chunk) hash rows. Output is a 1-row storage-dedup report.
+    */
+  /** (doc_id, n_words, fp) content-defined chunks of `docs(doc_id, text)`
+    * — the factored kernel of [[qContentChunks]], unit-testable on a
+    * synthetic frame (the resynchronization property needs a controlled
+    * insertion, which the corpus can't stage).
+    */
+  private[operators] def chunkFingerprints(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    val occ = withWords(docs)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .withColumn("h", expr(shingleHashScalar("w")))
+      .withColumn("bnd", when(col("h") % divisor === 0, 1L).otherwise(0L))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    occ.withColumn("chunk", sum("bnd").over(byDoc))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_words"), min("pos").as("start"),
+        sum(expr("h * (CAST(pos AS BIGINT) + 1)")).as("sh_pos"),
+        sum("h").as("sh"))
+      .select(col("doc_id"), col("n_words"),
+        (col("sh_pos") - col("start") * col("sh")).as("fp"))
+  }
+
+  def qContentChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkFingerprints(t(s, dir, "documents"))
+    val stats = chunks.groupBy("fp", "n_words")
+      .agg(count(lit(1)).as("n_inst"), countDistinct("doc_id").as("n_docs"))
+    stats.agg(
+      sum("n_inst").as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"),
+      sum(when(col("n_inst") > 1, (col("n_inst") - 1) * col("n_words"))
+        .otherwise(0L)).as("dup_tokens"),
+      sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared_chunks"))
+      .withColumn("dedup_bp",
+        expr("((total_chunks - distinct_chunks) * 10000) div total_chunks"))
+  }
+
+  val qContentChunksOracle: String =
+    s"""WITH occ AS (
+      |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |hh AS (
+      |  SELECT doc_id, pos, ${shingleHashScalar("w")} AS h FROM occ),
+      |ch AS (
+      |  SELECT doc_id, pos, h,
+      |    sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      |  FROM hh),
+      |agg AS (
+      |  SELECT doc_id, chunk, count(*) AS n_words, min(pos) AS start,
+      |    sum(h * (pos + 1)) AS sh_pos, sum(h) AS sh
+      |  FROM ch GROUP BY doc_id, chunk),
+      |fp AS (
+      |  SELECT doc_id, n_words, sh_pos - start * sh AS fp FROM agg),
+      |st AS (
+      |  SELECT fp, n_words, count(*) AS n_inst,
+      |    count(DISTINCT doc_id) AS n_docs
+      |  FROM fp GROUP BY fp, n_words)
+      |SELECT CAST(sum(n_inst) AS BIGINT) AS total_chunks,
+      |  count(*) AS distinct_chunks,
+      |  CAST(sum(CASE WHEN n_inst > 1 THEN (n_inst - 1) * n_words ELSE 0 END)
+      |    AS BIGINT) AS dup_tokens,
+      |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+      |  CAST((sum(n_inst) - count(*)) * 10000 // sum(n_inst) AS BIGINT) AS dedup_bp
+      |FROM st""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
     QueryDef("q_span_dedup", qSpanDedup, Some(qSpanDedupOracle)),
+    QueryDef("q_content_chunks", qContentChunks, Some(qContentChunksOracle)),
     QueryDef("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallOracle)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_dedup_digest", qDedupDigest, Some(qDedupDigestOracle)),

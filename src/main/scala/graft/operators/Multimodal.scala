@@ -222,11 +222,54 @@ object Multimodal {
       |   len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) % 16 = b)))) AS max_bucket
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** Shannon entropy of the payload byte distribution per codec (over the
+    * same 16 byte buckets as [[qByteHistogram]]) — the compressibility
+    * probe a media pipeline runs to catch mislabeled assets: an
+    * already-compressed payload is near-uniform (entropy → ln 16), a
+    * text-like payload is heavily skewed. Same explode → two-level
+    * hash-agg kernel as the histogram, so the shuffle carries ≤16 rows
+    * per codec partition, never payload bytes; the entropy fold is over
+    * the 16-row bucket frame (the per-codec window is codec-sized).
+    * Rounded to 4 decimals — the bucket probabilities are exact rationals
+    * and the 16-term ln fold is the same precedent as the corpus-LM ops.
+    */
+  def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val bc = assets(s, dir)
+      .select(col("meta.codec").as("codec"),
+        decode(expr(s"substring(payload, ${HeaderBytes + 1}, length(payload) - $HeaderBytes)"),
+          "UTF-8").as("txt"))
+      .select(col("codec"), explode(split(col("txt"), "")).as("ch"))
+      .where(length(col("ch")) === 1)
+      .select(col("codec"), (ascii(col("ch")) % 16).as("bucket"))
+      .groupBy("codec", "bucket").agg(count(lit(1)).as("cnt"))
+    bc.withColumn("total",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("codec")))
+      .groupBy("codec")
+      .agg(max("total").as("total_bytes"),
+        round(-sum(col("cnt") / col("total") * log(col("cnt") / col("total"))), 4)
+          .as("entropy4"))
+      .orderBy("codec")
+  }
+
+  val qEntropyOracle: String =
+    """WITH occ AS (
+      |  SELECT lang AS codec,
+      |    unnest(list_transform(range(1, length(text) + 1),
+      |      i -> ascii(substr(text, i, 1)) % 16)) AS bucket
+      |  FROM documents),
+      |bc AS (SELECT codec, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2),
+      |wt AS (SELECT codec, cnt, sum(cnt) OVER (PARTITION BY codec) AS total FROM bc)
+      |SELECT codec, CAST(max(total) AS BIGINT) AS total_bytes,
+      |  round(-sum(cnt / CAST(total AS DOUBLE) * ln(cnt / CAST(total AS DOUBLE))), 4)
+      |    AS entropy4
+      |FROM wt GROUP BY codec ORDER BY codec""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_mm_decode_stats", qDecodeStats, Some(qDecodeStatsOracle)),
     QueryDef("q_mm_asset_stats", qAssetStats, Some(qAssetStatsOracle)),
     QueryDef("q_mm_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
     QueryDef("q_mm_resize", qResize, Some(qResizeOracle)),
     QueryDef("q_mm_byte_histogram", qByteHistogram, Some(qByteHistogramOracle)),
+    QueryDef("q_mm_entropy", qEntropy, Some(qEntropyOracle)),
   )
 }

@@ -409,6 +409,56 @@ object Relational {
       | count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** Event-rate spike detection over the hourly stream — the monitoring
+    * twin of [[qEventsHourly]]: an hour is a spike when its event count
+    * reaches 2× the trailing-24-hour mean for its type (the "traffic
+    * doubled vs yesterday" alerting rule). The rule and the reported peak
+    * ratio are INTEGER arithmetic end to end (`cnt·24 ≥ 2·sum24`, ratio
+    * in basis points via integer div) — a z-score variant would hang the
+    * oracle hash on windowed-stddev float summation order, which segment
+    * -tree window implementations are free to reassociate.
+    *
+    * Scale shape: the hourly pre-aggregate map-side-combines the event
+    * stream down to (hour × type) rows; the trailing window partitions by
+    * type over that tiny frame; the final rollup is type-sized. The raw
+    * stream is touched exactly once.
+    */
+  def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val trail = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    hourly
+      .withColumn("sum24", sum("cnt").over(trail))
+      .withColumn("nprev", count(lit(1)).over(trail))
+      .filter(col("nprev") === 24) // score only hours with a full trailing day
+      .withColumn("ratio_bp", expr("(cnt * 24 * 10000) div sum24"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(expr("cnt * 24 >= 2 * sum24"), 1L).otherwise(0L)).as("n_spikes"),
+        max("ratio_bp").as("max_ratio_bp"))
+      .orderBy("event_type")
+  }
+
+  val qRateAnomalyOracle: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |trail AS (
+      |  SELECT event_type, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sum24,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nprev
+      |  FROM hourly)
+      |SELECT event_type, count(*) AS n_scored,
+      |  CAST(sum(CASE WHEN cnt * 24 >= 2 * sum24 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_spikes,
+      |  CAST(max((cnt * 24 * 10000) // sum24) AS BIGINT) AS max_ratio_bp
+      |FROM trail WHERE nprev = 24
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** JSON field extraction (reference loads `json 'auto'` via COPY —
     * psqldatasource.rb:413-424; here the scalar-extraction analogue).
     */
@@ -661,6 +711,7 @@ object Relational {
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)),
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
+    QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
     QueryDef("q_string_funcs", qStringFuncs, Some(qStringFuncsOracle)),

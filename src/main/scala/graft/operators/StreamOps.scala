@@ -153,9 +153,73 @@ object StreamOps {
   // same answer as the batch CDC compaction — stream == batch == oracle
   val qStreamCdcLatestOracle: String = LakeOps.qCdcLatestOracle
 
+  /** Stream-stream interval join — the one streaming surface the
+    * stream-static ops above cannot express: view events joined to
+    * purchase events of the SAME user within a 30-minute attribution
+    * window, both sides watermarked, joined on user equality plus an
+    * event-time range. This is the canonical "attribution join" every
+    * clickstream pipeline runs, and the only join shape where BOTH inputs
+    * are unbounded.
+    *
+    * Scale shape: the join shuffles both streams on `user_id` (the
+    * equality key) so matching is per-partition; each side's state store
+    * holds only rows younger than its watermark, so state is bounded by
+    * `delay × arrival rate`, not by history. The watermark here is 31
+    * days because the correctness gate REPLAYS a 30-day history in one
+    * drain (backfill semantics: a delay shorter than the replayed span
+    * would evict one side mid-replay and silently drop matches); a live
+    * deployment sets the business lateness bound (minutes) and state
+    * stays tiny. Inner-join results emit as they match — append mode
+    * never withholds them behind the watermark.
+    *
+    * The streaming query materializes raw pairs; the hourly roll-up is a
+    * batch aggregate over the sink (chaining an aggregate after a
+    * stream-stream join is restricted in append mode, and the roll-up is
+    * not the part under streaming test).
+    */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(tp: String, pfx: String) = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === tp)
+      .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+        col("value").as(s"${pfx}_value"))
+      .withWatermark(s"${pfx}_ts", "31 days")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
+    val sink = "stream_join_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(date_format(date_trunc("hour", col("v_ts")), "yyyy-MM-dd HH:mm:ss").as("hr"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_user")).as("n_users"),
+        round(sum("p_value"), 2).as("value_sum"))
+      .orderBy("hr")
+  }
+
+  val qStreamJoinOracle: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase')
+      |SELECT strftime(date_trunc('hour', v.ts), '%Y-%m-%d %H:%M:%S') AS hr,
+      | count(*) AS n_pairs, count(DISTINCT v.user_id) AS n_users,
+      | round(sum(p."value"), 2) AS value_sum
+      |FROM v JOIN p ON p.user_id = v.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY hr""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
     QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
     QueryDef("q_stream_cdc_latest", qStreamCdcLatest, Some(qStreamCdcLatestOracle)),
+    QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinOracle)),
   )
 }

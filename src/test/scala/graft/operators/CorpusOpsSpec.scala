@@ -42,4 +42,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(epochs > 0, s"$src: non-positive epoch count")
     }
   }
+
+  test("token budget keeps at most half of each source's tokens, best-first") {
+    val rows = CorpusOps.qTokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nKept, srcTokens, keptTokens, shareBp) =>
+      assert(nKept <= nDocs, s"$src: kept more docs than exist")
+      assert(keptTokens * 2 <= srcTokens,
+        s"$src: budget breached ($keptTokens of $srcTokens)")
+      assert(shareBp == keptTokens * 10000 / srcTokens, s"$src: share mismatch")
+      assert(shareBp <= 5000, s"$src: share $shareBp above the 50% budget")
+    }
+    // the budget must actually select somewhere (not degenerate to empty)
+    assert(rows.exists(_._3 > 0), "no source kept any document")
+  }
 }

@@ -73,4 +73,38 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getDouble(3) == -1.0 || (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
     assert(r.getDouble(4) == -1.0 || (r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
+
+  test("content-defined chunks resynchronize after an insertion") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    // doc 2 = doc 1 with two words INSERTED at the front: fixed-size
+    // blocks would shift every boundary; CDC boundaries depend only on
+    // local content, so chunks after the first boundary re-align and
+    // fingerprint identically
+    val base = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"zz qq $base")).toDF("doc_id", "text")
+    val fps = Dedup.chunkFingerprints(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(1)))).toSeq
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    val shared = a.intersect(b).size
+    assert(shared >= a.size - 2,
+      s"insertion must only disturb the first chunk: shared $shared of ${a.size}")
+    assert(shared < a.size, "the prefix chunk itself must differ")
+  }
+
+  test("content-chunk dedup report is internally consistent") {
+    val spark = graft.SparkTestBase.spark
+    val r = Dedup.qContentChunks(spark, "/root/testdata/sf0.001").head()
+    val (total, distinct, dupTok, dedupBp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+    assert(total >= distinct && distinct >= 1)
+    assert(dedupBp >= 0 && dedupBp <= 10000)
+    assert((total == distinct) == (dupTok == 0L))
+    // boundary rule h % 16 == 0 must produce ~16-word expected chunks
+    val words = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    val avg = words.toDouble / total
+    assert(avg > 4 && avg < 64, s"average chunk length $avg far from divisor 16")
+  }
 }

@@ -56,4 +56,17 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sampled == (n + 3) / 4, s"every 4th of $n frames: got $sampled")
     }
   }
+
+  test("payload entropy is bounded by ln(16) and totals match the corpus") {
+    val totalChars = graft.Tables.t(spark, dir, "documents")
+      .selectExpr("sum(length(text))").head().getLong(0)
+    val rows = Multimodal.qEntropy(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == totalChars, "byte totals must cover the corpus")
+    rows.foreach { case (codec, _, h) =>
+      assert(h > 0 && h <= math.log(16.0) + 1e-9,
+        s"$codec: entropy $h outside (0, ln 16]")
+    }
+  }
 }

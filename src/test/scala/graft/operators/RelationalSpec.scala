@@ -84,4 +84,23 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rate anomaly scores only hours with a full trailing day") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val hourly = graft.Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .count().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Relational.qRateAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tp, nScored, nSpikes, maxBp) =>
+      assert(nScored == hourly(tp) - 24,
+        s"$tp: scored $nScored of ${hourly(tp)} hours (first 24 must be skipped)")
+      assert(nSpikes <= nScored, s"$tp: more spikes than scored hours")
+      assert(maxBp > 0, s"$tp: non-positive peak ratio")
+      // a spike needs ratio >= 2x => max ratio must agree with the count
+      assert((nSpikes > 0) == (maxBp >= 20000), s"$tp: spike count vs peak ratio")
+    }
+  }
 }

@@ -35,6 +35,29 @@ class StructuredStreamsSpec extends AnyFunSuite {
       "stream(events) must equal batch(events) row for row")
   }
 
+  test("q_stream_join: the stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.operators.StreamOps.qStreamJoin(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    val ev = graft.Tables.t(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val batch = v.join(p,
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
+      .groupBy(date_format(date_trunc("hour", col("v_ts")), "yyyy-MM-dd HH:mm:ss").as("hr"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_user")).as("n_users"),
+        round(sum("p_value"), 2).as("value_sum"))
+      .orderBy("hr")
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream-stream join must equal the batch interval join row for row")
+  }
+
   test("loadAvailableNow drains queue once; re-run loads only new files") {
     val queue = tmp("ss-queue")
     val dest = tmp("ss-dest").resolve("out").toString
