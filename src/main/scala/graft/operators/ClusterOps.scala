@@ -335,6 +335,78 @@ object ClusterOps {
       |  GROUP BY size) f
       |ORDER BY size""".stripMargin
 
+  /** Triangle count + transitivity of the near-dup graph — the graph
+    * -structure audit AFTER pairwise detection: a dup graph whose edges
+    * close into triangles is genuine duplication (A~B~C~A), while a
+    * triangle-free high-degree graph is LSH noise around hub documents;
+    * pipelines use transitivity to tune the verify threshold. Edges are
+    * the verified embedding near-dup pairs (cos ≥ 0.3, per label cell).
+    *
+    * Node-iterator shape on the ORIENTED edge list (a < b): each wedge
+    * (a<b<c) materializes exactly once through the b-keyed edge-edge
+    * equi-join, and the closing-edge check is a semi-join — no triangle
+    * is counted twice and no all-pairs surface exists. Wedge counts come
+    * from a degree aggregate, not enumeration. At 100 TB the join
+    * surface is Σ_b deg(b)², bounded because a cos threshold caps
+    * near-dup neighborhoods — the dup graph is sparse by construction
+    * (and the standard degree-cap pre-filter drops hub nodes first).
+    * Transitivity is reported in integer basis points: 3·triangles /
+    * wedges.
+    */
+  def qDupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.qEmbeddingNearDup(s, dir)
+      .select(col("label"), col("id_a").as("a"), col("id_b").as("b"))
+    val deg = edges.select(col("label"), col("a").as("id"))
+      .union(edges.select(col("label"), col("b").as("id")))
+      .groupBy("label", "id").agg(count(lit(1)).as("deg"))
+    val wedges = deg.groupBy("label")
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val tri = edges.as("x").join(edges.as("y"),
+        col("x.label") === col("y.label") && col("x.b") === col("y.a"))
+      .select(col("x.label").as("wlbl"), col("x.a").as("wa"), col("y.b").as("wc"))
+      .join(edges.as("z"), col("wlbl") === col("z.label") &&
+        col("wa") === col("z.a") && col("wc") === col("z.b"), "left_semi")
+      .groupBy(col("wlbl").as("label")).agg(count(lit(1)).as("n_triangles"))
+    edges.groupBy("label").agg(count(lit(1)).as("n_edges"))
+      .join(wedges, Seq("label"))
+      .join(tri, Seq("label"), "left")
+      .select(col("label"), col("n_edges"), col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("trans_bp", expr(
+        "CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 10000) div n_wedges ELSE 0 END"))
+      .orderBy("label")
+  }
+
+  val qDupTrianglesOracle: String =
+    """WITH pairs AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT label, id_a, id_b,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY label, id_a, id_b),
+      |e AS (SELECT label, id_a AS a, id_b AS b FROM scored WHERE cos_sim >= 0.3),
+      |deg AS (
+      |  SELECT label, id, count(*) AS deg FROM (
+      |    SELECT label, a AS id FROM e UNION ALL SELECT label, b FROM e) u
+      |  GROUP BY label, id),
+      |w AS (SELECT label, sum((deg * (deg - 1)) // 2) AS n_wedges FROM deg GROUP BY label),
+      |tr AS (
+      |  SELECT x.label, count(*) AS n_triangles
+      |  FROM e x JOIN e y ON x.label = y.label AND x.b = y.a
+      |  JOIN e z ON z.label = x.label AND z.a = x.a AND z.b = y.b
+      |  GROUP BY x.label),
+      |ne AS (SELECT label, count(*) AS n_edges FROM e GROUP BY label)
+      |SELECT ne.label, ne.n_edges, CAST(w.n_wedges AS BIGINT) AS n_wedges,
+      |  CAST(coalesce(tr.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CAST(CASE WHEN w.n_wedges > 0
+      |       THEN (3 * coalesce(tr.n_triangles, 0) * 10000) // w.n_wedges
+      |       ELSE 0 END AS BIGINT) AS trans_bp
+      |FROM ne JOIN w USING (label) LEFT JOIN tr ON tr.label = ne.label
+      |ORDER BY ne.label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
     QueryDef("q_cluster_size_hist", (s, d) => qClusterSizeHist(s, d),
@@ -342,5 +414,6 @@ object ClusterOps {
     QueryDef("q_cross_dedup", qCrossDedup, Some(qCrossDedupOracle)),
     QueryDef("q_stress_chain_clusters", qStressChainClusters,
       Some(qStressChainClustersOracle)),
+    QueryDef("q_dup_triangles", qDupTriangles, Some(qDupTrianglesOracle)),
   )
 }

@@ -301,6 +301,110 @@ object LakeOps {
       |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0)) u
       |ORDER BY rule""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view law: an
+    * aggregate over (state ∪ delta) equals the MERGE of the two partial
+    * aggregates, because count/sum/min/max form commutative monoids
+    * (avg derives from sum/count). Here the orders table is split into a
+    * "state" batch and a "delta" batch (`o_orderkey % 5`), each partially
+    * aggregated, and the partials merged — the oracle recomputes from the
+    * full table, proving merge == recompute.
+    *
+    * Scale shape: this is WHY a 100 TB rollup never re-reads history —
+    * each refresh aggregates only the delta (map-side combined) and
+    * merges group-count-sized partials. Sums run in DECIMAL so partial
+    * association is exact (double sums would hash-diverge on merge
+    * order); the merge itself is a group-keyed aggregate over 2×groups
+    * rows.
+    */
+  def qDeltaAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).as("s"),
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    val state = partial(o.filter(col("o_orderkey") % 5 =!= 0))
+    val delta = partial(o.filter(col("o_orderkey") % 5 === 0))
+    state.union(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_rows"),
+        sum("s").as("s"), min("mn").as("min_price"), max("mx").as("max_price"))
+      .select(col("o_orderpriority"), col("n_rows"),
+        round(col("s").cast("double"), 2).as("total"),
+        col("min_price"), col("max_price"),
+        round(col("s").cast("double") / col("n_rows"), 4).as("avg4"))
+      .orderBy("o_orderpriority")
+  }
+
+  // the oracle recomputes from scratch: merge-of-partials == full recompute
+  val qDeltaAggOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg4
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** GDPR delete propagation ("right to be forgotten"): a forget-set of
+    * customers cascades through the foreign-key chain — their orders die
+    * with them, and lineitems die with those orders. Reported as a
+    * per-table deletion audit (before/deleted/after), which is the
+    * compliance artifact the actual delete job writes.
+    *
+    * Scale shape: pure key propagation — each hop is an equi-join whose
+    * right side is the PREVIOUS hop's key set (forget-set-sized, 1/97 of
+    * customers; AQE broadcasts it while small, shuffles when not). The
+    * fact tables are each scanned once and never pair with anything
+    * larger than the propagated key set. The delete itself at 100 TB is
+    * the same semi-join driving a copy-on-write file rewrite.
+    */
+  def qDeletePropagation(s: SparkSession, dir: String): DataFrame = {
+    val forget = t(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val orders = t(s, dir, "orders")
+    val deadOrders = orders
+      .join(forget, orders("o_custkey") === forget("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val custRows = t(s, dir, "customer")
+      .select(lit("customer").as("tbl"), (col("c_custkey") % 97 === 0).as("dead"))
+    val orderRows = orders
+      .join(forget, orders("o_custkey") === forget("c_custkey"), "left_outer")
+      .select(lit("orders").as("tbl"), forget("c_custkey").isNotNull.as("dead"))
+    val li = t(s, dir, "lineitem")
+    val liRows = li
+      .join(deadOrders, li("l_orderkey") === deadOrders("o_orderkey"), "left_outer")
+      .select(lit("lineitem").as("tbl"), deadOrders("o_orderkey").isNotNull.as("dead"))
+    custRows.union(orderRows).union(liRows)
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("rows_before"),
+        sum(when(col("dead"), 1L).otherwise(0L)).as("rows_deleted"))
+      .withColumn("rows_after", col("rows_before") - col("rows_deleted"))
+      .orderBy("tbl")
+  }
+
+  val qDeletePropagationOracle: String =
+    """WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |dead_orders AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+      |u AS (
+      |  SELECT 'customer' AS tbl, count(*) AS rows_before,
+      |    sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS rows_deleted
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem', count(*),
+      |    sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dead_orders)
+      |        THEN 1 ELSE 0 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', count(*),
+      |    sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM forget)
+      |        THEN 1 ELSE 0 END)
+      |  FROM orders)
+      |SELECT tbl, rows_before, CAST(rows_deleted AS BIGINT) AS rows_deleted,
+      |  CAST(rows_before - rows_deleted AS BIGINT) AS rows_after
+      |FROM u ORDER BY tbl""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertOracle)),
     QueryDef("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffOracle)),
@@ -308,5 +412,7 @@ object LakeOps {
     QueryDef("q_cdc_latest", qCdcLatest, Some(qCdcLatestOracle)),
     QueryDef("q_bloom_dedup", qBloomDedup, Some(qBloomDedupOracle)),
     QueryDef("q_scd2_intervals", qScd2Intervals, Some(qScd2IntervalsOracle)),
+    QueryDef("q_delta_agg", qDeltaAgg, Some(qDeltaAggOracle)),
+    QueryDef("q_delete_propagation", qDeletePropagation, Some(qDeletePropagationOracle)),
   )
 }

@@ -244,10 +244,50 @@ object LayoutOps {
       |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  /** Schema evolution: a table whose early files were written BEFORE a
+    * column existed (here: a `v1` batch without `source`, a `v2` batch
+    * with it) read back as ONE table via `mergeSchema` — Spark unions the
+    * parquet footers and null-fills the missing column, exactly how a
+    * long-lived lake table absorbs additive schema change without
+    * rewriting history. The aggregate proves the semantics: legacy rows
+    * surface with NULL `source`, evolved rows keep theirs, and nothing
+    * is dropped or duplicated.
+    *
+    * Scale shape: footer-merge is metadata work; each file group is
+    * still scanned with its OWN pruned schema (the v1 scan never reads a
+    * `source` column that isn't there). The cost to avoid at 100 TB is
+    * the history rewrite — which this op exists to not do.
+    */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_schema_evo", dir)
+    val d = t(s, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+    d.filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "lang", "n_chars", "source")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("chars"))
+      .orderBy("lang")
+  }
+
+  val qSchemaEvolutionOracle: String =
+    """SELECT lang, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+      |  count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN source END) AS n_sources,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),
     QueryDef("q_partition_prune", qPartitionPrune, Some(qPartitionPruneOracle)),
     QueryDef("q_compaction", qCompaction, Some(qCompactionOracle)),
     QueryDef("q_zorder_layout", qZorderLayout, Some(qZorderLayoutOracle)),
+    QueryDef("q_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionOracle)),
   )
 }

@@ -133,4 +133,32 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(freqs.forall(_ <= total))
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("triangle counts match a brute-force check on the collected graph") {
+    import org.apache.spark.sql.functions.col
+    val reported = ClusterOps.qDupTriangles(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val edges = graft.operators.Similarity.qEmbeddingNearDup(spark, dir)
+      .select(col("label"), col("id_a"), col("id_b")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byLabel = edges.groupBy(_._1)
+    assert(reported.keySet == byLabel.keySet)
+    byLabel.foreach { case (lbl, es) =>
+      val eset = es.map(e => (e._2, e._3)).toSet
+      val nodes = eset.flatMap(e => Seq(e._1, e._2))
+      val deg = nodes.toSeq.map(n => eset.count(e => e._1 == n || e._2 == n))
+      val wedges = deg.map(d => d.toLong * (d - 1) / 2).sum
+      val tris = (for {
+        (a, b) <- eset; (b2, c) <- eset if b2 == b && eset((a, c))
+      } yield (a, b, c)).size.toLong
+      val (nE, nW, nT, bp) = reported(lbl)
+      assert(nE == eset.size, s"label $lbl: edge count")
+      assert(nW == wedges, s"label $lbl: wedge count")
+      assert(nT == tris, s"label $lbl: triangle count")
+      assert(bp == (if (wedges > 0) 3 * tris * 10000 / wedges else 0L),
+        s"label $lbl: transitivity")
+      assert(3 * nT <= nW, s"label $lbl: closed wedges exceed wedges")
+    }
+  }
 }

@@ -132,4 +132,37 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"no exact anti-join leg:\n$plan")
     assert(plan.contains("Union"), s"no provably-new fast path:\n$plan")
   }
+
+  test("delta agg: merged partials equal the one-shot aggregate") {
+    val merged = LakeOps.qDeltaAgg(spark, dir).collect().map(_.toSeq).toSeq
+    val oneShot = t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double"), 2).as("total"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+        round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double") /
+          count(lit(1)), 4).as("avg4"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(merged == oneShot, "partial-merge must equal full recompute")
+  }
+
+  test("delete propagation cascades the full FK chain, nothing more") {
+    val rows = LakeOps.qDeletePropagation(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.values.foreach { case (before, deleted, after) =>
+      assert(after == before - deleted && deleted >= 0)
+    }
+    // recompute the cascade independently and compare the deleted counts
+    val forget = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    assert(rows("customer")._2 == forget.count())
+    val deadOrders = t(spark, dir, "orders")
+      .join(forget, col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(rows("orders")._2 == deadOrders.count())
+    val deadLi = t(spark, dir, "lineitem")
+      .join(deadOrders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(rows("lineitem")._2 == deadLi.count())
+  }
 }

@@ -100,4 +100,17 @@ class LayoutOpsSpec extends AnyFunSuite {
       assert(ye <= yBound, s"file ${r.getLong(0)}: y extent $ye > $yBound")
     }
   }
+
+  test("schema evolution null-fills legacy rows and loses nothing") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.t(spark, dir, "documents")
+    val rows = LayoutOps.qSchemaEvolution(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == d.count(), "row count must survive evolution")
+    val legacy = d.filter(col("doc_id") % 2 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == legacy,
+      "every pre-evolution row must surface with NULL source")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1, s"${r.getString(0)}: evolved rows lost their source")
+    }
+  }
 }

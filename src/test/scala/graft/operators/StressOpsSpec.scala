@@ -37,4 +37,38 @@ class StressOpsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), s"expected pinned SMJ:\n$plan")
     assert(plan.contains("salt"), s"salt key absent from the plan:\n$plan")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the OTHER skew defense (vs manual salting): AQE detects the
+    // oversized shuffle partition at stage boundary and splits it into
+    // parallel sub-reads. Thresholds are lowered so the toy skew (50% of
+    // rows on one key) crosses them; broadcast is disabled so the join
+    // stays a shuffle join, the shape AQE skew handling applies to.
+    val s = spark
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = tuned.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.range(0, 60000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = s.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS plan (count() would build a separate QueryExecution
+      // and leave this one un-finalized) so AQE finalizes it
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 }
