@@ -22,11 +22,11 @@ object Bench {
     //     nothing in between guarantees the timed run hits the cache
     //     instead of paying a fresh Janino compile (~1-7s for the
     //     widest plans).
-    // Residual known cost: the re-warm runs the sf0.001 plan, so a code
-    // path that only materializes at sf scale (e.g. an AQE skew-split
-    // variant that never triggers on the tiny warm input) still compiles
-    // inside its timed window — the warmup excludes the bulk of codegen,
-    // not all of it, for exactly the heaviest queries.
+    // A code path that only materializes at sf scale (e.g. an AQE
+    // skew-split variant that never triggers on the tiny warm input)
+    // still compiles inside the FIRST timed run — but min-of-2 below
+    // means the second run, which hits the cached classes, is the one
+    // reported, so sf-only codegen never lands in the published number.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }

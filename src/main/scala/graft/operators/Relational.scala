@@ -392,6 +392,48 @@ object Relational {
       |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Native dynamic-gap sessionization via `session_window` — the
+    * idiomatic Spark twin of [[qSessionize]]'s lag+cumsum formulation,
+    * and the form that also runs incrementally under Structured
+    * Streaming (the state store merges overlapping windows). Semantics
+    * are HALF-OPEN: an event's window is [t, t+gap), so a successor at
+    * exactly t+gap starts a NEW session — the oracle mirrors this with
+    * `diff >= gap` where [[qSessionize]]'s convention is `diff > gap`
+    * (the two agree on this corpus; the boundary differs only on an
+    * exact-gap tie).
+    *
+    * Scale shape: one user-keyed shuffle; Spark sorts each user's events
+    * and merges windows in a single pass — same cost envelope as the lag
+    * window, but expressed as an aggregate, so it composes with
+    * streaming state and partial output modes.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n").as("max_session_events"),
+        sum("n").as("n_events"))
+      .orderBy("user_id")
+
+  val qSessionWindowOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN prev_ts IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g),
+      |per AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY user_id, sess)
+      |SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
+      |  CAST(sum(n) AS BIGINT) AS n_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Event-time hourly aggregation with JSON extraction from props. */
   def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -712,6 +754,7 @@ object Relational {
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
     QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
+    QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowOracle)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
     QueryDef("q_string_funcs", qStringFuncs, Some(qStringFuncsOracle)),

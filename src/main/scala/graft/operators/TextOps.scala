@@ -207,6 +207,59 @@ object TextOps {
     * is a TakeOrdered over the (bounded) distinct-gram surface, never a
     * global sort of the corpus.
     */
+  /** PMI collocation extraction — the corpus-statistics pass behind
+    * multi-word vocabulary entries and phrase-aware tokenizers: adjacent
+    * word pairs scored by pointwise mutual information,
+    * ln(c12·N / (c1·c2)), keeping pairs seen ≥ 5 times, top-20 with
+    * deterministic tie-break. High-PMI pairs co-occur far above chance —
+    * the collocations worth fusing into one token.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combining hash
+    * aggregates over the exploded surface; the two enrichment joins are
+    * VOCABULARY-keyed (w1/w2) and unhinted — AQE broadcasts the unigram
+    * side while it measures small, shuffles when a web-scale vocab
+    * doesn't. The total is a 1-row aggregate broadcast back (the
+    * scalar-subquery idiom), the df ≥ 5 filter prunes the pair surface
+    * BEFORE both joins, and the top-20 is a TakeOrdered, never a global
+    * sort.
+    */
+  def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+    val pairs = docs.select(explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          | (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = pc.agg(sum("c12").as("n_pairs"))
+    pc.filter(col("c12") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12") * col("n_pairs") / (col("c1") * col("c2"))), 4).as("pmi4"))
+      .orderBy(col("pmi4").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val qPmiOracle: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      |  FROM w),
+      |pc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+      |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+      |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pairs FROM pc)
+      |SELECT pc.w1, pc.w2, pc.c12,
+      |  round(ln(pc.c12 * t.n_pairs / (u1.c * u2.c)), 4) AS pmi4
+      |FROM pc CROSS JOIN tot t
+      |JOIN uni u1 ON u1.w = pc.w1
+      |JOIN uni u2 ON u2.w = pc.w2
+      |WHERE pc.c12 >= 5
+      |ORDER BY pmi4 DESC, pc.w1, pc.w2 LIMIT 20""".stripMargin
+
   def qNgramFreq(s: SparkSession, dir: String): DataFrame =
     Dedup.gramsOf(t(s, dir, "documents"))
       .select(explode(col("grams")).as("gram"))
@@ -356,6 +409,7 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_pmi", qPmi, Some(qPmiOracle)),
     QueryDef("q_bpe_merge_step", qBpeMergeStep, Some(qBpeMergeStepOracle)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageOracle)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),

@@ -31,7 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val crossJoinByDesign =
     Set("q_cosine_topk", "q_ann_recall", "q_above_avg", "q_mixture_weights",
       "q_vocab_coverage", "q_zorder_layout", "q_temperature_mix",
-      "q_minhash_recall")
+      "q_minhash_recall", "q_pmi")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
