@@ -22,6 +22,24 @@ import graft.QueryDef
   */
 object StreamOps {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = 8, restoring the
+    * session value after. A stateful streaming query materializes ONE
+    * state-store instance (+ its checkpoint files) PER shuffle partition
+    * per stateful operator; at the correctness gate's data volume the
+    * batch-sized 32 leaves every store nearly empty while paying 32
+    * stores' worth of checkpoint IO per micro-batch. 8 amortizes that
+    * without changing results (the partition count is sealed into each
+    * fresh checkpoint, so this never conflicts with a resumed query). A
+    * production deployment sizes this to throughput, not to the batch
+    * session default.
+    */
+  private def withStreamPartitions[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, saved)
+  }
+
   /** Streaming twin of [[Relational.qEventsHourly]]: hourly event counts
     * and value sums computed by a watermarked tumbling-window streaming
     * aggregate drained with `Trigger.AvailableNow` (no distinct-count —
@@ -34,7 +52,7 @@ object StreamOps {
     * watermark bounds the state store to open windows. At 100 TB the same
     * query runs incrementally over arriving files instead of draining.
     */
-  def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+  def qStreamHourly(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     // events.parquet carries INT64 TIMESTAMP(NANOS) — same raw-long read +
     // micros truncation as graft.Tables.t, but through readStream (the
     // batch reader's resolved schema provides the streaming schema)
@@ -78,7 +96,7 @@ object StreamOps {
     * equal to the batch join + aggregate in DuckDB. The join is size
     * -chosen, not hinted (see the helper's doc).
     */
-  def qStreamEnriched(s: SparkSession, dir: String): DataFrame = {
+  def qStreamEnriched(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val ev = s.readStream.schema(rawSchema)
@@ -124,7 +142,7 @@ object StreamOps {
     * each micro-batch's versions before the shuffle, exactly like the
     * batch plan.
     */
-  def qStreamCdcLatest(s: SparkSession, dir: String): DataFrame = {
+  def qStreamCdcLatest(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val ev = s.readStream.schema(rawSchema)
@@ -177,7 +195,7 @@ object StreamOps {
     * stream-stream join is restricted in append mode, and the roll-up is
     * not the part under streaming test).
     */
-  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     def side(tp: String, pfx: String) = s.readStream.schema(rawSchema)
