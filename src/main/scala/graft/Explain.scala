@@ -44,7 +44,8 @@ object Explain {
       "q_dq_checks", "q_cluster_size_hist", "q_embedding_drift",
       "q_token_budget", "q_content_chunks", "q_rate_anomaly", "q_mm_entropy",
       "q_delta_agg", "q_delete_propagation", "q_schema_evolution",
-      "q_dup_triangles", "q_pmi", "q_session_window")
+      "q_dup_triangles", "q_pmi", "q_session_window", "q_simhash_near_dup",
+      "q_fuzzy_match", "q_moving_avg")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -79,7 +80,22 @@ object Explain {
       "q_minhash_recall" -> ("Truth candidates use PPJoin prefix " +
         "filtering over a fixed ~50-doc probe budget; the 1-row metric " +
         "joins are BNLJ by design. Audit cost does not grow with the " +
-        "corpus."))
+        "corpus."),
+      "q_simhash_near_dup" -> ("The only data-sized stage is the " +
+        "signature scan (simhash48 is one codegen'd byte scan; 8 bytes " +
+        "per doc shuffle, never text). Candidates are a key-equality " +
+        "self-join on the 16-bit signature chunks, and verify is a " +
+        "popcount on the signatures already in the join output — no " +
+        "join back to token sets, unlike the MinHash path."),
+      "q_fuzzy_match" -> ("Record-linkage shape: the block join is " +
+        "key-equality on (w1, w2) — pair surface is per-block " +
+        "quadratic, never corpus-quadratic — and the codegen'd " +
+        "levenshtein sees only the 40-char key, so no full text crosses " +
+        "the exchange."),
+      "q_moving_avg" -> ("RANGE frame: one hash-exchange on event_type " +
+        "+ one in-partition sort serves both window aggregates; the " +
+        "value-bounded frame makes tied timestamps deterministic " +
+        "without a unique tiebreaker."))
 
     val sb = new StringBuilder
     sb ++= "# Physical plans (generated by `runMain graft.Explain`)\n\n"

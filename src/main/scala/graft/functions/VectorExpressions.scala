@@ -154,6 +154,80 @@ object SimHashHelper {
   }
 }
 
+/** 48-bit SimHash as three independently-seeded 16-bit chunks, computed
+  * in ONE byte scan: chunk m applies an odd multiplicative mix
+  * `(th * MULTS(m)) & 0xffff` (bijective mod 2^16, so the weak token
+  * hash's low-entropy high bits get spread) before the per-bit majority
+  * vote. The chunks double as the LSH BANDS of the simhash near-dup
+  * operator: two docs within Hamming distance k of each other agree on
+  * at least one 16-bit chunk when k < 3 chunks (pigeonhole), so
+  * candidate generation is chunk-equality — never all-pairs. Production
+  * sizing is a 64-bit hash in 4 bands; 48 bits in 3 keeps every
+  * intermediate (including `1 << 47`) inside signed-64 range for the
+  * SQL oracle replica.
+  */
+object SimHash48Helper {
+  private val MULTS = Array(25173L, 13849L, 40503L)
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](48)
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val len = i - start
+        val first = if (len > 0) bytes(start) & 0xff else 0
+        val last = if (len > 0) bytes(i - 1) & 0xff else 0
+        val th = len.toLong * 97 + first * 13 + last
+        var m = 0
+        while (m < 3) {
+          val thm = (th * MULTS(m)) & 0xffffL
+          var b = 0
+          while (b < 16) {
+            if (((thm >> b) & 1L) == 1L) counts(m * 16 + b) += 1
+            else counts(m * 16 + b) -= 1
+            b += 1
+          }
+          m += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 48) {
+      if (counts(k) > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+}
+
+case class SimHash48(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash48 requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash48Helper.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash48Helper.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
 case class SimHash16(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -192,6 +266,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => VecNorm(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("simhash16",
       (exprs: Seq[Expression]) => SimHash16(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("simhash48",
+      (exprs: Seq[Expression]) => SimHash48(exprs.head), "built-in")
   }
 }
 
@@ -215,5 +291,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
+      (exprs: Seq[Expression]) => SimHash48(exprs.head)))
   }
 }

@@ -127,6 +127,19 @@ object ClusterOps {
         .union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
         .localCheckpoint(true)
+      // convergence is probed on the checkpointed aggregate, BEFORE the
+      // pointer jumps: if propagation improved no label, then for every
+      // edge (u,v) lbl(u) = lbl(v), i.e. labels are constant per
+      // component and (since every lbl is a component-member id that
+      // only decreases from lbl=id) equal to the component min — the
+      // exact fixpoint — and jumping through lbl(lbl(x)) = lbl(x) is
+      // also a no-op. Probing `agg` instead of the jumped frame makes
+      // the probe a scan of in-memory checkpoint blocks rather than a
+      // re-evaluation of the hop joins, and lets the converged final
+      // round skip the jumps entirely.
+      val changed = agg.filter(col("lbl") < col("old_lbl"))
+        .limit(1).count()
+      converged = changed == 0
       // pointer jumps: relabel through the label's own label, `hops`
       // times per round. Every lbl value is a node id (by induction from
       // lbl=id), so the lookup side is `agg` itself; left+coalesce keeps
@@ -134,10 +147,10 @@ object ClusterOps {
       // dropping it. Each extra hop is one more narrow join over the
       // SAME checkpointed tiny frame; on long chains the per-round fixed
       // cost (checkpoint job + probe job) dominates, so extra hops buy
-      // ~2× fewer rounds cheaply. `next` itself is NOT checkpointed:
-      // lineage depth stays bounded at `hops` joins because agg is cut
-      // every round.
-      val next = (1 to hops).foldLeft(
+      // ~2× fewer rounds cheaply. `next` is NOT checkpointed: lineage
+      // depth stays bounded at `hops` joins because agg is cut every
+      // round.
+      val next = if (converged) agg else (1 to hops).foldLeft(
         agg.select(col("id"), col("lbl"), col("old_lbl"))) { (cur, _) =>
         cur.as("a")
           .join(agg.as("b"), col("a.lbl") === col("b.id"), "left")
@@ -145,10 +158,7 @@ object ClusterOps {
             least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"),
             col("a.old_lbl"))
       }
-      val changed = next.filter(col("lbl") < col("old_lbl"))
-        .limit(1).count() // scalar any-change probe (runs the jump join)
       labels = next.select("id", "lbl")
-      converged = changed == 0
       it += 1
     }
     edgesRaw.unpersist(blocking = true)

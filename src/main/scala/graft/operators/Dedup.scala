@@ -351,6 +351,82 @@ object Dedup {
       |  FROM documents) sub
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-duplicate detection END-TO-END — the second of the two
+    * classic sub-quadratic near-dup paths (MinHash-LSH banding being the
+    * first): 48-bit signatures via the native
+    * [[graft.functions.SimHash48]] expression (one codegen'd byte scan
+    * per doc), candidate pairs via CHUNK EQUALITY (the three 16-bit
+    * chunks of the signature are the LSH bands — pigeonhole: Hamming
+    * distance < 3 guarantees an identical chunk, and near-dups cluster
+    * far below that), then an O(1) popcount verify
+    * `bit_count(sig_a XOR sig_b) <= 8`. Output is the Hamming-distance
+    * histogram of verified pairs — the curve a pipeline reads to set its
+    * dedup threshold.
+    *
+    * Scale shape vs MinHash: the signature pass is a narrow projection
+    * (8 bytes per doc shuffles, never text); candidates come from a
+    * key-equality self-join on (band_idx, band_sig); verify needs NO
+    * join back to token sets — the signature alone carries the distance
+    * — so the only data-sized stage is the one signature scan. That is
+    * why production simhash dedup (e.g. the original Manku et al.
+    * web-crawl design) scales past gram-set methods; the trade is
+    * coarser similarity. 48 bits in 3 bands (not production's 64 in 4)
+    * keeps every intermediate inside signed-64 for the SQL oracle
+    * replica.
+    */
+  def qSimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash48(text)").as("sig"))
+      .persist() // band explode + two verify joins read it; caller clears
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 3).map(m =>
+          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sig", "band_idx", "band_sig")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 8)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
+  val qSimhashNearDupOracle: String =
+    """WITH ths AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |    w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(list_transform(range(0, 3), m ->
+      |      list_transform(range(0, 16), b ->
+      |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(ths, h -> CASE WHEN (((h * (CASE m WHEN 0 THEN 25173 WHEN 1 THEN 13849 ELSE 40503 END)) % 65536) // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |          (a, x) -> a + x) > 0
+      |        THEN CAST(1 AS BIGINT) << CAST(m * 16 + b AS INTEGER) ELSE CAST(0 AS BIGINT) END)))),
+      |      (a, x) -> a + x) AS sig
+      |  FROM ths),
+      |bands AS (
+      |  SELECT doc_id, sig, m AS band_idx, (sig >> CAST(m * 16 AS INTEGER)) & 65535 AS band_sig
+      |  FROM sigs, (SELECT unnest(range(0, 3)) AS m) mm),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id)
+      |SELECT CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
+      |  count(*) AS n_pairs
+      |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Line-level exact dedup (the RefinedWeb/CCNet pass that runs BELOW
     * document granularity): documents split into non-overlapping 10-word
     * "lines"; a line occurrence is removed when the same line appears in
@@ -717,5 +793,6 @@ object Dedup {
     QueryDef("q_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
+    QueryDef("q_simhash_near_dup", qSimhashNearDup, Some(qSimhashNearDupOracle)),
   )
 }

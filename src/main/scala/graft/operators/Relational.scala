@@ -215,6 +215,45 @@ object Relational {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Event-time sliding mean per event type — RANGE-frame window (the one
+    * frame type [[qWindowRunning]]'s ROWS frame doesn't cover): the frame
+    * is VALUE-bounded (all events within the trailing hour), so tied
+    * timestamps share one frame regardless of row order — which is also
+    * what makes the result deterministic without a unique tiebreaker in
+    * the window ORDER BY. Spark evaluates range frames with the same
+    * single-pass partition sort as rows frames; the shuffle is one
+    * hash-partition by event_type. At 100 TB the partition key would be
+    * (event_type, day-bucket) to bound per-partition sort size — the
+    * standard bounded-window idiom.
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts_sec")
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .withColumn("ts_sec", col("ts").cast("long"))
+      // trailing sum + count, not avg: the raw values are 2-decimal, so
+      // the windowed sum rounds stably at 2dp in any addition order,
+      // while avg = sum/count lands on .005 boundaries where engine
+      // float-accumulation order flips the rounding (observed: 124 of
+      // 10k rows at sf0.01). The reader divides when a mean is wanted.
+      .withColumn("hour_sum", round(sum("value").over(w), 2))
+      .withColumn("n_events", count(lit(1)).over(w))
+      .select(col("event_id"), col("event_type"), col("ts_sec"),
+        col("hour_sum"), col("n_events"))
+      .orderBy("event_id")
+  }
+
+  val qMovingAvgOracle: String =
+    """SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      | round(sum(value) OVER (PARTITION BY event_type
+      |   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum,
+      | count(*) OVER (PARTITION BY event_type
+      |   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_events
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** Distinct aggregation (expand+two-phase agg in Spark). */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -744,6 +783,7 @@ object Relational {
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinOracle)),
     QueryDef("q_window_topn", qWindowTopN, Some(qWindowTopNOracle)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
+    QueryDef("q_moving_avg", qMovingAvg, Some(qMovingAvgOracle)),
     QueryDef("q_distinct_agg", qDistinctAgg, Some(qDistinctAggOracle)),
     QueryDef("q_except", qExcept, Some(qExceptOracle)),
     QueryDef("q_intersect", qIntersect, Some(qIntersectOracle)),

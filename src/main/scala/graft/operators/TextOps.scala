@@ -407,8 +407,55 @@ object TextOps {
       |SELECT pair, count(*) AS cnt FROM pairs
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Blocked fuzzy key matching — the record-linkage kernel (normalize →
+    * block → bounded pairwise score → threshold) over document prefix
+    * keys: candidate pairs come from equality on the first two words (the
+    * blocking key), and only blocked pairs pay the O(|key|²) edit-distance
+    * scan (Spark's codegen'd `levenshtein`, same classic DP as the
+    * oracle's). Near-duplicate documents share prefixes, so the match
+    * list is exactly the linkage a dedup reviewer would eyeball.
+    *
+    * Scale shape: the block join is key-equality — the pair surface is
+    * Σ_block C(n_b, 2), never corpus², and a production run would cap
+    * block size first (the same hot-key df-cap as the contamination
+    * screen). The scorer sees only the 40-char key, so no full text
+    * shuffles through the join. The `w2 <> ''` guard pins one-word-doc
+    * semantics: Spark yields NULL for a missing second token (never
+    * joins), DuckDB's split_part yields '' (joins every one-word doc
+    * into one block) — both sides filter them out explicitly.
+    */
+  def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val k = t(s, dir, "documents").select(
+      col("doc_id"),
+      substring(col("text"), 1, 40).as("key"),
+      split(col("text"), " ").getItem(0).as("w1"),
+      split(col("text"), " ").getItem(1).as("w2"))
+      .filter(col("w2").isNotNull && col("w2") =!= "")
+    k.as("a").join(k.as("b"),
+        col("a.w1") === col("b.w1") && col("a.w2") === col("b.w2") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.key"), col("b.key")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qFuzzyMatchOracle: String =
+    """WITH k AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS key,
+      |    split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2
+      |  FROM documents
+      |  WHERE split_part(text, ' ', 2) <> '')
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+      |FROM k a JOIN k b
+      |  ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.key, b.key) <= 10
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchOracle)),
     QueryDef("q_pmi", qPmi, Some(qPmiOracle)),
     QueryDef("q_bpe_merge_step", qBpeMergeStep, Some(qBpeMergeStepOracle)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageOracle)),

@@ -63,6 +63,66 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.values.exists(_._3 > 0.0), "no shared spans anywhere in the corpus")
   }
 
+  test("simhash48 chunks agree with a driver-side reference hash") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.VectorFunctions.register(spark)
+    val got = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), expr("simhash48(text)").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val mults = Array(25173L, 13849L, 40503L)
+    got.foreach { case (id, text, sig) =>
+      val ths = text.split(" ", -1).map { w =>
+        val first = if (w.nonEmpty) w.head.toLong else 0L
+        val last = if (w.nonEmpty) w.last.toLong else 0L
+        w.length.toLong * 97 + first * 13 + last
+      }
+      var expected = 0L
+      for (m <- 0 until 3; b <- 0 until 16) {
+        val vote = ths.map(th => if ((((th * mults(m)) & 0xffffL) >> b & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) expected |= 1L << (m * 16 + b)
+      }
+      assert(sig == expected, s"doc $id: simhash48 mismatch")
+      assert((sig >> 48) == 0L, s"doc $id: bits above 47 set")
+    }
+  }
+
+  test("simhash near-dup: exact duplicates verify at hamming 0") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.VectorFunctions.register(spark)
+    val hist = Dedup.qSimhashNearDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keys.forall(h => h >= 0 && h <= 8))
+    // every exact-duplicate text pair has identical signatures, lands in
+    // the same bands, and must therefore be counted at hamming 0
+    val sigs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), expr("simhash48(text)").as("sig"))
+      .collect().map(r => r.getLong(1))
+    val nDupPairs = sigs.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(hist.getOrElse(0L, 0L) >= nDupPairs,
+      "hamming-0 count must cover all identical-signature pairs")
+    spark.catalog.clearCache() // qSimhashNearDup persists its sig table
+  }
+
+  test("fuzzy match pairs are blocked, thresholded, and symmetric-safe") {
+    val rows = TextOps.qFuzzyMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (a, b, d) =>
+      assert(a < b, "pairs oriented doc_a < doc_b")
+      assert(d >= 0 && d <= 10, "edit distance within threshold")
+      val (wa, wb) = (docs(a).split(" ", -1), docs(b).split(" ", -1))
+      assert(wa(0) == wb(0) && wa(1) == wb(1), s"pair ($a,$b) not blocked")
+      // levenshtein(key_a, key_b) == 0 implies identical 40-char prefixes
+      if (d == 0L)
+        assert(docs(a).take(40) == docs(b).take(40))
+    }
+  }
+
   test("minhash recall measurement is internally consistent") {
     val spark = graft.SparkTestBase.spark
     val r = Dedup.qMinhashRecall(spark, "/root/testdata/sf0.001").head()

@@ -103,4 +103,31 @@ class RelationalSpec extends AnyFunSuite {
       assert((nSpikes > 0) == (maxBp >= 20000), s"$tp: spike count vs peak ratio")
     }
   }
+
+  test("moving window RANGE frame: tied timestamps share one frame") {
+    val rows = Relational.qMovingAvg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // value-bounded frame: any two events with the same (type, second)
+    // must see the identical window, hence identical sum AND count —
+    // the property a ROWS frame would violate on ties
+    rows.groupBy(r => (r._2, r._3)).foreach { case (key, group) =>
+      assert(group.map(g => (g._4, g._5)).distinct.length == 1,
+        s"tied group $key has divergent frames")
+    }
+    // the frame is trailing: spot-check 20 rows of one event type
+    // against a brute-force trailing-hour sum/count
+    val tp = rows.head._2
+    val rawByType = graft.Tables.t(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === tp)
+      .select("ts", "value").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
+    rows.filter(_._2 == tp).take(20).foreach { case (id, _, tsec, sm, n) =>
+      val frame = rawByType.filter(e => e._1 >= tsec - 3600 && e._1 <= tsec)
+      assert(n == frame.length, s"event $id: frame count $n vs ${frame.length}")
+      assert(math.abs(sm - frame.map(_._2).sum) < 0.005 + 1e-9,
+        s"event $id: trailing sum $sm vs brute force")
+    }
+  }
 }
