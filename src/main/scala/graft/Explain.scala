@@ -45,7 +45,7 @@ object Explain {
       "q_token_budget", "q_content_chunks", "q_rate_anomaly", "q_mm_entropy",
       "q_delta_agg", "q_delete_propagation", "q_schema_evolution",
       "q_dup_triangles", "q_pmi", "q_session_window", "q_simhash_near_dup",
-      "q_fuzzy_match", "q_moving_avg")
+      "q_fuzzy_match", "q_moving_avg", "q_asof_native")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -95,7 +95,17 @@ object Explain {
       "q_moving_avg" -> ("RANGE frame: one hash-exchange on event_type " +
         "+ one in-partition sort serves both window aggregates; the " +
         "value-bounded frame makes tied timestamps deterministic " +
-        "without a unique tiebreaker."))
+        "without a unique tiebreaker."),
+      "q_asof_native" -> ("AsOfJoinExec is the custom physical operator " +
+        "(LogicalPlan + Strategy + SparkPlan via extraStrategies / " +
+        "GraftExtensions); EnsureRequirements inserted the per-side " +
+        "exchanges and sorts from its declared distribution/ordering, " +
+        "exactly as for sort-merge join. Each side shuffles only " +
+        "itself (right side: 3 columns), vs the union+window plan " +
+        "shuffling both sides padded to the left schema — the byte win " +
+        "appears when the left is wide; at this toy SF the extra " +
+        "stage makes it slower than q_asof_join, which is why the " +
+        "composition stays the default."))
 
     val sb = new StringBuilder
     sb ++= "# Physical plans (generated by `runMain graft.Explain`)\n\n"

@@ -294,5 +294,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
       (exprs: Seq[Expression]) => SimHash48(exprs.head)))
+    // whole-operator extension: the native as-of join planner rule
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -81,6 +81,59 @@ object AsOfJoin {
       |FROM matched WHERE is_v = 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** [[asOf]] as the custom physical operator
+    * [[graft.plans.AsOfJoinExec]] — same contract, same tie rules (see
+    * the node's doc for why the separate-sides merge beats the
+    * union+window composition at scale). The strategy is appended to
+    * `spark.experimental.extraStrategies` idempotently; deployments
+    * using `GraftExtensions` get it injected at session build instead.
+    *
+    * Left columns pass through unchanged; `outCol` carries the matched
+    * right id (null when no right row precedes). Key and `rightId` must
+    * be long, `ts` timestamp or long.
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightId: String, outCol: String): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // fresh aliases on the right side mint new exprIds, so a self-join
+    // (both sides carved from the same table — exactly this query) can
+    // never present one attribute id from two children
+    val r = right.select(col(key).as("__r_key"), col(ts).as("__r_ts"),
+      col(rightId).cast("long").as("__r_id"))
+    val lp = left.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      sys.error(s"as-of column $n missing from ${p.output.map(_.name)}"))
+    val outAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      outCol, org.apache.spark.sql.types.LongType, nullable = true)()
+    org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark,
+      AsOfJoinNode(lp, rp, attr(lp, key), attr(lp, ts),
+        attr(rp, "__r_key"), attr(rp, "__r_ts"), attr(rp, "__r_id"), outAttr))
+  }
+
+  /** [[qAsOfJoin]] computed through the custom operator — same DuckDB
+    * oracle, so the correctness gate proves the physical operator, not
+    * just the composition, end-to-end.
+    */
+  def qAsOfNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asOfNative(purchases, views, "user_id", "ts", "event_id", "matched_view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("matched_view").isNotNull, 1).otherwise(0)).cast("long").as("n_matched"),
+        max("matched_view").as("last_matched_view"))
+      .orderBy("user_id")
+  }
+
   /** Range (interval) join — the other temporal join Spark SQL has no
     * native operator for: a raw `ON v.ts BETWEEN p.ts AND p.ts + 1h`
     * condition plans as BroadcastNestedLoopJoin (all-pairs per key — the
@@ -155,6 +208,7 @@ object AsOfJoin {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsOfJoin, Some(qAsOfJoinOracle)),
+    QueryDef("q_asof_native", qAsOfNative, Some(qAsOfJoinOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
   )
 }
