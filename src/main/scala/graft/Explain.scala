@@ -45,7 +45,7 @@ object Explain {
       "q_token_budget", "q_content_chunks", "q_rate_anomaly", "q_mm_entropy",
       "q_delta_agg", "q_delete_propagation", "q_schema_evolution",
       "q_dup_triangles", "q_pmi", "q_session_window", "q_simhash_near_dup",
-      "q_fuzzy_match", "q_moving_avg", "q_asof_native")
+      "q_fuzzy_match", "q_moving_avg", "q_asof_native", "q_dpp_join")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -105,7 +105,12 @@ object Explain {
         "shuffling both sides padded to the left schema — the byte win " +
         "appears when the left is wide; at this toy SF the extra " +
         "stage makes it slower than q_asof_join, which is why the " +
-        "composition stays the default."))
+        "composition stays the default."),
+      "q_dpp_join" -> ("The fact scan's PartitionFilters carry a " +
+        "`dynamicpruning` subquery fed by the dim join's broadcast — " +
+        "partitions outside the dim's filtered day set are never " +
+        "listed. The broadcast hint is justified-small: one row per " +
+        "day, time-bounded at any corpus size."))
 
     val sb = new StringBuilder
     sb ++= "# Physical plans (generated by `runMain graft.Explain`)\n\n"

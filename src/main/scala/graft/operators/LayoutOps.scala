@@ -283,8 +283,56 @@ object LayoutOps {
       |  CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Dynamic partition pruning — the join-driven cousin of
+    * [[qPartitionPrune]]'s static filter, and the optimizer feature that
+    * carries star-schema queries at 100 TB: the fact side is partitioned
+    * by day, the dim side (one row per day, filtered to the first 3
+    * days) is broadcast, and Catalyst injects the dim's post-filter day
+    * set into the fact SCAN as a `dynamicpruning` subquery reusing the
+    * join's broadcast — untouched partitions are never listed, let alone
+    * read. The day selection is NOT statically known to the fact scan
+    * (it comes through the join), which is exactly the case static
+    * pruning cannot cover; `LayoutOpsSpec` asserts the pruning subquery
+    * is present in the executed plan.
+    *
+    * The `broadcast` hint is justified-small: the dim is one row per
+    * DAY (time-bounded by definition, ~365 rows/year at any corpus
+    * size) — not a corpus-fraction frame. The single-partition window
+    * ranks that same day frame, so no wide data crosses one partition.
+    */
+  def qDppJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scratch("graft_dpp", dir)
+    val ev = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.repartition(col("day"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day")
+      .parquet(base)
+    val dim = ev.select("day").distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("day")))
+      .filter(col("rk") <= 3)
+      .select("day")
+    s.read.parquet(base)
+      .join(broadcast(dim), Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val qDppJoinOracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |sel AS (SELECT day FROM days ORDER BY day LIMIT 3)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(sum("value"), 2) AS value_sum
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') IN (SELECT day FROM sel)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),
+    QueryDef("q_dpp_join", qDppJoin, Some(qDppJoinOracle)),
     QueryDef("q_partition_prune", qPartitionPrune, Some(qPartitionPruneOracle)),
     QueryDef("q_compaction", qCompaction, Some(qCompactionOracle)),
     QueryDef("q_zorder_layout", qZorderLayout, Some(qZorderLayoutOracle)),

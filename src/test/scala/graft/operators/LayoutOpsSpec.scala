@@ -38,6 +38,30 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("dpp join prunes fact partitions through the dim broadcast") {
+    val df = LayoutOps.qDppJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan's partition filter must be the DYNAMIC subquery fed
+    // by the dim join — not a static literal, not a post-scan filter
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in fact scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // cross-check against a direct (unpartitioned) computation
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.t(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val firstDays = ev.select("day").distinct().orderBy("day")
+      .limit(3).collect().map(_.getString(0)).toSet
+    val expected = ev.filter(col("day").isInCollection(firstDays))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("compaction derives its file count from bytes, content intact") {
     import java.nio.file.{Files, Paths}
     def parts(prefix: String, d: String): Long = {
