@@ -45,7 +45,8 @@ object Explain {
       "q_token_budget", "q_content_chunks", "q_rate_anomaly", "q_mm_entropy",
       "q_delta_agg", "q_delete_propagation", "q_schema_evolution",
       "q_dup_triangles", "q_pmi", "q_session_window", "q_simhash_near_dup",
-      "q_fuzzy_match", "q_moving_avg", "q_asof_native", "q_dpp_join")
+      "q_fuzzy_match", "q_moving_avg", "q_asof_native", "q_dpp_join",
+      "q_source_overlap", "q_gram_novelty", "q_length_percentiles")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -110,7 +111,11 @@ object Explain {
         "`dynamicpruning` subquery fed by the dim join's broadcast — " +
         "partitions outside the dim's filtered day set are never " +
         "listed. The broadcast hint is justified-small: one row per " +
-        "day, time-bounded at any corpus size."))
+        "day, time-bounded at any corpus size."),
+      "q_source_overlap" -> ("Lines cross the exchange as md5 digests; " +
+        "the distinct (source, digest) projection collapses per-source " +
+        "repeats BEFORE the self-join, bounding the per-digest join " +
+        "surface at source-count (a few dozen), not occurrence count."))
 
     val sb = new StringBuilder
     sb ++= "# Physical plans (generated by `runMain graft.Explain`)\n\n"

@@ -442,8 +442,11 @@ object Dedup {
     * size >= 10` guard matters: Spark's `sequence(1, 0)` yields [1, 0]
     * (descending), not empty, so short docs must short-circuit explicitly.
     */
-  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
-    val lines = withWords(t(s, dir, "documents"))
+  /** (doc_id, source, h) rows: md5 of each non-overlapping 10-word line.
+    * Shared by [[qLineDedup]] and [[qSourceOverlap]].
+    */
+  private def lineHashes(s: SparkSession, dir: String): DataFrame =
+    withWords(t(s, dir, "documents"))
       .select(col("doc_id"), col("source"), explode(expr(
         """CASE WHEN size(ws) >= 10 THEN
           |  transform(sequence(1, size(ws) div 10),
@@ -451,6 +454,9 @@ object Dedup {
           |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("line"))
       .select(col("doc_id"), col("source"),
         md5(encode(col("line"), "UTF-8")).as("h"))
+
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = lineHashes(s, dir)
     val stats = lines.groupBy("h").agg(
       countDistinct("doc_id").as("n_docs"), min("doc_id").as("keeper"))
     lines.join(stats, Seq("h"))
@@ -481,6 +487,40 @@ object Dedup {
       |    THEN 1 ELSE 0 END)) / count(*)::DOUBLE, 4) AS retained4
       |FROM l JOIN st USING (h)
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Cross-source overlap matrix — the "which crawls duplicate each
+    * other" report a corpus audit leads with: for every source pair, the
+    * number of distinct 10-word lines BOTH contain (document-level exact
+    * digests never cross sources in this corpus — boilerplate lines do,
+    * which is also the production reality). Output is the S×S upper
+    * triangle, sparse (pairs with zero overlap are absent).
+    *
+    * Scale shape: lines travel as md5 digests (the [[qLineDedup]]
+    * kernel); the distinct (source, digest) projection collapses
+    * per-source repeats BEFORE the self-join, so the join surface per
+    * digest is its source-count ≤ S (a few dozen crawls), never its
+    * occurrence count — Σ_h min(df_h, S)² with S bounded, no doc×doc or
+    * line×line term anywhere.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ls = lineHashes(s, dir).select("source", "h").distinct()
+    ls.as("a").join(ls.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val qSourceOverlapOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |l AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(ws[(i - 1) * 10 + 1:i * 10], ' ')) AS h
+      |  FROM w, unnest(generate_series(1, len(ws) // 10)) AS t(i))
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM l a JOIN l b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Incremental ingest dedup — the daily-pipeline shape: a new batch
     * (docs with doc_id % 7 == 3 standing in for "today's crawl") is
@@ -794,5 +834,6 @@ object Dedup {
     QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
     QueryDef("q_simhash_near_dup", qSimhashNearDup, Some(qSimhashNearDupOracle)),
+    QueryDef("q_source_overlap", qSourceOverlap, Some(qSourceOverlapOracle)),
   )
 }

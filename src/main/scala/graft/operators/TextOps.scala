@@ -407,6 +407,73 @@ object TextOps {
       |SELECT pair, count(*) AS cnt FROM pairs
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Per-source document-length percentiles (p50/p90/p99 of n_chars) —
+    * the length-distribution audit behind every truncation/chunking
+    * decision. Spark's exact `percentile` and DuckDB's `quantile_cont`
+    * share the linear-interpolation definition, and the interpolation
+    * arithmetic runs on small exact integers, so 4-dp rounding is
+    * engine-stable (unlike means of doubles — see [[Relational
+    * .qMovingAvg]]'s note). Exact percentile sorts per group; at 100 TB
+    * the same report would switch to `approx_percentile` (t-digest,
+    * mergeable, one pass) — the audit tolerates approximation, the gate
+    * here wants exactness.
+    */
+  def qLengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+      .orderBy("source")
+
+  val qLengthPercentilesOracle: String =
+    """SELECT source,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Gram novelty per source — the template-detector: what fraction of a
+    * source's (doc-distinct) word bigrams appear there FIRST (first
+    * occurrence = min doc_id over the whole corpus)? A source emitting
+    * mostly re-seen grams is boilerplate/template output; a healthy
+    * crawl contributes new text. Integer sums + ONE final division keep
+    * the 4-dp ratio engine-stable.
+    *
+    * Scale shape: grams shuffle once for the min-doc aggregate
+    * (map-side combined) and once for the join back — both gram-keyed,
+    * no pair surface. In a production run first-occurrence would be
+    * defined by ingest time rather than doc_id; the shape is identical.
+    */
+  def qGramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val gramRows = Dedup.gramsOf(t(s, dir, "documents"), "source")
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
+    val firstSeen = gramRows.groupBy("g").agg(min("doc_id").as("first_doc"))
+    gramRows.join(firstSeen, Seq("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty4",
+        round(col("n_novel") / col("n_grams").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  val qGramNoveltyOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || '_' || ws[i + 1]))) AS g
+      |  FROM w),
+      |fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+      |SELECT source, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 4) AS novelty4
+      |FROM g JOIN fs USING (g) GROUP BY source ORDER BY source""".stripMargin
+
   /** Blocked fuzzy key matching — the record-linkage kernel (normalize →
     * block → bounded pairwise score → threshold) over document prefix
     * keys: candidate pairs come from equality on the first two words (the
@@ -456,6 +523,8 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
     QueryDef("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchOracle)),
+    QueryDef("q_length_percentiles", qLengthPercentiles, Some(qLengthPercentilesOracle)),
+    QueryDef("q_gram_novelty", qGramNovelty, Some(qGramNoveltyOracle)),
     QueryDef("q_pmi", qPmi, Some(qPmiOracle)),
     QueryDef("q_bpe_merge_step", qBpeMergeStep, Some(qBpeMergeStepOracle)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageOracle)),

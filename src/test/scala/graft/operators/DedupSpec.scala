@@ -123,6 +123,63 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap is an upper triangle with positive shared-line counts") {
+    val rows = Dedup.qSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (a, b, n) =>
+      assert(a < b, s"not upper-triangle: ($a, $b)")
+      assert(n > 0, s"zero-overlap pair ($a, $b) must be absent")
+    }
+    // brute-force cross-check of one pair via the line sets
+    if (rows.nonEmpty) {
+      val (sa, sb, n) = rows.head
+      val docs = graft.Tables.t(spark, dir, "documents")
+        .select("source", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      def lineSet(src: String) = docs.filter(_._1 == src).flatMap { case (_, t) =>
+        val ws = t.split(" ", -1)
+        (0 until ws.length / 10).map(i => ws.slice(i * 10, i * 10 + 10).mkString(" "))
+      }.toSet
+      assert(n == (lineSet(sa) & lineSet(sb)).size.toLong)
+    }
+  }
+
+  test("gram novelty: every distinct gram is novel exactly once corpus-wide") {
+    val rows = TextOps.qGramNovelty(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, novel, ratio) =>
+      assert(novel >= 0 && novel <= n, s"$src: novel outside [0, n]")
+      assert(math.abs(ratio - novel.toDouble / n) < 1e-3, s"$src: ratio off")
+    }
+    val totalNovel = rows.map(_._3).sum
+    val distinctGrams = Dedup.gramsOf(
+        graft.Tables.t(spark, dir, "documents"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("grams")).as("g"))
+      .distinct().count()
+    assert(totalNovel == distinctGrams,
+      "sum of per-source novel grams must equal the distinct gram count")
+  }
+
+  test("length percentiles are ordered and match a driver-side interpolation") {
+    val rows = TextOps.qLengthPercentiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, s"$src: percentiles out of order")
+    }
+    // linear-interpolation reference for one source
+    val (src, p50, _, _) = rows.head
+    val lens = graft.Tables.t(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val pos = 0.5 * (lens.length - 1)
+    val (lo, hi) = (lens(pos.toInt), lens(math.ceil(pos).toInt))
+    val expected = lo + (pos - pos.toInt) * (hi - lo)
+    assert(math.abs(p50 - expected) < 1e-6, s"$src: p50 $p50 vs $expected")
+  }
+
   test("minhash recall measurement is internally consistent") {
     val spark = graft.SparkTestBase.spark
     val r = Dedup.qMinhashRecall(spark, "/root/testdata/sf0.001").head()
