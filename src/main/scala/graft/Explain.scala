@@ -46,7 +46,9 @@ object Explain {
       "q_delta_agg", "q_delete_propagation", "q_schema_evolution",
       "q_dup_triangles", "q_pmi", "q_session_window", "q_simhash_near_dup",
       "q_fuzzy_match", "q_moving_avg", "q_asof_native", "q_dpp_join",
-      "q_source_overlap", "q_gram_novelty", "q_length_percentiles")
+      "q_source_overlap", "q_gram_novelty", "q_length_percentiles",
+      "q_bm25_topk", "q_domain_cap", "q_dedup_keep_best",
+      "q_knn_classify", "q_cosine_curve", "q_shard_manifest")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -115,7 +117,19 @@ object Explain {
       "q_source_overlap" -> ("Lines cross the exchange as md5 digests; " +
         "the distinct (source, digest) projection collapses per-source " +
         "repeats BEFORE the self-join, bounding the per-digest join " +
-        "surface at source-count (a few dozen), not occurrence count."))
+        "surface at source-count (a few dozen), not occurrence count."),
+      "q_bm25_topk" -> ("The `w IN (terms)` filter sits directly on the " +
+        "exploded word generator, so only query-term postings reach the " +
+        "tf shuffle — the inverted-index access path computed scan-side. " +
+        "The idf/avgdl side is term-count rows; its broadcast is the " +
+        "optimizer's size choice, not a hint. TakeOrderedAndProject " +
+        "caps the result driver-side at k rows per partition."),
+      "q_knn_classify" -> ("The broadcast() hint on the probe batch is " +
+        "justified-small: probes are the query workload (model-sized by " +
+        "definition), never corpus-scaled. The ObjectHashAggregate is " +
+        "the bounded TopKAggregator — 5 pairs per (probe, partition) " +
+        "cross the shuffle, not the scored set; the final vote window " +
+        "runs over probe-count rows."))
 
     val sb = new StringBuilder
     sb ++= "# Physical plans (generated by `runMain graft.Explain`)\n\n"

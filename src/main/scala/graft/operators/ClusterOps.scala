@@ -417,8 +417,101 @@ object ClusterOps {
       |FROM ne JOIN w USING (label) LEFT JOIN tr ON tr.label = ne.label
       |ORDER BY ne.label""".stripMargin
 
+  /** Canonical-document selection — the step AFTER cluster closure:
+    * within each near-dup cluster KEEP the member with the highest
+    * type-token ratio (tie → lowest doc_id), i.e. "drop n−1 copies, but
+    * keep the best one, not an arbitrary one". Clusters are connected
+    * components over verified simhash pairs (hamming ≤ 8 on the 48-bit
+    * signature — the same kernel as [[Dedup.qSimhashNearDup]], chosen
+    * over MinHash here because the signature pass is the cheap one: 8
+    * bytes per doc shuffle, no gram sets).
+    *
+    * Scale shape: the component graph is the duplicate surface only;
+    * the quality join is doc-keyed; the keep-best windows partition by
+    * cluster label (cluster-sized partitions, never corpus-sorted). The
+    * ttr quality column is 4-dp fixed so the DESC ordering is
+    * engine-stable, with doc_id as the total tie-break.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val sigs = docs.select(col("doc_id"), expr("simhash48(text)").as("sig"))
+      .persist() // band explode reads it 2× through the self-join
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 3).map(m =>
+          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sig", "band_idx", "band_sig")
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 8)
+      .select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs, 20)
+    sigs.unpersist(blocking = true)
+    val ttr = docs.select(col("doc_id"),
+      round(size(array_distinct(split(col("text"), " "))) /
+        size(split(col("text"), " ")).cast("double"), 4).as("ttr"))
+    labels.join(ttr, labels("id") === ttr("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lbl").orderBy(desc("ttr"), col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("lbl")))
+      .filter(col("rk") === 1)
+      .select(col("lbl").as("cluster_rep"), col("doc_id").as("keep_doc_id"),
+        col("n_members"), col("ttr").as("best_ttr"))
+      .orderBy("cluster_rep")
+  }
+
+  val qDedupKeepBestOracle: String =
+    """WITH RECURSIVE ths AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |    w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(list_transform(range(0, 3), m ->
+      |      list_transform(range(0, 16), b ->
+      |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(ths, h -> CASE WHEN (((h * (CASE m WHEN 0 THEN 25173 WHEN 1 THEN 13849 ELSE 40503 END)) % 65536) // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |          (a, x) -> a + x) > 0
+      |        THEN CAST(1 AS BIGINT) << CAST(m * 16 + b AS INTEGER) ELSE CAST(0 AS BIGINT) END)))),
+      |      (a, x) -> a + x) AS sig
+      |  FROM ths),
+      |bands AS (
+      |  SELECT doc_id, sig, m AS band_idx, (sig >> CAST(m * 16 AS INTEGER)) & 65535 AS band_sig
+      |  FROM sigs, (SELECT unnest(range(0, 3)) AS m) mm),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
+      |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |ttr AS (
+      |  SELECT doc_id, round(len(list_distinct(string_split(text, ' ')))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr
+      |  FROM documents),
+      |rk AS (
+      |  SELECT comp.id, comp.lbl, ttr.ttr,
+      |    row_number() OVER (PARTITION BY lbl ORDER BY ttr DESC, id) AS rk,
+      |    count(*) OVER (PARTITION BY lbl) AS n_members
+      |  FROM comp JOIN ttr ON ttr.doc_id = comp.id)
+      |SELECT lbl AS cluster_rep, id AS keep_doc_id, n_members, ttr AS best_ttr
+      |FROM rk WHERE rk = 1 ORDER BY cluster_rep""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
+    QueryDef("q_dedup_keep_best", qDedupKeepBest, Some(qDedupKeepBestOracle)),
     QueryDef("q_cluster_size_hist", (s, d) => qClusterSizeHist(s, d),
       Some(qClusterSizeHistOracle)),
     QueryDef("q_cross_dedup", qCrossDedup, Some(qCrossDedupOracle)),

@@ -543,8 +543,87 @@ object CorpusOps {
       |    // max(src_tokens) AS BIGINT) AS share_bp
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source document cap — the "no domain may dominate the mix" rule
+    * (the C4/Gopher-style curation knob): rank each source's docs by a
+    * deterministic content-independent hash (md5 of the doc id —
+    * reproducible across runs, engines, and partitionings, unlike
+    * rand()) and keep the first 15. Report per-source kept counts; the
+    * kept set itself is `rk <= 15`.
+    *
+    * Scale shape: the window sees only (doc_id, source, 32-char rank
+    * hash) — never text — and partitions by source, so work parallelizes
+    * across domains and spills within one. At 100 TB with a
+    * domain-count in the millions this is the same plan; for ONE
+    * pathological giant domain the cap can instead be applied by hash
+    * threshold (keep iff rh < p-th quantile of a sketch), trading the
+    * exact count for a sort-free plan — [[qTokenBudget]] documents the
+    * identical trade.
+    */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("rh", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("rh"))
+      .withColumn("rk", row_number().over(ranked))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= 15, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val qDomainCapOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Training-shard manifest — the write-side bookkeeping of "shuffle the
+    * corpus into N shards and record what went where": each doc is
+    * assigned a shard by the first hex digit of its content md5 (16
+    * shards — deterministic across engines, runs, and partitionings,
+    * and content-keyed so re-crawled copies of a doc land in the same
+    * shard), and the manifest reports per-shard doc counts, token
+    * totals, and token share in basis points. The report a training run
+    * reads to confirm the shards are balanced BEFORE burning GPU time.
+    *
+    * Scale shape: one narrow projection (shard digit + token count —
+    * text never shuffles), one 16-group aggregate, map-side combined.
+    * Integer sums and a div-based share keep it engine-exact.
+    */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(substring(md5(encode(col("text"), "UTF-8")), 1, 1).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val m = d.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    // the global window runs over the 16-row AGGREGATE, not the corpus
+    m.withColumn("total", sum("tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share_bp", expr("(tokens * 10000) div total"))
+      .select("shard", "n_docs", "tokens", "share_bp")
+      .orderBy("shard")
+  }
+
+  val qShardManifestOracle: String =
+    """WITH d AS (
+      |  SELECT substr(md5(text), 1, 1) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |m AS (SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tokens
+      |      FROM d GROUP BY shard)
+      |SELECT shard, n_docs, CAST(tokens AS BIGINT) AS tokens,
+      |  CAST(tokens * 10000 // (SELECT sum(tokens) FROM m) AS BIGINT) AS share_bp
+      |FROM m ORDER BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
+    QueryDef("q_domain_cap", qDomainCap, Some(qDomainCapOracle)),
+    QueryDef("q_shard_manifest", qShardManifest, Some(qShardManifestOracle)),
     QueryDef("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
     QueryDef("q_reservoir_sample", (s, d) => qReservoirSample(s, d), Some(qReservoirSampleOracle)),

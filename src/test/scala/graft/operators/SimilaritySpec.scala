@@ -20,6 +20,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(3L) == naive) // block count not dividing the cell evenly
   }
 
+  test("knn classify: one prediction per probe, votes within [1,5]") {
+    val rows = Similarity.qKnnClassify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate probe row")
+    rows.foreach { case (q, tl, pl, votes) =>
+      assert(q % 25 == 0, s"probe $q not in the probe split")
+      assert(votes >= 1 && votes <= 5, s"probe $q: $votes votes")
+      assert(tl >= 0 && pl >= 0)
+    }
+  }
+
+  test("cosine curve bins cover exactly the >= 0.3 near-dup pairs") {
+    val curve = Similarity.qCosineCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(curve.nonEmpty)
+    curve.foreach { case (bin, _) => assert(bin >= 6 && bin <= 20, s"bin $bin") }
+    val nPairs = Similarity.qEmbeddingNearDup(spark, dir).count()
+    assert(curve.map(_._2).sum == nPairs, "curve must partition the pair set")
+  }
+
   test("pair generation keys on (label, lo, hi) — the bounded-task shape") {
     val plan = Similarity.qEmbeddingNearDup(spark, dir, 2L)
       .queryExecution.optimizedPlan.toString
