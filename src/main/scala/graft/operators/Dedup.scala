@@ -522,6 +522,41 @@ object Dedup {
       |FROM l a JOIN l b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** MinHash verify threshold curve — the Jaccard twin of
+    * [[Similarity.qCosineCurve]]: LSH band-collision candidates verified
+    * down to a 0.5 floor, bucketed into 0.05-wide Jaccard bins. The
+    * curve a pipeline reads to pick its dedup threshold τ — where the
+    * near-dup mass actually sits between "related" (0.5) and "copy"
+    * (1.0). Candidates are the band-collision set, so the curve is the
+    * threshold response OF THE LSH VERIFY STAGE — exactly the knob
+    * being tuned; scale shape is [[qMinhashLsh]] verbatim (persisted
+    * signature table, key-equality band join, gram-set verify joins).
+    */
+  def qJaccardCurve(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOf(t(s, dir, "documents")).persist()
+    val bands = bandsOf(sigOf(grams)).persist()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, grams, 0.5)
+      .withColumn("bin20", floor(col("jaccard") * 20).cast("long"))
+      .groupBy("bin20").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin20")
+  }
+
+  val qJaccardCurveOracle: String =
+    s"""WITH ${lshCtesDuck()},
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |v AS (${lshVerifySelectDuck("0.5")})
+      |SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin20, count(*) AS n_pairs
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental ingest dedup — the daily-pipeline shape: a new batch
     * (docs with doc_id % 7 == 3 standing in for "today's crawl") is
     * deduplicated against the digest index of everything already ingested.
@@ -835,5 +870,6 @@ object Dedup {
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
     QueryDef("q_simhash_near_dup", qSimhashNearDup, Some(qSimhashNearDupOracle)),
     QueryDef("q_source_overlap", qSourceOverlap, Some(qSourceOverlapOracle)),
+    QueryDef("q_jaccard_curve", qJaccardCurve, Some(qJaccardCurveOracle)),
   )
 }

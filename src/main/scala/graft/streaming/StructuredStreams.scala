@@ -200,4 +200,61 @@ object StructuredStreams {
           cand.take(k).map { case (g, e) => HhEstimate(shard, g, e) }.iterator
       }
   }
+
+  /** Streaming near-duplicate detection — the online form of
+    * [[graft.operators.Dedup.qSimhashNearDup]], the shape an ingest
+    * pipeline runs so a dup is flagged the moment the second copy
+    * ARRIVES rather than in a nightly batch sweep: each incoming doc's
+    * 48-bit simhash is split into its three 16-bit LSH bands, and a
+    * `flatMapGroupsWithState` keyed on (band_idx, band_sig) keeps the
+    * signatures previously seen in that bucket. An arrival is compared
+    * against its bucket's state only (pigeonhole: any pair within
+    * Hamming 2 shares a band; near-dups sit far below the ≤ 8 verify),
+    * and verified pairs are emitted as (doc_lo, doc_hi, hamming) —
+    * possibly once per shared band, so the exactly-once pair view is a
+    * downstream `dropDuplicates`, the same contract as the batch
+    * kernel's candidate `distinct()`.
+    *
+    * Scale shape: state is partitioned across executors by bucket key
+    * and BOUNDED per bucket at `maxPerBucket` signatures (8 bytes
+    * each) — the Manku-style hub cap: a pathological boilerplate
+    * bucket stops absorbing new signatures instead of growing without
+    * bound, trading recall on 65th+ copies (which the kept members
+    * already flagged) for hard state bounds. Only (id, sig) pairs ever
+    * enter state or the shuffle — never document text.
+    */
+  def streamingNearDup(docs: Dataset[(Long, String)],
+      maxPerBucket: Int = 64): Dataset[(Long, Long, Long)] = {
+    val s = docs.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), expr("simhash48(text)").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 3).map(m =>
+          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sig", "band_idx", "band_sig")
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Long)]
+          // id-sorted fold: within-batch pairs are found too, and the
+          // emitted (lo, hi) orientation matches the batch kernel's
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osig) =>
+                val ham = java.lang.Long.bitCount(sig ^ osig).toLong
+                if (ham <= 8)
+                  out += ((math.min(oid, id), math.max(oid, id), ham))
+              }
+              if (seen.size < maxPerBucket) seen = (id, sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
 }

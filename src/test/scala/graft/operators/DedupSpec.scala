@@ -180,6 +180,20 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(p50 - expected) < 1e-6, s"$src: p50 $p50 vs $expected")
   }
 
+  test("jaccard curve bins partition the verified >= 0.5 candidate pairs") {
+    val curve = Dedup.qJaccardCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(curve.nonEmpty)
+    curve.foreach { case (bin, n) =>
+      assert(bin >= 10 && bin <= 20, s"bin $bin outside the 0.5 floor")
+      assert(n > 0)
+    }
+    // pairs at >= 0.8 (the production threshold) are a suffix of the curve
+    val nStrict = Dedup.qMinhashLsh(spark, dir).count()
+    assert(curve.filter(_._1 >= 16).map(_._2).sum == nStrict,
+      "bins >= 0.8 must sum to the q_minhash_lsh pair count")
+  }
+
   test("minhash recall measurement is internally consistent") {
     val spark = graft.SparkTestBase.spark
     val r = Dedup.qMinhashRecall(spark, "/root/testdata/sf0.001").head()

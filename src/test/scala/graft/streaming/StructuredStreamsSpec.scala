@@ -95,6 +95,48 @@ class StructuredStreamsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("A", "B"))
   }
 
+  test("streaming near-dup flags exactly the batch simhash pair set across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    // expected: band-collision candidates verified at hamming <= 8,
+    // computed with the batch kernel's own column expressions
+    graft.functions.VectorFunctions.register(spark)
+    val sigs = spark.createDataset(docs.toSeq).toDF("doc_id", "text")
+      .select(col("doc_id"), expr("simhash48(text)").as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 3).map(m =>
+          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sig", "band_idx", "band_sig")
+    val expected = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("ham"))
+      .filter(col("ham") <= 8).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "fixture must contain near-dups")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StructuredStreams.streamingNearDup(in.toDS())
+      .writeStream.format("memory").queryName("near_dup_stream")
+      .outputMode("append").start()
+    val (first, second) = docs.splitAt(docs.length / 2)
+    in.addData(first.toSeq)
+    q.processAllAvailable()
+    in.addData(second.toSeq)
+    q.processAllAvailable()
+    val flagged = spark.table("near_dup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(flagged == expected,
+      s"streaming pair set diverges: missing ${expected -- flagged}, extra ${flagged -- expected}")
+  }
+
   test("windowed aggregation with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
