@@ -49,7 +49,7 @@ object Explain {
       "q_source_overlap", "q_gram_novelty", "q_length_percentiles",
       "q_bm25_topk", "q_domain_cap", "q_dedup_keep_best",
       "q_knn_classify", "q_cosine_curve", "q_shard_manifest",
-      "q_jaccard_curve")
+      "q_jaccard_curve", "q_filter_attribution")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

@@ -136,6 +136,47 @@ object TextOps {
       |WHERE len(string_split(text, ' ')) >= 5
       |ORDER BY doc_id""".stripMargin
 
+  /** Filter attribution — the "which rule killed each doc" audit behind
+    * a quality cascade: every document is attributed to the FIRST rule
+    * it fails (short → low type-token ratio → no stopwords), or `kept`.
+    * [[qQualityFunnel]] reports the monotone survivor counts per stage;
+    * this is the complementary multinomial — the report that tells a
+    * curation team which rule to re-tune when the drop rate moves.
+    * First-failure semantics make the outcomes a partition of the
+    * corpus (counts sum to N), unlike independent per-rule counts.
+    *
+    * Scale shape: one narrow pass (split once, three derived scalars,
+    * one CASE), one outcome-cardinality aggregate. The ratio
+    * comparisons are integer-vs-product rewritten (`distinct * 100 <
+    * 45 * n`) so no float boundary can flip an outcome between engines.
+    */
+  def qFilterAttribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), size(col("ws")).as("n_tok"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        size(expr(s"filter(ws, w -> w IN ${sqlList(stopwords)})")).as("n_stop"))
+      .select(when(col("n_tok") < 20, "r1_short")
+        .when(col("n_distinct") * 100 < col("n_tok") * 45, "r2_low_ttr")
+        .when(col("n_stop") * 100 < col("n_tok") * 2, "r3_no_stopwords")
+        .otherwise("kept").as("outcome"))
+      .groupBy("outcome").agg(count(lit(1)).as("n_docs"))
+      .orderBy("outcome")
+
+  val qFilterAttributionOracle: String =
+    s"""WITH f AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |      w -> w IN ${sqlList(stopwords)})) AS n_stop
+      |  FROM documents)
+      |SELECT CASE
+      |    WHEN n_tok < 20 THEN 'r1_short'
+      |    WHEN n_distinct * 100 < n_tok * 45 THEN 'r2_low_ttr'
+      |    WHEN n_stop * 100 < n_tok * 2 THEN 'r3_no_stopwords'
+      |    ELSE 'kept' END AS outcome, count(*) AS n_docs
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deterministic language-ID heuristic: marker-token voting with a
     * fixed priority order. (A real n-gram model plugs into the same
     * per-row shape; the heuristic keeps it oracle-checkable.)
@@ -596,6 +637,7 @@ object TextOps {
     QueryDef("q_chunk", qChunk, Some(qChunkOracle)),
     QueryDef("q_scrub", qScrub, Some(qScrubOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreOracle)),
+    QueryDef("q_filter_attribution", qFilterAttribution, Some(qFilterAttributionOracle)),
     QueryDef("q_lang_id", qLangId, Some(qLangIdOracle)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintOracle)),
   )

@@ -33,6 +33,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc in top-k")
   }
 
+  test("filter attribution outcomes partition the corpus") {
+    val rows = TextOps.qFilterAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet.subsetOf(
+      Set("kept", "r1_short", "r2_low_ttr", "r3_no_stopwords")))
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.values.sum == nDocs, "first-failure outcomes must sum to N")
+    assert(rows.getOrElse("kept", 0L) > 0, "cascade must keep something")
+  }
+
   test("shard manifest partitions the corpus with basis-point shares") {
     val rows = CorpusOps.qShardManifest(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

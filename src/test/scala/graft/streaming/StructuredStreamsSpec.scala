@@ -137,6 +137,40 @@ class StructuredStreamsSpec extends AnyFunSuite {
       s"streaming pair set diverges: missing ${expected -- flagged}, extra ${flagged -- expected}")
   }
 
+  test("streaming near-dup under a tight bucket cap stays a subset and bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = StructuredStreams.streamingNearDup(in.toDS(), maxPerBucket = 1)
+      .writeStream.format("memory").queryName("near_dup_capped")
+      .outputMode("append").start()
+    in.addData(docs.toSeq)
+    q.processAllAvailable()
+    val capped = spark.table("near_dup_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // reference: an uncapped run over the same input (self-contained —
+    // no dependence on the other test's memory sink)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StructuredStreams.streamingNearDup(in2.toDS())
+      .writeStream.format("memory").queryName("near_dup_uncapped")
+      .outputMode("append").start()
+    in2.addData(docs.toSeq)
+    q2.processAllAvailable()
+    val full = spark.table("near_dup_uncapped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q2.stop()
+    // cap=1 keeps only each bucket's first signature: emitted pairs are a
+    // strict subset of the uncapped run (state bound traded for recall)
+    assert(capped.subsetOf(full), s"capped run emitted pairs outside the full set")
+    assert(capped.size < full.size, "cap=1 must lose some recall on this fixture")
+    // and every emitted pair still verifies at hamming <= 8
+    assert(capped.forall(_._3 <= 8))
+  }
+
   test("windowed aggregation with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
