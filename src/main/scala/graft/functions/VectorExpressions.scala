@@ -253,6 +253,74 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Two-pointer set Jaccard over SORTED, DISTINCT string arrays.
+  * Extracted to a static helper (the StaticInvoke pattern, like
+  * [[SimHashHelper]]) so the generated code is one JIT-friendly call.
+  */
+object JaccardHelper {
+  /** PRECONDITION: both arrays are distinct and sorted ascending (what
+    * [[graft.operators.Dedup.gramsOf]] produces via
+    * `array_sort(array_distinct(...))`). One merge pass counts the
+    * intersection; |union| = |a| + |b| − |a∩b|. Replaces
+    * `round(size(array_intersect(a,b)) / size(array_union(a,b))::double, 4)`
+    * — same value, but no intermediate array materialization and no
+    * per-pair hash-set build: the dominant allocation of the LSH verify
+    * join drops to zero.
+    *
+    * Rounding replicates Spark's `round(_, 4)` on DoubleType exactly:
+    * BigDecimal.valueOf (canonical decimal form of the double) +
+    * HALF_UP — bit-for-bit the value the previous formulation produced,
+    * so every DuckDB oracle stays valid. Both-empty inputs yield NaN
+    * (0/0), matching the old plan's division; NaN fails any ≥ τ filter.
+    */
+  def jaccard4(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) Double.NaN
+    else java.math.BigDecimal.valueOf(inter.toDouble / union)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** `jaccard4(a, b)`: 4-dp set Jaccard of two sorted distinct
+  * `array<string>` columns — the fused verify kernel of the MinHash-LSH
+  * family (see [[JaccardHelper.jaccard4]] for the contract).
+  */
+case class Jaccard4(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard4 requires array<string> args, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard4"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaccardHelper.jaccard4(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardHelper.jaccard4($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Jaccard4 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` / `vec_norm` / `simhash16` as SQL functions on the
     * session, so `expr("vec_dot(a, b)")` resolves to the codegen'd
@@ -268,6 +336,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimHash16(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("simhash48",
       (exprs: Seq[Expression]) => SimHash48(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("jaccard4",
+      (exprs: Seq[Expression]) => Jaccard4(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -294,6 +364,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
       (exprs: Seq[Expression]) => SimHash48(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("jaccard4"),
+      new ExpressionInfo(classOf[Jaccard4].getName, "jaccard4"),
+      (exprs: Seq[Expression]) => Jaccard4(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

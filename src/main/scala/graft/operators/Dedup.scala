@@ -165,9 +165,17 @@ object Dedup {
     * family. `carry` columns (e.g. `source` for the cross-corpus variant)
     * ride along the narrow per-doc pipeline so no re-join against the
     * corpus is needed downstream.
+    *
+    * Grams are SORTED (and distinct, from `array_distinct`): the one-time
+    * per-doc `array_sort` is what lets [[verifyPairs]] run the fused
+    * two-pointer `jaccard4` per PAIR instead of building intersection and
+    * union arrays — pairs outnumber docs by orders of magnitude, so the
+    * sort amortizes immediately. Every other consumer explodes the array
+    * or treats it as a set; order is semantically invisible to them.
     */
   private[operators] def gramsOf(docs: DataFrame, carry: String*): DataFrame =
-    withWords(docs).select((col("doc_id") +: carry.map(col) :+ expr(gramsSpark).as("grams")): _*)
+    withWords(docs).select((col("doc_id") +: carry.map(col) :+
+      expr(s"array_sort($gramsSpark)").as("grams")): _*)
 
   /** 32-permutation MinHash signature of a grams frame (codegen-only:
     * explode + scalar hash + hash-agg mins; see [[qMinhashSig]]). Carry
@@ -192,16 +200,23 @@ object Dedup {
 
   /** Exact-Jaccard verification of a candidate pair frame (doc_a, doc_b)
     * against a (doc_id, grams) frame → (doc_a, doc_b, jaccard ≥ minJ).
+    *
+    * The per-pair score is the fused codegen'd
+    * [[graft.functions.Jaccard4]] (two-pointer merge over the sorted
+    * gram arrays [[gramsOf]] provides) — numerically identical to the
+    * former `round(size(array_intersect)/size(array_union), 4)` plan,
+    * minus two materialized arrays per pair in the hottest loop of the
+    * LSH family.
     */
-  private[operators] def verifyPairs(cand: DataFrame, grams: DataFrame, minJ: Double): DataFrame =
+  private[operators] def verifyPairs(cand: DataFrame, grams: DataFrame, minJ: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(cand.sparkSession)
     cand
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("grams_a"), col("grams_b"))) /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4))
+      .withColumn("jaccard", expr("jaccard4(grams_a, grams_b)"))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
+  }
 
   // ---- DuckDB oracle builders for the same kernels, parameterized over
   // carry columns so the cross-corpus variant can thread `source` through.
@@ -302,14 +317,13 @@ object Dedup {
     * (consecutive doc ids) — the exact-verification kernel of near-dedup.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = withWords(t(s, dir, "documents"))
-      .select(col("doc_id"), expr(gramsSpark).as("grams"))
+    graft.functions.VectorFunctions.register(s)
+    val grams = gramsOf(t(s, dir, "documents"))
     val a = grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a")
     val b = grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b")
     a.join(b, col("doc_b") === col("doc_a") + 1)
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("grams_a"), col("grams_b"))) /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4).as("bigram_jaccard"))
+        expr("jaccard4(grams_a, grams_b)").as("bigram_jaccard"))
       .orderBy("doc_a")
   }
 

@@ -44,6 +44,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(3).getDouble(1) == 0.0)
   }
 
+  test("jaccard4 matches the array_intersect/array_union round(4) formulation") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // randomized-but-deterministic word arrays, incl. empty and disjoint
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val cases = ((0 until 200).map { _ =>
+      def arr() = rnd.shuffle(vocab).take(1 + rnd.nextInt(vocab.size - 1)).toArray
+      (arr(), arr())
+    } :+ ((Array("a"), Array("b")))).toSeq
+    val rows = cases.toDF("a", "b")
+      .select(
+        expr("jaccard4(array_sort(array_distinct(a)), array_sort(array_distinct(b)))").as("fused"),
+        expr("round(size(array_intersect(a, b)) / CAST(size(array_union(a, b)) AS DOUBLE), 4)").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val (fused, ref) = (r.getDouble(0), r.getDouble(1))
+      assert(fused == ref, s"$fused != $ref")
+    }
+    // degenerate both-empty input: the old ANSI division would raise
+    // DIVIDE_BY_ZERO; the fused kernel returns NaN, which fails any
+    // >= tau verify filter — the production-safe contract
+    val nan = Seq((Array.empty[String], Array.empty[String])).toDF("a", "b")
+      .select(expr("jaccard4(a, b)")).head.getDouble(0)
+    assert(nan.isNaN)
+  }
+
   test("vec_norm matches sqrt of the squared fold") {
     val rows = df.select(col("id"),
         expr("vec_norm(embedding)").as("fast"),
