@@ -13,6 +13,30 @@ class TopKAggregatorSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
+  test("reduce/merge is split-invariant: any partitioning yields the global top-k") {
+    // Spark may split a group's rows across partitions arbitrarily and
+    // merge partials in any tree shape — the aggregator's answer must not
+    // depend on it. Pure driver-side check over randomized splits.
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { trial =>
+      val k = 1 + rnd.nextInt(5)
+      val agg = new TopKAggregator(k)
+      val n = rnd.nextInt(40)
+      val data = Vector.fill(n)((rnd.nextInt(8).toDouble, rnd.nextInt(20).toLong))
+      val expected = data.sortBy { case (s, id) => (-s, id) }.take(k)
+      // random number of chunks, each reduced independently, merged in a
+      // random fold order (left/right alternating by coin flip)
+      val chunks = if (n == 0) Vector(Vector.empty[(Double, Long)])
+        else data.grouped(1 + rnd.nextInt(n)).toVector
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.reduceLeft { (a, b) =>
+        if (rnd.nextBoolean()) agg.merge(a, b) else agg.merge(b, a)
+      }
+      assert(agg.finish(merged) == expected,
+        s"trial $trial (k=$k, n=$n): ${agg.finish(merged)} != $expected")
+    }
+  }
+
   test("per-group top-3 matches window row_number, ties break to smaller id") {
     import spark.implicits._
     val rows = (1 to 500).map { i =>
