@@ -49,7 +49,7 @@ object Explain {
       "q_source_overlap", "q_gram_novelty", "q_length_percentiles",
       "q_bm25_topk", "q_domain_cap", "q_dedup_keep_best",
       "q_knn_classify", "q_cosine_curve", "q_shard_manifest",
-      "q_jaccard_curve", "q_filter_attribution")
+      "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -125,6 +125,11 @@ object Explain {
         "The idf/avgdl side is term-count rows; its broadcast is the " +
         "optimizer's size choice, not a hint. TakeOrderedAndProject " +
         "caps the result driver-side at k rows per partition."),
+      "q_grouped_topk" -> ("ObjectHashAggregate is the bounded " +
+        "TopKAggregator: a size-k buffer per (group, partition), " +
+        "map-side partial merge, k rows per group crossing the " +
+        "exchange. Compare q_window_topn's plan — same result set, but " +
+        "Window/Sort sorts every row of each customer partition."),
       "q_knn_classify" -> ("The broadcast() hint on the probe batch is " +
         "justified-small: probes are the query workload (model-sized by " +
         "definition), never corpus-scaled. The ObjectHashAggregate is " +

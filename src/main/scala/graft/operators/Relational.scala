@@ -198,6 +198,39 @@ object Relational {
       |WHERE rn <= 2
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** Grouped top-k via the bounded [[graft.functions.TopKAggregator]] —
+    * the 100 TB form of [[qWindowTopN]]: a size-k buffer per (group,
+    * partition) with map-side partial merge, so the shuffle carries k
+    * rows per group per partition instead of sorting every row of the
+    * partition (`Window` + `row_number` plans a full partition sort).
+    * Same k-per-group contract, same tie-breaks, oracle-checked against
+    * the window formulation in SQL — proving the two plans are
+    * result-identical while `.explain` shows ObjectHashAggregate vs
+    * Window/Sort. Top-2 orders per customer by price.
+    */
+  def qGroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.TopKAggregator.topK(2))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("o_custkey"), col("item._2").as("o_orderkey"),
+        col("item._1").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qGroupedTopKOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) sub
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
   /** Running (cumulative) sum per user over event time — rows-frame window. */
   def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -782,6 +815,7 @@ object Relational {
     QueryDef("q_semi_join", qSemiJoin, Some(qSemiJoinOracle)),
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinOracle)),
     QueryDef("q_window_topn", qWindowTopN, Some(qWindowTopNOracle)),
+    QueryDef("q_grouped_topk", qGroupedTopK, Some(qGroupedTopKOracle)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
     QueryDef("q_moving_avg", qMovingAvg, Some(qMovingAvgOracle)),
     QueryDef("q_distinct_agg", qDistinctAgg, Some(qDistinctAggOracle)),

@@ -37,6 +37,14 @@ class TopKAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_grouped_topk plans as an aggregate, not a window sort") {
+    val plan = graft.operators.Relational
+      .qGroupedTopK(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), "expected the bounded aggregator")
+    assert(!plan.contains("Window"), "grouped top-k must not plan a window")
+  }
+
   test("per-group top-3 matches window row_number, ties break to smaller id") {
     import spark.implicits._
     val rows = (1 to 500).map { i =>
