@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -253,6 +253,95 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass 32-permutation MinHash over a shingle array — the fused form
+  * of the explode → scalar-hash → 32-column hash-aggregate pipeline (see
+  * [[graft.operators.Dedup.sigOf]]): same shingle hash, same permuted
+  * mins, but computed per DOC in one compiled loop, so the signature
+  * pass needs NO explode and NO per-doc aggregation shuffle at all.
+  */
+object MinHashHelper {
+  private final val P = 2147483647L // 2^31 - 1
+  private final val K = 32
+  private final val A: Array[Long] = Array.tabulate(K)(i => 1103L * (i + 1) + 7)
+  private final val B: Array[Long] = Array.tabulate(K)(i => 12289L * (i + 1) + 3)
+
+  /** `ascii(substr(g, pos, 1))` with SQL semantics: 1-based character
+    * position, empty-out-of-range → 0, else the first byte (shingles are
+    * ASCII `word_word` strings; for ASCII the byte IS the codepoint,
+    * matching Spark's `Ascii` on every input this pipeline produces).
+    */
+  private def cp(g: UTF8String, pos: Int): Long = {
+    val s = g.substringSQL(pos, 1)
+    if (s.numBytes() == 0) 0L else (s.getByte(0) & 0xff).toLong
+  }
+
+  /** Replicates [[graft.operators.Dedup.shingleHashScalar]] exactly:
+    * th = (((((len·131 + c1)·131 + c2)·131 + c3)·131 + c(len−2))·131 +
+    * c(len−1))·131 + c(len), all BIGINT, mod P. Bounded: len ≤ ~10³ and
+    * six ×131 steps keep the pre-mod value ≈ len·131⁶ ≪ 2⁶³.
+    */
+  def shingleHash(g: UTF8String): Long = {
+    val len = g.numChars()
+    var h = len.toLong
+    h = h * 131 + cp(g, 1)
+    h = h * 131 + cp(g, 2)
+    h = h * 131 + cp(g, 3)
+    h = h * 131 + cp(g, math.max(len - 2, 1))
+    h = h * 131 + cp(g, math.max(len - 1, 1))
+    h = h * 131 + cp(g, len)
+    h % P
+  }
+
+  /** 32 permuted mins in one pass; an EMPTY shingle array yields 32 null
+    * elements — the exact value the explode_outer + min-aggregate path
+    * produced (min over a single null hash row), so banding and the
+    * DuckDB oracle (`list_min([]) = NULL`) see identical signatures.
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](K))
+    val mins = new Array[Long](K)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = shingleHash(arr.getUTF8String(i))
+      var j = 0
+      while (j < K) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `minhash32(grams)`: array<string> → array<long> of the 32 permuted
+  * MinHash minima (null elements for an empty input array).
+  */
+case class MinHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash32 requires array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash32"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashHelper.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashHelper.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash32 =
+    copy(child = newChild)
+}
+
 /** Two-pointer set Jaccard over SORTED, DISTINCT string arrays.
   * Extracted to a static helper (the StaticInvoke pattern, like
   * [[SimHashHelper]]) so the generated code is one JIT-friendly call.
@@ -338,6 +427,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimHash48(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("jaccard4",
       (exprs: Seq[Expression]) => Jaccard4(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("minhash32",
+      (exprs: Seq[Expression]) => MinHash32(exprs.head), "built-in")
   }
 }
 
@@ -367,6 +458,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("jaccard4"),
       new ExpressionInfo(classOf[Jaccard4].getName, "jaccard4"),
       (exprs: Seq[Expression]) => Jaccard4(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash32"),
+      new ExpressionInfo(classOf[MinHash32].getName, "minhash32"),
+      (exprs: Seq[Expression]) => MinHash32(exprs.head)))
     // whole-operator extension: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

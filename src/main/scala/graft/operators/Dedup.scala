@@ -152,10 +152,11 @@ object Dedup {
       |  + ascii(substr($g, greatest(length($g) - 1, 1), 1))) * 131
       |  + ascii(substr($g, length($g), 1))) % $P AS BIGINT)""".stripMargin
 
-  /** The 32 permuted-min aggregates over exploded shingle hashes. Each is
-    * plain codegen'd arithmetic + a hash-aggregate `min` with map-side
-    * partial aggregation — the shuffle carries one 32-column row per doc
-    * per map partition, not the shingles.
+  /** The 32 permuted-min aggregates over exploded shingle hashes — the
+    * REFERENCE formulation of the signature (what [[sigOf]] computed
+    * before the fused [[graft.functions.MinHash32]] replaced it).
+    * Retained for `DedupSpec`'s equivalence assertion; the coefficients
+    * are mirrored by [[graft.functions.MinHashHelper]].
     */
   private[operators] def mhAggs = (0 until NumHashes).map { i =>
     min(expr(s"(${aCoef(i)} * h + ${bCoef(i)}) % $P")).as(f"mh$i%02d")
@@ -177,22 +178,35 @@ object Dedup {
     withWords(docs).select((col("doc_id") +: carry.map(col) :+
       expr(s"array_sort($gramsSpark)").as("grams")): _*)
 
-  /** 32-permutation MinHash signature of a grams frame (codegen-only:
-    * explode + scalar hash + hash-agg mins; see [[qMinhashSig]]). Carry
-    * columns join the groupBy key — same cardinality (they are functions
-    * of doc_id), so the shuffle is unchanged.
+  /** 32-permutation MinHash signature of a grams frame, computed by the
+    * fused native [[graft.functions.MinHash32]]: one compiled pass per
+    * doc over its shingle array — NO explode and NO per-doc aggregation
+    * shuffle. The former pipeline (explode_outer → scalar hash → 32
+    * min-aggregates) was codegen-clean but still materialized one row
+    * per shingle and paid a doc-keyed hash-aggregate exchange for the
+    * whole corpus; the fused form makes the signature pass a narrow
+    * projection, which at 100 TB removes the largest remaining shuffle
+    * of the LSH family. Signature VALUES are bit-identical (same shingle
+    * hash, same permutations, null signature for zero-shingle docs —
+    * `DedupSpec` asserts equality against the explode formulation, and
+    * the unchanged `q_minhash_sig` oracle gates it against DuckDB).
     */
-  private[operators] def sigOf(grams: DataFrame, carry: String*): DataFrame =
-    grams.select((col("doc_id") +: carry.map(col) :+ explode_outer(col("grams")).as("g")): _*)
-      .select((col("doc_id") +: carry.map(col) :+ expr(shingleHashScalar("g")).as("h")): _*)
-      .groupBy("doc_id", carry: _*).agg(mhAggs.head, mhAggs.tail: _*)
+  private[operators] def sigOf(grams: DataFrame, carry: String*): DataFrame = {
+    graft.functions.VectorFunctions.register(grams.sparkSession)
+    grams.select((col("doc_id") +: carry.map(col) :+
+      expr("minhash32(grams)").as("sig")): _*)
+  }
 
   /** Banded signature rows (doc_id [, carry…], band_idx, band_sig): docs
-    * sharing any (band_idx, band_sig) become LSH candidates.
+    * sharing any (band_idx, band_sig) become LSH candidates. Band sigs
+    * are built by slicing the signature array — same comma-joined string
+    * values the 32-column formulation produced.
     */
   private[operators] def bandsOf(sig: DataFrame, carry: String*): DataFrame = {
+    val rowsPerBand = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
-      concat_ws(",", (0 until NumHashes / Bands).map(r => col(f"mh${b * (NumHashes / Bands) + r}%02d")): _*)
+      concat_ws(",", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
     }
     sig.select((col("doc_id") +: carry.map(col) :+
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_sig"))): _*)
@@ -252,18 +266,18 @@ object Dedup {
       |WHERE round(len(list_intersect(ta.grams, tb.grams)) / CAST(len(list_distinct(list_concat(ta.grams, tb.grams))) AS DOUBLE), 4) >= $minJ""".stripMargin
 
   /** MinHash signatures (32 permutations) over distinct word-bigram
-    * shingles. Shingles are EXPLODED to rows so hashing and the 32 mins
-    * run fully inside whole-stage codegen (a `transform`/`array_min`
-    * formulation would pay ~NumHashes × shingles interpreted lambda calls
-    * per doc). explode_outer keeps zero-shingle docs (null signature),
-    * matching the oracle's list_min(empty) = NULL.
+    * shingles, via the fused one-pass [[graft.functions.MinHash32]]
+    * (see [[sigOf]]). A `transform`/`array_min` SQL formulation would
+    * pay ~NumHashes × shingles interpreted lambda calls per doc; the
+    * native expression runs the same arithmetic in one compiled loop.
+    * Zero-shingle docs keep a null signature, matching the oracle's
+    * list_min(empty) = NULL.
     */
-  def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val hashed = withWords(t(s, dir, "documents"))
-      .select(col("doc_id"), explode_outer(expr(gramsSpark)).as("g"))
-      .select(col("doc_id"), expr(shingleHashScalar("g")).as("h"))
-    hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).orderBy("doc_id")
-  }
+  def qMinhashSig(s: SparkSession, dir: String): DataFrame =
+    sigOf(gramsOf(t(s, dir, "documents")))
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(col("sig"), i + 1).as(f"mh$i%02d")): _*)
+      .orderBy("doc_id")
 
   val qMinhashSigOracle: String = {
     val cols = (0 until NumHashes).map { i =>

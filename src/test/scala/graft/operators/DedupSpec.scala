@@ -180,6 +180,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(p50 - expected) < 1e-6, s"$src: p50 $p50 vs $expected")
   }
 
+  test("fused minhash32 equals the explode + min-aggregate reference formulation") {
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val docs = graft.Tables.t(spark, d, "documents")
+      val fused = Dedup.qMinhashSig(spark, d).collect().map(_.mkString("|"))
+      val reference = Dedup.withWords(docs)
+        .select(col("doc_id"), explode_outer(expr(Dedup.gramsSpark)).as("g"))
+        .select(col("doc_id"), expr(Dedup.shingleHashScalar("g")).as("h"))
+        .groupBy("doc_id").agg(Dedup.mhAggs.head, Dedup.mhAggs.tail: _*)
+        .orderBy("doc_id").collect().map(_.mkString("|"))
+      assert(fused.nonEmpty && fused.sameElements(reference),
+        s"$d: fused signatures diverge from the explode formulation")
+    }
+  }
+
   test("jaccard curve bins partition the verified >= 0.5 candidate pairs") {
     val curve = Dedup.qJaccardCurve(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
