@@ -49,7 +49,8 @@ object Explain {
       "q_source_overlap", "q_gram_novelty", "q_length_percentiles",
       "q_bm25_topk", "q_domain_cap", "q_dedup_keep_best",
       "q_knn_classify", "q_cosine_curve", "q_shard_manifest",
-      "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk")
+      "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk",
+      "q_allpairs_jaccard", "q_sketch_merge")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
@@ -130,6 +131,26 @@ object Explain {
         "map-side partial merge, k rows per group crossing the " +
         "exchange. Compare q_window_topn's plan — same result set, but " +
         "Window/Sort sorts every row of each customer partition."),
+      "q_allpairs_jaccard" -> ("Exact set-similarity self-join: the " +
+        "candidate join reads PREFIX rows only (each doc's rarest " +
+        "⌊0.1·n⌋+1 grams under the global df-ascending order), keyed on " +
+        "the gram's 64-bit hash (longs exchange cheaper than strings; a " +
+        "collision only adds candidates the exact verify rejects). The " +
+        "window pair (row_number + count over doc_id) shares ONE " +
+        "exchange+sort; length and positional filters prune inside the " +
+        "join stage before the distinct. The verify joins are doc-keyed " +
+        "equi-joins into the persisted gram table; jaccard4 is the " +
+        "fused two-pointer codegen expression. All three pruning rules " +
+        "are exactness-preserving — the oracle is the unpruned " +
+        "brute-force join."),
+      "q_sketch_merge" -> ("Three corpus passes (8-shard sketches, " +
+        "2-shard sketches, exact distinct) that a production pipeline " +
+        "would fuse into one; the point of the query is the equality " +
+        "assertion: hll_union_agg yields the identical estimate under " +
+        "both shard layouts, proving the partial states a " +
+        "1000-executor fleet ships are partition-invariant. Every " +
+        "aggregate here is map-side combinable; sketches cross the " +
+        "exchange at ~2.5 KB each (lgK 12)."),
       "q_knn_classify" -> ("The broadcast() hint on the probe batch is " +
         "justified-small: probes are the query workload (model-sized by " +
         "definition), never corpus-scaled. The ObjectHashAggregate is " +

@@ -882,8 +882,107 @@ object Dedup {
       |  CAST((sum(n_inst) - count(*)) * 10000 // sum(n_inst) AS BIGINT) AS dedup_bp
       |FROM st""".stripMargin
 
+  // All-pairs exact similarity-join threshold — the near-exact-duplicate
+  // regime (J ≥ 0.9), one notch above the LSH verify threshold (0.8):
+  // exact all-pairs is the audit tool for "provably every surviving pair",
+  // and the tighter τ is what keeps its candidate surface affordable on a
+  // dense vocabulary (prefix length ⌊(1−τ)·n⌋+1 = 10% of each doc's
+  // grams + 1, and every prune sharpens with τ). Held as an exact
+  // rational: the prunes run in INTEGER arithmetic because a float τ
+  // silently tightens the boundary — ceil(57 · (0.9/1.9)) = 28 in
+  // doubles where the true ⌈57·9/19⌉ = 27, which drops a legitimate
+  // J = 27/30 = 0.9 pair (caught by the brute-force spec).
+  private[operators] val TauNum = 9L
+  private[operators] val TauDen = 10L
+  private[operators] val AllPairsTau: Double = TauNum.toDouble / TauDen
+
+  /** Exact all-pairs set-similarity SELF-JOIN at Jaccard ≥ [[AllPairsTau]]
+    * — the AllPairs/PPJoin algorithm (Bayardo et al. WWW'07; Xiao et al.
+    * ICDE'08) as a standalone operator, the EXACT-answer counterpart to
+    * the [[qMinhashLsh]] index: same output contract (verified near-dup
+    * pairs with scores), no probabilistic recall loss, for when the
+    * pipeline needs "every pair above τ" (legal dedup audits, eval-set
+    * leakage sweeps) rather than "almost every pair, faster".
+    *
+    * Why it scales without an index: a J ≥ τ pair must share a gram
+    * inside each doc's first ⌊(1−τ)·n⌋+1 grams when every doc's gram set
+    * is sorted by one GLOBAL order (rarest-first by document frequency),
+    * so the candidate join runs over the prefix rows only — and the
+    * df-ascending order puts exactly the low-df grams in prefixes,
+    * bounding the join's Σ df_prefix² surface where a raw gram join pays
+    * Σ df² on stopword grams. Two more lossless prunes run inside the
+    * join stage, before anything shuffles toward the verify: the length
+    * filter (J ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|)) and PPJoin's
+    * POSITIONAL filter — a prefix gram at 1-based rank r in a doc of n
+    * grams leaves at most n − r grams after it, so the overlap is
+    * bounded by 1 + min(n_a − r_a, n_b − r_b), which must reach the
+    * equivalent-overlap threshold ⌈τ/(1+τ)·(n_a+n_b)⌉. The verify
+    * itself is the fused two-pointer [[graft.functions.Jaccard4]] over
+    * sorted gram arrays. All three pruning rules are
+    * exactness-preserving, so the oracle is the BRUTE-FORCE join — any
+    * pair the pruning wrongly dropped would hash-mismatch.
+    *
+    * Scale shape: grams explode once (persisted for the two consumers);
+    * df and prefix are gram-keyed / doc-windowed aggregates of that
+    * surface; candidates shuffle on prefix grams only; verify joins are
+    * doc-keyed equi-joins. At 100 TB this is the expensive-but-exact
+    * path — the df-ordered prefix is what keeps it feasible at all, and
+    * τ controls the cost knob directly.
+    */
+  def qAllpairsJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOf(t(s, dir, "documents")).persist()
+    val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val gdf = gramRows.groupBy("g").agg(count(lit(1)).as("df"))
+    val sized = gramRows.join(gdf, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // candidates join on the gram's 64-bit polynomial hash, not the
+    // string: longs shuffle and compare cheaper, and a hash collision can
+    // only ADD candidates — the exact verify rejects them, so the prune
+    // stays lossless
+    // all prune thresholds in exact integer arithmetic (see TauNum):
+    // ⌈p/q⌉ = (p + q − 1) div q, so prefix length n − ⌈τn⌉ + 1 and the
+    // equivalent-overlap threshold α = ⌈τ/(1+τ)·(n_a+n_b)⌉ =
+    // ⌈TauNum·v / (TauNum+TauDen)⌉ never suffer float boundary drift
+    val prefix = sized
+      .filter(col("rn") <=
+        expr(s"n - ((n * $TauNum + ${TauDen - 1}) div $TauDen) + 1"))
+      .select(col("doc_id"), expr(shingleHashScalar("g")).as("gh"),
+        col("n"), col("rn"))
+    val alphaDen = TauNum + TauDen
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("gh"),
+        col("n").as("n_a"), col("rn").as("r_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gh"),
+        col("n").as("n_b"), col("rn").as("r_b")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: J ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|)
+      .filter(least(col("n_a"), col("n_b")) * TauDen >=
+        greatest(col("n_a"), col("n_b")) * TauNum)
+      // positional filter: a first-common-gram row bounds overlap by
+      // 1 + min(n−r), which must reach α (every qualifying pair has its
+      // first common gram inside both prefixes, so ≥ 1 row passes)
+      .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >=
+        expr(s"((n_a + n_b) * $TauNum + ${alphaDen - 1}) div $alphaDen"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(cand, grams, AllPairsTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qAllpairsJaccardOracle: String =
+    s"""WITH ths AS (
+      |  SELECT doc_id, $gramsDuck AS grams FROM $duckWords),
+      |gram_rows AS (SELECT doc_id, unnest(grams) AS g FROM ths),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM gram_rows a JOIN gram_rows b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id)
+      |${lshVerifySelectDuck(AllPairsTau.toString)}
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
+    QueryDef("q_allpairs_jaccard", qAllpairsJaccard, Some(qAllpairsJaccardOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
     QueryDef("q_span_dedup", qSpanDedup, Some(qSpanDedupOracle)),
     QueryDef("q_content_chunks", qContentChunks, Some(qContentChunksOracle)),

@@ -133,6 +133,56 @@ object SketchOps {
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, TRUE AS hll_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch MERGEABILITY, proven inside the hash-checked contract: the
+    * property that makes sketches the 100 TB answer is not the estimate —
+    * it's that per-shard sketches UNION into the same answer no matter how
+    * the corpus was partitioned, so a 1000-executor fleet summarizes
+    * locally and merges tiny states instead of shuffling the key surface.
+    * This query builds Datasketches HLL sketches per (flag, shard) under
+    * TWO different shardings — 8 shards and 2 shards by order-key hash,
+    * standing in for two different cluster layouts — unions each per flag
+    * (`hll_union_agg`), and asserts the two merged estimates are EQUAL.
+    * The equality is exact, not approximate: for a fixed lgK the merged
+    * register state is a pure function of the item SET (max rank per
+    * slot, commutative and idempotent), and every multi-sketch union
+    * estimates through the same composite estimator, so the partition
+    * layout cannot leak into the answer. (A direct single-pass sketch is
+    * deliberately NOT the comparison anchor: an unmerged sketch keeps its
+    * order-dependent HIP estimator, which legitimately differs from the
+    * composite estimate over the same registers — the portable invariant
+    * is partition-layout invariance of the MERGED estimate.)
+    *
+    * Output: exact distinct per flag (the oracle anchor), the
+    * merge-invariance flag, and the usual ±5% accuracy flag. A Spark
+    * regression that broke merge associativity (or a lgK mismatch
+    * between the two builds) flips `merge_invariant` and hash-mismatches
+    * the gate.
+    */
+  def qSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"))
+    def mergedEst(nShards: Long, as: String): DataFrame = li
+      .withColumn("shard", pmod(col("l_orderkey"), lit(nShards)))
+      .groupBy("l_returnflag", "shard")
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as(as))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.join(mergedEst(8L, "n_m8"), Seq("l_returnflag"))
+      .join(mergedEst(2L, "n_m2"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (col("n_m8") === col("n_m2")).as("merge_invariant"),
+        (abs(col("n_m8") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("hll_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val qSketchMergeOracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+      |  TRUE AS merge_invariant, TRUE AS hll_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Rank-bounded approximate median of extended price per return flag:
     * `percentile_approx` (Greenwald-Khanna, accuracy 2000 → rank error
     * ≤ n/2000) yields a candidate median; a second narrow pass computes
@@ -251,6 +301,7 @@ object SketchOps {
     QueryDef("q_profile_stats", qProfileStats, Some(qProfileStatsOracle)),
     QueryDef("q_cms_heavy_hitters", qCmsHeavyHitters, Some(qCmsHeavyHittersOracle)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
+    QueryDef("q_sketch_merge", qSketchMerge, Some(qSketchMergeOracle)),
     QueryDef("q_approx_quantiles", qApproxQuantiles, Some(qApproxQuantilesOracle)),
     QueryDef("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsOracle)),
   )

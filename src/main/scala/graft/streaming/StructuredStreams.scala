@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Idiomatic Structured Streaming counterparts to the batch-faithful
@@ -256,5 +256,64 @@ object StructuredStreams {
           state.update(seen)
           out.result().iterator
       }
+  }
+
+  final case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+  final case class BudgetDecision(source: String, doc_id: Long,
+      admitted: Boolean, spent_after: Long)
+
+  /** [[StatefulProcessor]] for [[streamingTokenBudget]]: one Long of
+    * state per source — the tokens admitted so far. The arbitrary-state
+    * v2 API (transformWithState, Spark 4) replaces the
+    * GroupState wrappers with named, individually-evolvable state
+    * variables served by the RocksDB state store, which is what makes
+    * billion-key state practical: state lives off-heap/on-disk per
+    * executor and only the touched keys are read per batch.
+    */
+  class TokenBudgetProcessor(budget: Long)
+      extends StatefulProcessor[String, BudgetDoc, BudgetDecision] {
+    @transient private var spent: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spent = getHandle.getValueState[Long]("spent", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BudgetDoc],
+        timerValues: TimerValues): Iterator[BudgetDecision] = {
+      var s = if (spent.exists()) spent.get() else 0L
+      // doc_id-sorted fold WITHIN the batch: admission is deterministic
+      // given the batch split, mirroring the batch operator's greedy
+      // doc_id order (CorpusOps.qTokenBudget)
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val ok = s + d.n_tokens <= budget
+        if (ok) s += d.n_tokens
+        BudgetDecision(key, d.doc_id, ok, s)
+      }
+      spent.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-source token-budget admission — the online form of
+    * the batch token-budget selection ([[graft.operators.CorpusOps]]
+    * `qTokenBudget`), the shape an ingest pipeline runs so a source's
+    * quota closes the moment it fills rather than in a nightly batch
+    * re-rank: every arriving doc is admitted iff its source's running
+    * token spend stays within `budget`, and each decision is emitted
+    * with the post-decision spend.
+    *
+    * Built on `transformWithState` (the Spark 4 arbitrary-state v2
+    * API; requires the RocksDB state store provider): state is ONE
+    * Long per source, partitioned across executors by source key —
+    * admission of a 100 TB/day firehose costs a narrow shuffle on
+    * source plus an O(1) state read/write per batch per source.
+    */
+  def streamingTokenBudget(docs: Dataset[BudgetDoc],
+      budget: Long): Dataset[BudgetDecision] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new TokenBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -253,4 +253,26 @@ class DedupSpec extends AnyFunSuite {
     val avg = words.toDouble / total
     assert(avg > 4 && avg < 64, s"average chunk length $avg far from divisor 16")
   }
+
+  test("allpairs prefix+length pruning loses no pair vs driver-side brute force") {
+    val got = Dedup.qAllpairsJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over ALL doc pairs, no pruning: distinct word bigrams,
+    // 4dp-rounded Jaccard at the operator's own τ — any pair the prefix,
+    // length, or positional filter wrongly dropped shows up here
+    val gs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> ws.zip(ws.drop(1)).map { case (a, b) => s"${a}_$b" }.toSet
+      }
+    val want = (for {
+      (a, ga) <- gs; (b, gb) <- gs if a < b && ga.union(gb).nonEmpty
+      j = BigDecimal(ga.intersect(gb).size.toDouble /
+        ga.union(gb).size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= Dedup.AllPairsTau
+    } yield (a, b) -> j).toMap
+    assert(got == want, "exact all-pairs join must equal unpruned brute force")
+    assert(got.nonEmpty, "corpus must exercise real near-dup pairs")
+  }
 }

@@ -90,4 +90,15 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(rows("l_orderkey")._3 > rows("l_quantity")._3,
       "orderkey must be higher-cardinality than quantity")
   }
+
+  test("hll merged estimate is invariant to the shard layout") {
+    val rows = SketchOps.qSketchMerge(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: 8-shard and 2-shard merged estimates diverged")
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: sketch estimate outside the 5% band")
+    }
+  }
 }

@@ -291,4 +291,64 @@ class StructuredStreamsSpec extends AnyFunSuite {
     assert(b2("warm") >= 5, "cross-batch accumulation lost")
     assert(b2("hot") >= 4)
   }
+
+  test("transformWithState token budget: admission matches a driver-side fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StructuredStreams.{BudgetDoc, BudgetDecision}
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tokens")
+      .collect().map(r => BudgetDoc(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.doc_id)
+    val budget = docs.map(_.n_tokens).sum / (docs.map(_.source).distinct.length * 2)
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    // expected: greedy doc_id-ordered fold per source, batch1 then batch2
+    val expected = Seq(first, second).flatMap { batch =>
+      batch.groupBy(_.source).toSeq.flatMap { case (src, ds) =>
+        ds.sortBy(_.doc_id).map(d => (src, d))
+      }
+    }.groupBy(_._1).flatMap { case (src, rows) =>
+      var s = 0L
+      rows.map(_._2).map { d =>
+        val ok = s + d.n_tokens <= budget
+        if (ok) s += d.n_tokens
+        BudgetDecision(src, d.doc_id, ok, s)
+      }
+    }.toSet
+
+    // the v2 state API requires the RocksDB provider; scope it to this
+    // query so the rest of the suite keeps the default provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[BudgetDoc]
+      val q = StructuredStreams.streamingTokenBudget(in.toDS(), budget)
+        .writeStream.format("memory").queryName("budget_stream")
+        .outputMode("append").start()
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.table("budget_stream").collect()
+      .map(r => StructuredStreams.BudgetDecision(
+        r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"admission diverged: missing ${expected -- got}, extra ${got -- expected}")
+    assert(got.exists(_.admitted) && got.exists(!_.admitted),
+      "budget must exercise both admissions and rejections")
+    // per-source spend never exceeds the budget
+    got.groupBy(_.source).foreach { case (src, ds) =>
+      assert(ds.map(_.spent_after).max <= budget, s"$src overspent")
+    }
+  }
 }
