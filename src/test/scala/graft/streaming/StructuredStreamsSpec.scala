@@ -297,7 +297,8 @@ class StructuredStreamsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import StructuredStreams.{BudgetDoc, BudgetDecision}
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
-      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tokens")
+      .selectExpr("source", "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
       .collect().map(r => BudgetDoc(r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_.doc_id)
     val budget = docs.map(_.n_tokens).sum / (docs.map(_.source).distinct.length * 2)
