@@ -31,14 +31,30 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     readCache.computeIfAbsent((spark, dir, name), { _ =>
       if (name == "events") {
-        // events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-        // reader rejects; read the raw nanos and truncate to microseconds
-        // (what every micro-precision engine, incl. the oracle, compares at).
+        // events.ts has shipped as both parquet INT64 TIMESTAMP(NANOS)
+        // (which Spark's vectorized reader rejects — hence nanosAsLong)
+        // and as native TIMESTAMP(MICROS); normalize whatever the file
+        // carries to a session-TZ micro-precision timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+
+  /** Normalize the events `ts` column to TimestampType regardless of how
+    * the parquet encoded it: INT64 nanos-as-long (legacy driver testdata),
+    * TIMESTAMP_NTZ (pandas micros without timezone), or already TIMESTAMP.
+    * The session runs in UTC, so the NTZ cast is instant-preserving and
+    * matches what the DuckDB oracle sees reading the same file.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
 
   /** Register every testdata table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

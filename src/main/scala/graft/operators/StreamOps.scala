@@ -53,16 +53,16 @@ object StreamOps {
     * query runs incrementally over arriving files instead of draining.
     */
   def qStreamHourly(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
-    // events.parquet carries INT64 TIMESTAMP(NANOS) — same raw-long read +
-    // micros truncation as graft.Tables.t, but through readStream (the
-    // batch reader's resolved schema provides the streaming schema)
+    // events.ts normalization matches graft.Tables.t, but through
+    // readStream (the batch reader's resolved schema provides the
+    // streaming schema)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source requires a DIRECTORY; select just the
     // events table out of the scale dir with a name glob
     val ev = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val agg = graft.streaming.StructuredStreams
       .windowedEventStats(ev, "1 hour", "1 hour")
     val sink = "stream_hourly_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -101,7 +101,7 @@ object StreamOps {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val ev = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val dim = graft.Tables.t(s, dir, "events")
       .select(col("user_id")).distinct()
       .withColumn("segment", concat(lit("seg"), col("user_id") % 4))
@@ -147,7 +147,7 @@ object StreamOps {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val ev = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val agg = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n_versions"),
         max(struct(col("ts"), col("event_id"),
@@ -200,7 +200,7 @@ object StreamOps {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     def side(tp: String, pfx: String) = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
       .filter(col("event_type") === tp)
       .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
         col("value").as(s"${pfx}_value"))
@@ -234,10 +234,88 @@ object StreamOps {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
       |GROUP BY 1 ORDER BY hr""".stripMargin
 
+  /** Streaming per-source token-budget admission, oracle-gated — drives
+    * [[graft.streaming.StructuredStreams.streamingTokenBudget]] (the
+    * tree's one `transformWithState` / arbitrary-state-v2 operator)
+    * end-to-end through the correctness gate: documents stream in, each
+    * is admitted iff its source's running token spend stays within the
+    * budget, and the emitted per-doc decisions are hash-compared against
+    * a DuckDB recursive-CTE replay of the same greedy doc_id-ordered
+    * fold.
+    *
+    * Determinism: the file source delivers the single parquet file as
+    * one micro-batch, and the processor folds each source's rows in
+    * doc_id order within a batch, so the admission sequence is exactly
+    * the oracle's walk. Scale shape: state is ONE Long per source in the
+    * RocksDB store, shuffled by source key — admission of a firehose
+    * costs a narrow (source, doc_id, n_tokens) shuffle, never the text.
+    */
+  def qStreamTokenBudget(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val budget = 700L
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .selectExpr("source", "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .as[graft.streaming.StructuredStreams.BudgetDoc]
+    // the v2 state API requires the RocksDB provider; scope it to this
+    // query so batch queries keep the session default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dec = graft.streaming.StructuredStreams
+        .streamingTokenBudget(docs, budget)
+      val sink = "stream_budget_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+      val q = dec.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("source"), col("doc_id"), col("admitted"),
+          col("spent_after"))
+        .orderBy("source", "doc_id")
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
+  val qStreamTokenBudgetOracle: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk AS (
+      |  SELECT source, 0 AS rn, CAST(0 AS BIGINT) AS spent,
+      |    CAST(NULL AS BIGINT) AS doc_id, FALSE AS admitted,
+      |    CAST(0 AS BIGINT) AS spent_after
+      |  FROM (SELECT DISTINCT source FROM d) s0
+      |  UNION ALL
+      |  SELECT d.source, d.rn,
+      |    CASE WHEN w.spent + d.n_tokens <= 700 THEN w.spent + d.n_tokens ELSE w.spent END,
+      |    d.doc_id,
+      |    w.spent + d.n_tokens <= 700,
+      |    CASE WHEN w.spent + d.n_tokens <= 700 THEN w.spent + d.n_tokens ELSE w.spent END
+      |  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1)
+      |SELECT source, doc_id, admitted, spent_after
+      |FROM walk WHERE rn > 0 ORDER BY source, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
     QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
     QueryDef("q_stream_cdc_latest", qStreamCdcLatest, Some(qStreamCdcLatestOracle)),
     QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinOracle)),
+    QueryDef("q_stream_token_budget", qStreamTokenBudget,
+      Some(qStreamTokenBudgetOracle)),
   )
 }
