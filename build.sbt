@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout lines of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default forked-output logging prefixes every line with
+// "[info] " and appends a "[success] Total time: …" trailer — both of
+// which have broken that parse every round. Pass the forked JVM's output
+// through verbatim and drop the success/timing trailer so the final line
+// of the process IS the bench JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

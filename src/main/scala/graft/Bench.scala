@@ -54,6 +54,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
+    // Tear down EVERYTHING noisy before printing: stateful streaming
+    // queries leave StateStore maintenance threads whose shutdown stack
+    // traces (RpcEnvStoppedException) have previously landed AFTER the
+    // totals and pushed them out of the driver's bounded tail capture.
+    // Order: stop streams → stop the state store → silence logging →
+    // stop the session → only THEN print, so the JSON lines are the
+    // last bytes the process writes.
+    try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => }
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => }
     // 3 decimals: bench noise is >>1ms and the shorter map keeps more
     // per-query entries inside the driver's bounded tail capture
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -66,6 +78,6 @@ object Bench {
     // its head to truncation — the line the gates need most must be the
     // final thing printed (tools/compare_bench.py falls back to it)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{},"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
