@@ -428,9 +428,11 @@ object ClusterOps {
     *
     * Scale shape: the component graph is the duplicate surface only;
     * the quality join is doc-keyed; the keep-best windows partition by
-    * cluster label (cluster-sized partitions, never corpus-sorted). The
-    * ttr quality column is 4-dp fixed so the DESC ordering is
-    * engine-stable, with doc_id as the total tie-break.
+    * cluster label (cluster-sized partitions, never corpus-sorted); the
+    * band join runs through [[Dedup.simhashBandPairs]]'s hot-bucket
+    * subdivision, so no band bucket's pair count grows quadratically
+    * with corpus size. The ttr quality column is 4-dp fixed so the DESC
+    * ordering is engine-stable, with doc_id as the total tie-break.
     */
   def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -438,17 +440,7 @@ object ClusterOps {
     val docs = t(s, dir, "documents")
     val sigs = docs.select(col("doc_id"), expr("simhash48(text)").as("sig"))
       .persist() // band explode reads it 2× through the self-join
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 3).map(m =>
-          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
-      .toDF("doc_id", "sig", "band_idx", "band_sig")
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+    val pairs = Dedup.simhashBandPairs(sigs)
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 8)
       .select("doc_a", "doc_b")
     val labels = connectedComponents(pairs, 20)
@@ -467,28 +459,12 @@ object ClusterOps {
   }
 
   val qDedupKeepBestOracle: String =
-    """WITH RECURSIVE ths AS (
-      |  SELECT doc_id, list_transform(string_split(text, ' '),
-      |    w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
-      |  FROM documents),
-      |sigs AS (
-      |  SELECT doc_id,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(list_transform(range(0, 3), m ->
-      |      list_transform(range(0, 16), b ->
-      |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(ths, h -> CASE WHEN (((h * (CASE m WHEN 0 THEN 25173 WHEN 1 THEN 13849 ELSE 40503 END)) % 65536) // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-      |          (a, x) -> a + x) > 0
-      |        THEN CAST(1 AS BIGINT) << CAST(m * 16 + b AS INTEGER) ELSE CAST(0 AS BIGINT) END)))),
-      |      (a, x) -> a + x) AS sig
-      |  FROM ths),
-      |bands AS (
-      |  SELECT doc_id, sig, m AS band_idx, (sig >> CAST(m * 16 AS INTEGER)) & 65535 AS band_sig
-      |  FROM sigs, (SELECT unnest(range(0, 3)) AS m) mm),
+    s"""WITH RECURSIVE ${graft.operators.Dedup.simhash48SigsDuck},
+      |sigs AS (SELECT doc_id, sig FROM base_sigs),
+      |${graft.operators.Dedup.simhashCandDuck},
       |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE bit_count(xor(sig_a, sig_b)) <= 8),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -393,7 +393,10 @@ object Dedup {
     *
     * Scale shape vs MinHash: the signature pass is a narrow projection
     * (8 bytes per doc shuffles, never text); candidates come from a
-    * key-equality self-join on (band_idx, band_sig); verify needs NO
+    * key-equality self-join on (band_idx, band_sig, sub) where `sub` is
+    * the [[simhashKeyedBands]] hot-bucket subdivision (16-bit band keys
+    * cap at 65,536 buckets, so without it per-bucket pair counts grow
+    * quadratically with corpus size); verify needs NO
     * join back to token sets — the signature alone carries the distance
     * — so the only data-sized stage is the one signature scan. That is
     * why production simhash dedup (e.g. the original Manku et al.
@@ -407,18 +410,7 @@ object Dedup {
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), expr("simhash48(text)").as("sig"))
       .persist() // band explode + two verify joins read it; caller clears
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 3).map(m =>
-          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
-      .toDF("doc_id", "sig", "band_idx", "band_sig")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    cand
+    simhashBandPairs(sigs)
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= 8)
@@ -426,12 +418,75 @@ object Dedup {
       .orderBy("hamming")
   }
 
-  val qSimhashNearDupOracle: String =
-    """WITH ths AS (
+  /** Band-bucket occupancy cap: buckets holding more rows than this get
+    * their join key extended by [[SimhashSubBits]] extra signature bits.
+    */
+  val SimhashBucketCap = 32
+  /** Extra key bits (from the NEXT band — the only bits that still vary
+    * inside a bucket) used to subdivide hot buckets.
+    */
+  val SimhashSubBits = 8
+
+  /** Banded simhash rows with HOT-BUCKET SUBDIVISION — the 100 TB fix for
+    * the 16-bit band-key cardinality cap: 3 bands × 16 bits tops out at
+    * 65,536 buckets per band, so bucket occupancy grows linearly with
+    * corpus size and the banded self-join's per-bucket pair count grows
+    * quadratically. Discipline: count rows per (band_idx, band_sig); any
+    * bucket over [[SimhashBucketCap]] has its join key extended by
+    * [[SimhashSubBits]] bits of the next band (deterministic, so the
+    * DuckDB oracle replays it bit-for-bit), cutting a hot bucket into up
+    * to 256 bounded cells. Recall trade (documented, inherent): a pair in
+    * a hot bucket differing inside those 8 bits is only found via its
+    * other two bands — the same trade Manku et al.'s multi-table design
+    * makes when it keys each table on more prefix bits than the
+    * guarantee needs. Cold buckets keep sub = 0, i.e. exact-banding
+    * behavior. The counts join is bucket-cardinality-sized and AQE
+    * size-chosen.
+    *
+    * Output: one row per (doc, band) with the final join key
+    * (band_idx, band_sig, sub) plus the raw bucket_n for audit.
+    */
+  private[operators] def simhashKeyedBands(sigs: DataFrame, cap: Int): DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 3).map(m =>
+          shiftright(col("sig"), 16 * m).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sig", "band_idx", "band_sig")
+      .withColumn("sub_key",
+        expr("shiftright(sig, CAST(((band_idx + 1) % 3) * 16 AS INT)) & 255"))
+    val counts = bands.groupBy("band_idx", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+    bands.join(counts, Seq("band_idx", "band_sig"))
+      .withColumn("sub",
+        when(col("bucket_n") > cap, col("sub_key")).otherwise(lit(0L)))
+  }
+
+  /** Distinct simhash candidate pairs (doc_a, doc_b, sig_a, sig_b) via
+    * the capped/subdivided band join of [[simhashKeyedBands]]. Shared by
+    * [[qSimhashNearDup]], [[ClusterOps.qDedupKeepBest]], and
+    * [[StressOps.qStressHotBand]].
+    */
+  private[operators] def simhashBandPairs(
+      sigs: DataFrame, cap: Int = SimhashBucketCap): DataFrame = {
+    val keyed = simhashKeyedBands(sigs, cap)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.sub") === col("b.sub") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE fragment replicating the 48-bit simhash signature pass:
+    * defines `ths` and `base_sigs(doc_id, sig)` over `documents`.
+    */
+  val simhash48SigsDuck: String =
+    """ths AS (
       |  SELECT doc_id, list_transform(string_split(text, ' '),
       |    w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
       |  FROM documents),
-      |sigs AS (
+      |base_sigs AS (
       |  SELECT doc_id,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(list_transform(range(0, 3), m ->
       |      list_transform(range(0, 16), b ->
@@ -440,16 +495,36 @@ object Dedup {
       |          (a, x) -> a + x) > 0
       |        THEN CAST(1 AS BIGINT) << CAST(m * 16 + b AS INTEGER) ELSE CAST(0 AS BIGINT) END)))),
       |      (a, x) -> a + x) AS sig
-      |  FROM ths),
-      |bands AS (
-      |  SELECT doc_id, sig, m AS band_idx, (sig >> CAST(m * 16 AS INTEGER)) & 65535 AS band_sig
+      |  FROM ths)""".stripMargin
+
+  /** DuckDB CTE fragment replicating [[simhashKeyedBands]] +
+    * [[simhashBandPairs]]: reads a CTE named `sigs(doc_id, sig)`, defines
+    * `bands`, `counts`, `keyed`, and `cand(doc_a, doc_b, sig_a, sig_b)`.
+    */
+  val simhashCandDuck: String =
+    s"""bands AS (
+      |  SELECT doc_id, sig, m AS band_idx,
+      |    (sig >> CAST(m * 16 AS INTEGER)) & 65535 AS band_sig,
+      |    (sig >> CAST(((m + 1) % 3) * 16 AS INTEGER)) & 255 AS sub_key
       |  FROM sigs, (SELECT unnest(range(0, 3)) AS m) mm),
+      |counts AS (
+      |  SELECT band_idx, band_sig, count(*) AS bucket_n
+      |  FROM bands GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT b.*, c.bucket_n,
+      |    CASE WHEN c.bucket_n > $SimhashBucketCap THEN b.sub_key ELSE CAST(0 AS BIGINT) END AS sub
+      |  FROM bands b JOIN counts c USING (band_idx, band_sig)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.sig AS sig_a, b.sig AS sig_b
-      |  FROM bands a JOIN bands b
+      |  FROM keyed a JOIN keyed b
       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-      |    AND a.doc_id < b.doc_id)
+      |    AND a.sub = b.sub AND a.doc_id < b.doc_id)""".stripMargin
+
+  val qSimhashNearDupOracle: String =
+    s"""WITH $simhash48SigsDuck,
+      |sigs AS (SELECT doc_id, sig FROM base_sigs),
+      |$simhashCandDuck
       |SELECT CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
       |  count(*) AS n_pairs
       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8

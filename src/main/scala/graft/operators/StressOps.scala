@@ -128,9 +128,53 @@ object StressOps {
       |FROM fact f JOIN dim d ON f.k = d.k
       |GROUP BY f.k ORDER BY f.k""".stripMargin
 
+  /** Hot BAND-BUCKET stress for the simhash LSH family: every fourth
+    * document's low 16 signature bits are forced to zero, so one band-0
+    * bucket holds 25% of the corpus — the adversarial version of what
+    * 16-bit band keys do to ANY corpus at scale (65,536 buckets cannot
+    * stay sparse past ~10⁶ docs). [[Dedup.simhashKeyedBands]] must
+    * subdivide that bucket by extra signature bits; the output is the
+    * per-band bucket audit — raw max occupancy vs subdivided max
+    * occupancy — proving the candidate stage's per-bucket work stays
+    * bounded (max_sub_bucket ≪ max_raw_bucket) while cold buckets pass
+    * through untouched. Deterministic arithmetic end to end, so the
+    * oracle replays the subdivision exactly.
+    */
+  def qStressHotBand(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sigs = t(s, dir, "documents").select(col("doc_id"),
+        expr("CASE WHEN doc_id % 4 = 0 THEN simhash48(text) & -65536 ELSE simhash48(text) END").as("sig"))
+      .persist() // the band pass + counts join read it twice; caller clears
+    val keyed = Dedup.simhashKeyedBands(sigs, Dedup.SimhashBucketCap)
+    keyed.groupBy("band_idx", "band_sig", "sub")
+      .agg(count(lit(1)).as("sub_n"), max("bucket_n").as("bucket_n"))
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(max("bucket_n").as("max_raw_bucket"),
+        max("sub_n").as("max_sub_bucket"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("band_idx")
+  }
+
+  val qStressHotBandOracle: String =
+    s"""WITH ${Dedup.simhash48SigsDuck},
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN sig & -65536 ELSE sig END AS sig
+      |  FROM base_sigs),
+      |${Dedup.simhashCandDuck},
+      |sub_sizes AS (
+      |  SELECT band_idx, band_sig, sub, count(*) AS sub_n, max(bucket_n) AS bucket_n
+      |  FROM keyed GROUP BY 1, 2, 3)
+      |SELECT CAST(band_idx AS BIGINT) AS band_idx,
+      |  max(bucket_n) AS max_raw_bucket,
+      |  max(sub_n) AS max_sub_bucket,
+      |  count(*) AS n_buckets
+      |FROM sub_sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stress_hot_near_dup", qStressHotNearDup, Some(qStressHotNearDupOracle)),
     QueryDef("q_stress_contam_skew", qStressContamSkew, Some(qStressContamSkewOracle)),
     QueryDef("q_stress_salted_join", qStressSaltedJoin, Some(qStressSaltedJoinOracle)),
+    QueryDef("q_stress_hot_band", qStressHotBand, Some(qStressHotBandOracle)),
   )
 }
