@@ -46,3 +46,47 @@ object TopKAggregator {
   def topK(k: Int): TypedColumn[(Double, Long), Seq[(Double, Long)]] =
     new TopKAggregator(k).toColumn
 }
+
+/** Bounded SMALLEST-k by a string key — the ascending sibling of
+  * [[TopKAggregator]] for priority-keyed sampling (the distributed
+  * reservoir: md5(text) is the priority, keep the k smallest). Same
+  * scale contract: a size-k buffer per group per partition, k rows per
+  * group cross the exchange, no partition-wide Window sort.
+  *
+  * Ties break toward the smaller id, matching
+  * `row_number() OVER (ORDER BY key, id)`.
+  */
+final class MinKAggregator(k: Int)
+    extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Seq[(String, Long)] = Vector.empty
+
+  private def ordered(s: Seq[(String, Long)]): Seq[(String, Long)] =
+    s.sortBy(identity).take(k)
+
+  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
+    // fast path: above the current k-th element, skip the sort
+    if (buf.size >= k && {
+      val (lk, li) = buf.last
+      val c = in._1.compareTo(lk)
+      c > 0 || (c == 0 && in._2 > li)
+    }) buf
+    else ordered(buf :+ in)
+
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+    ordered(a ++ b)
+
+  override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    bufferEncoder
+}
+
+object MinKAggregator {
+  /** Typed column for `KeyValueGroupedDataset.agg`. */
+  def minK(k: Int): TypedColumn[(String, Long), Seq[(String, Long)]] =
+    new MinKAggregator(k).toColumn
+}

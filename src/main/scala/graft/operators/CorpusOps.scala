@@ -455,23 +455,33 @@ object CorpusOps {
 
   /** Deterministic distributed reservoir — EXACT-k per stratum (the
     * eval-set construction primitive: "give me exactly 10 uniform docs
-    * per language, reproducibly"): md5(text) is the random priority,
-    * `row_number` per language keeps the k smallest. Rate-based sampling
-    * ([[qStratifiedSample]]) can't hit an exact count; this can, and
-    * Spark's WindowGroupLimit pushes the rank filter below the sort, so
-    * each partition ships only its local top-k to the per-stratum sort —
-    * the classic distributed-reservoir merge.
+    * per language, reproducibly"): md5(text) is the random priority; the
+    * bounded [[graft.functions.MinKAggregator]] keeps the k smallest per
+    * language. Rate-based sampling ([[qStratifiedSample]]) can't hit an
+    * exact count; this can.
+    *
+    * Scale shape: a size-k buffer per (lang, partition) with map-side
+    * partial merge, so k rows per language per partition cross the
+    * exchange — the classic distributed-reservoir merge. The earlier
+    * `row_number` Window formulation partitioned by ~O(10) languages,
+    * which at corpus scale sorts ~1/|langs| of the corpus per partition;
+    * this form is oracle-checked identical to that window SQL (the same
+    * proof [[graft.operators.Relational.qGroupedTopK]] made against
+    * [[graft.operators.Relational.qWindowTopN]]).
     */
   def qReservoirSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(col("priority"), col("doc_id"))
+    import s.implicits._
     t(s, dir, "documents")
-      .select(col("lang"), col("doc_id"),
-        md5(encode(col("text"), "UTF-8")).as("priority"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("lang"), col("rk"), col("doc_id"))
+      .select(col("lang"), md5(encode(col("text"), "UTF-8")).as("priority"),
+        col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.MinKAggregator.minK(k))
+      .toDF("lang", "keep")
+      .select(col("lang"), posexplode(col("keep")).as(Seq("pos", "item")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("item._2").as("doc_id"))
       .orderBy("lang", "rk")
   }
 
