@@ -205,8 +205,13 @@ object CurationOps {
     */
   def qUnigramCe(s: SparkSession, dir: String): DataFrame = {
     val occ = wordOcc(t(s, dir, "documents"))
-    val vocab = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val wcnt = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // corpus total as a broadcast single-row aggregate (the q_above_avg
+    // scalar-subquery idiom) — NOT an unpartitioned window: the vocab
+    // table this rides over scales with the corpus on web text, so a
+    // global window would funnel it through one task
+    val tot = wcnt.agg(sum("cnt").cast("double").as("n"))
+    val vocab = wcnt.crossJoin(broadcast(tot))
       .select(col("w"), log(col("cnt") / col("n")).as("logp"))
     val docCe = occ.join(vocab, Seq("w"))
       .groupBy("doc_id", "lang")

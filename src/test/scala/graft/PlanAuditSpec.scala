@@ -31,10 +31,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // q_knn_classify broadcasts the probe batch (the query workload —
   // model-sized by definition, like q_cosine_topk's query vectors) and
   // q_bm25_topk its term-count-row idf/avgdl table
+  // q_unigram_ce broadcasts its single-row corpus-total aggregate (the
+  // replacement for what was an unpartitioned window over the vocab)
   private val crossJoinByDesign =
     Set("q_cosine_topk", "q_ann_recall", "q_above_avg", "q_mixture_weights",
       "q_vocab_coverage", "q_zorder_layout", "q_temperature_mix",
-      "q_minhash_recall", "q_pmi", "q_knn_classify", "q_bm25_topk")
+      "q_minhash_recall", "q_pmi", "q_knn_classify", "q_bm25_topk",
+      "q_unigram_ce")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
@@ -50,6 +53,56 @@ class PlanAuditSpec extends AnyFunSuite {
         offenders += s"$name: BroadcastNestedLoopJoin"
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  // Windows with an EMPTY partition spec funnel every row through one
+  // task — fine only over provably bounded input. Allowlisted cases:
+  //  - q_dpp_join: builds its 3-row day dim with a global Window over
+  //    distinct days (bounded by the calendar);
+  //  - q_importance_weights: corpus totals over the ≤128-row DSIR
+  //    feature-bucket frame;
+  //  - q_power_iteration: vector norm over the 64-row per-dimension
+  //    aggregate (bounded by embedding dimensionality);
+  //  - q_shard_manifest: token share over the 16-row shard aggregate
+  //    (one hex digit of md5 = 16 shards by construction);
+  //  - q_vocab_coverage: rank over the TakeOrdered top-1000 slice
+  //    (bounded by the preceding LIMIT, never the vocab).
+  private val globalWindowByDesign =
+    Set("q_dpp_join", "q_importance_weights", "q_power_iteration",
+      "q_shard_manifest", "q_vocab_coverage")
+
+  test("no Window with an empty partition spec over data-scale input") {
+    // matches the physical Window operator header and captures the
+    // partition spec between "windowspecdefinition(" and the first
+    // ORDER-BY-ish token; an empty partition spec renders as
+    // windowspecdefinition(<order exprs...>) with no partition columns —
+    // detected via the Window node's "[partitionSpec: []" rendering...
+    // Spark 4 prints `Window [...], [part], [order]`; a missing middle
+    // list shows as `Window [...], [order]` — so instead audit the
+    // ANALYZED plan, where partitionSpec is structured.
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        globalWindowByDesign(name) || sideEffecting(name) }
+      .foreach { case (name, build) =>
+        val analyzed = build(spark, dir).queryExecution.analyzed
+        analyzed.foreach {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty =>
+            offenders += s"$name: unpartitioned Window"
+          case _ =>
+        }
+      }
+    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
+  test("q_reservoir_sample plans through the bounded aggregator, not a Window") {
+    val plan = SparkEntry.queries("q_reservoir_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "q_reservoir_sample must use MinKAggregator, not a window sort")
+    assert(plan.contains("ObjectHashAggregate"),
+      "expected the typed-aggregator plan shape")
   }
 
   test("lineitem scans prune columns (never read the full 16-column schema)") {
