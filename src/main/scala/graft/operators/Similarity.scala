@@ -1135,6 +1135,160 @@ object Similarity {
       |FROM scored WHERE cos_sim >= 0.3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Matryoshka / dimension-truncation recall — the retrieval-cost audit
+    * an embedding pipeline runs before storing truncated vectors: top-10
+    * by cosine over the FIRST 16 of 64 dimensions, measured against the
+    * full-dimension top-10 for 3 probe queries. High recall means the
+    * prefix dimensions carry the ranking signal and the index can store
+    * (and shuffle) a quarter of the floats.
+    *
+    * Scale shape: identical to [[qAnnRecall]]'s exact arm — the probe
+    * set broadcasts (3 rows), scoring is one map-side pass (no pairwise
+    * corpus join), per-query ranking through the bounded
+    * [[graft.functions.TopKAggregator]], recall joined over
+    * 10-row-per-query frames.
+    */
+  def qTruncRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(normExpr).as("nrm"),
+        expr("slice(embedding, 1, 16)").as("emb16"),
+        expr("vec_norm(slice(embedding, 1, 16))").as("nrm16"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("emb16").as("qv16"),
+        col("nrm16").as("qnrm16"))
+    val corpus = e.filter(col("vec_id") >= 3)
+    val joined = corpus.crossJoin(broadcast(q))
+    def top10(scored: DataFrame): DataFrame =
+      scored.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(graft.functions.TopKAggregator.topK(10))
+        .toDF("query_id", "top")
+        .select(col("query_id"), explode(col("top")).as("item"))
+        .select(col("query_id"), col("item._2").as("vec_id"))
+    val full = top10(joined.select(col("query_id"), col("vec_id"),
+      round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim")))
+    val trunc = top10(joined.select(col("query_id"), col("vec_id"),
+      round(expr("vec_dot(qv16, emb16)") / (col("qnrm16") * col("nrm16")), 4)
+        .as("cos_sim")))
+    val hits = full.join(trunc, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 10.0, 4).as("recall4"))
+      .orderBy("query_id")
+  }
+
+  val qTruncRecallOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    unnest(q.qv)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY query_id, vec_id),
+      |full10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM scored) WHERE rk <= 10),
+      |pairs16 AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    unnest(q.qv[1:16])::DOUBLE AS x, unnest(e.embedding[1:16])::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+      |scored16 AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs16 GROUP BY query_id, vec_id),
+      |trunc10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM scored16) WHERE rk <= 10),
+      |hits AS (
+      |  SELECT f.query_id, count(*) AS n_hits
+      |  FROM full10 f JOIN trunc10 t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+      |  GROUP BY f.query_id)
+      |SELECT q.query_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall4
+      |FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      |ORDER BY q.query_id""".stripMargin
+
+  /** Cross-modality agreement audit — label-noise / mispairing detection
+    * for paired (text, embedding) corpora: every LSH-verified TEXT
+    * near-dup pair (Jaccard ≥ 0.8, the exact [[Dedup.qMinhashLsh]]
+    * kernel) is joined to both documents' embeddings and scored by
+    * cosine. Near-identical text whose embeddings disagree is exactly
+    * what a pipeline quarantines before training a retriever on weak
+    * supervision (mispaired rows, poisoned embeddings, stale vectors).
+    * Output: the agreement histogram over verified pairs.
+    *
+    * Scale shape: the text arm is the banded LSH surface
+    * (duplicate-sized, hot-bucket-safe); the embedding lookups are
+    * doc-keyed equi-joins against the narrow (vec_id, embedding)
+    * projection; nothing pairs the corpus with itself.
+    */
+  def qModalityAgreement(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val grams = Dedup.gramsOf(t(s, dir, "documents")).persist()
+    val bands = Dedup.bandsOf(Dedup.sigOf(grams)).persist()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = Dedup.verifyPairs(cand, grams, 0.8)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("qv"),
+        col("nrm").as("qnrm")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding"),
+        col("nrm")), "doc_b")
+      .withColumn("cos4", round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4))
+    scored.select(
+        when(col("cos4") >= 0.9, "agree")
+          .when(col("cos4") >= 0.5, "weak")
+          .otherwise("disagree").as("tier"))
+      .groupBy("tier").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("tier")
+  }
+
+  val qModalityAgreementOracle: String =
+    s"""WITH ${Dedup.lshCtesDuck()},
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |verified AS (
+      |${Dedup.lshVerifySelectDuck("0.8")}),
+      |pr AS (
+      |  SELECT v.doc_a, v.doc_b,
+      |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+      |  FROM verified v
+      |  JOIN embeddings ea ON ea.vec_id = v.doc_a
+      |  JOIN embeddings eb ON eb.vec_id = v.doc_b),
+      |sc AS (
+      |  SELECT doc_a, doc_b,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos4
+      |  FROM pr GROUP BY doc_a, doc_b)
+      |SELECT CASE WHEN cos4 >= 0.9 THEN 'agree'
+      |            WHEN cos4 >= 0.5 THEN 'weak'
+      |            ELSE 'disagree' END AS tier,
+      |  count(*) AS n_pairs
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_topk", qCosineTopK, Some(qCosineTopKOracle)),
     QueryDef("q_knn_classify", qKnnClassify, Some(qKnnClassifyOracle)),
@@ -1154,5 +1308,8 @@ object Similarity {
     QueryDef("q_kmeans_step", qKmeansStep, Some(qKmeansStepOracle)),
     QueryDef("q_power_iteration", qPowerIteration, Some(qPowerIterationOracle)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeOracle)),
+    QueryDef("q_trunc_recall", qTruncRecall, Some(qTruncRecallOracle)),
+    QueryDef("q_modality_agreement", qModalityAgreement,
+      Some(qModalityAgreementOracle)),
   )
 }

@@ -622,8 +622,65 @@ object TextOps {
       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score4
       |FROM sc ORDER BY score4 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** PII detection audit — the scan a pipeline runs BEFORE scrubbing
+    * (q_scrub is the removal arm; this is the measurement arm): per
+    * source, how many documents contain email- or phone-shaped strings
+    * and how many total matches. The synthetic corpus carries no PII, so
+    * the stress-op discipline applies: deterministic arithmetic injects
+    * `user<id>@example.com` into every 7th document and a `555-NNNN`
+    * number into every 11th, and the oracle replays the injection — the
+    * regex kernel is what's under test, on patterns simple enough to
+    * behave identically in Java regex and DuckDB's RE2.
+    *
+    * Scale shape: one narrow per-row scan (regexp_count is a codegen'd
+    * string pass; the text never shuffles), then a source-sized
+    * aggregate with map-side combine.
+    */
+  def qPiiScan(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("text2", concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+    d.select(col("source"),
+        expr("regexp_count(text2, '[a-z0-9]+@[a-z]+\\\\.[a-z]+')").as("e_cnt"),
+        expr("regexp_count(text2, '[0-9]{3}-[0-9]{4}')").as("p_cnt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e_cnt") > 0 || col("p_cnt") > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum("e_cnt").cast("long").as("n_email"),
+        sum("p_cnt").cast("long").as("n_phone"))
+      .orderBy("source")
+  }
+
+  val qPiiScanOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END AS text2
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text2, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS e_cnt,
+      |    len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{4}')) AS p_cnt
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN e_cnt > 0 OR p_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(sum(e_cnt) AS BIGINT) AS n_email,
+      |  CAST(sum(p_cnt) AS BIGINT) AS n_phone
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsOracle)),
+    QueryDef("q_pii_scan", qPiiScan, Some(qPiiScanOracle)),
     QueryDef("q_bm25_topk", qBm25TopK, Some(qBm25TopKOracle)),
     QueryDef("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchOracle)),
     QueryDef("q_length_percentiles", qLengthPercentiles, Some(qLengthPercentilesOracle)),
