@@ -76,4 +76,33 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(buf == Seq((100.0, 100L), (99.0, 99L)))
     assert(agg.merge(buf, Seq((150.0, 1L))) == Seq((150.0, 1L), (100.0, 100L)))
   }
+
+  test("MinKAggregator is split-invariant and matches ascending window rank") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { trial =>
+      val k = 1 + rnd.nextInt(5)
+      val agg = new MinKAggregator(k)
+      val n = rnd.nextInt(40)
+      // short random hex keys with deliberate collisions for tie coverage
+      val data = Vector.fill(n)(
+        (Integer.toHexString(rnd.nextInt(16)), rnd.nextInt(20).toLong))
+      val expected = data.sorted.take(k)
+      val chunks = if (n == 0) Vector(Vector.empty[(String, Long)])
+        else data.grouped(1 + rnd.nextInt(n)).toVector
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.reduceLeft { (a, b) =>
+        if (rnd.nextBoolean()) agg.merge(a, b) else agg.merge(b, a)
+      }
+      assert(agg.finish(merged) == expected,
+        s"trial $trial (k=$k, n=$n): ${agg.finish(merged)} != $expected")
+    }
+  }
+
+  test("MinKAggregator reduce keeps the buffer bounded at k") {
+    val agg = new MinKAggregator(2)
+    val buf = (1 to 100).foldLeft(agg.zero)((b, i) =>
+      agg.reduce(b, (f"$i%03d", i.toLong)))
+    assert(buf == Seq(("001", 1L), ("002", 2L)))
+    assert(agg.merge(buf, Seq(("000", 9L))) == Seq(("000", 9L), ("001", 1L)))
+  }
 }

@@ -275,4 +275,38 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, "exact all-pairs join must equal unpruned brute force")
     assert(got.nonEmpty, "corpus must exercise real near-dup pairs")
   }
+
+  test("simhash hot-bucket subdivision: cold buckets untouched, hot buckets bounded, candidates only shrink") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic signatures: 40 docs share band 0 (low 16 bits = 0x1111)
+    // forming one hot bucket, while their bands 1 and 2 stay distinct so
+    // the subdivision bits (drawn from the NEXT band) actually vary; 20
+    // docs share a cold band-0 bucket (0x2222, under the cap)
+    val hot = (0L until 40L).map(i => (i, 0x1111L | (i << 16) | (i << 32)))
+    val cold = (100L until 120L).map(i => (i, 0x2222L | (i << 16) | (i << 32)))
+    val sigs = (hot ++ cold).toDF("doc_id", "sig")
+    val cap = 32
+    val keyed = Dedup.simhashKeyedBands(sigs, cap)
+      .select("doc_id", "band_idx", "band_sig", "bucket_n", "sub").collect()
+
+    // cold rows (bucket_n <= cap) must keep sub = 0 — exact banding
+    assert(keyed.filter(r => r.getLong(3) <= cap).forall(_.getLong(4) == 0L),
+      "cold buckets must pass through unsubdivided")
+    // the hot bucket must actually subdivide into >1 cell, each smaller
+    val hotCells = keyed.filter(r => r.getLong(3) > cap)
+      .groupBy(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+      .map(_._2.length)
+    assert(hotCells.size > 1, "hot bucket must split into multiple cells")
+    assert(hotCells.forall(_ < 40), "every cell must be smaller than the raw bucket")
+
+    // subdivision can only REMOVE candidate pairs relative to plain
+    // banding (it refines the join key) — the recall trade is one-sided
+    def pairSet(cap: Int) = Dedup.simhashBandPairs(sigs, cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val subdivided = pairSet(cap)
+    val plain = pairSet(Int.MaxValue)
+    assert(subdivided.subsetOf(plain),
+      "subdivided candidates must be a subset of plain banding")
+  }
 }
