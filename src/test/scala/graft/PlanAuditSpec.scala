@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("q_cosine_topk", "q_ann_recall", "q_above_avg", "q_mixture_weights",
       "q_vocab_coverage", "q_zorder_layout", "q_temperature_mix",
       "q_minhash_recall", "q_pmi", "q_knn_classify", "q_bm25_topk",
-      "q_unigram_ce")
+      "q_unigram_ce",
+      // q_trunc_recall broadcasts its 3-probe query set on both arms,
+      // exactly like q_cosine_topk / q_ann_recall
+      "q_trunc_recall")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
