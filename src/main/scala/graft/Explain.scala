@@ -49,7 +49,7 @@ object Explain {
       "q_source_overlap", "q_gram_novelty", "q_length_percentiles",
       "q_bm25_topk", "q_domain_cap", "q_dedup_keep_best",
       "q_stress_hot_band", "q_trunc_recall", "q_modality_agreement",
-      "q_pii_scan",
+      "q_pii_scan", "q_dataset_card",
       "q_knn_classify", "q_cosine_curve", "q_shard_manifest",
       "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk",
       "q_allpairs_jaccard", "q_sketch_merge")

@@ -630,7 +630,49 @@ object CorpusOps {
       |  CAST(tokens * 10000 // (SELECT sum(tokens) FROM m) AS BIGINT) AS share_bp
       |FROM m ORDER BY shard""".stripMargin
 
+  /** Dataset card — the per-source datasheet a curation pipeline
+    * publishes with every release: volume (docs, tokens), language
+    * spread, exact-duplicate rate, and mean quality, in one pass.
+    * Integer arithmetic end to end (rates in basis points via integer
+    * div) so the card is bit-stable across engines.
+    *
+    * Scale shape: one narrow projection (digest, token count, quality —
+    * the text never shuffles), then a single source-keyed aggregate.
+    * The two DISTINCT aggregates (langs, digests) expand the stream 2×
+    * before the map-side combine — the standard multi-distinct plan;
+    * at 100 TB the digest distinct is the only data-sized state and is
+    * itself bounded by the unique-document surface.
+    */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"), col("lang"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("(size(array_distinct(ws)) * 10000L) div size(ws)").as("qbp"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("h").as("n_uniq"),
+        sum("qbp").as("sum_qbp"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("n_langs"),
+        expr("((n_docs - n_uniq) * 10000) div n_docs").as("dup_bp"),
+        expr("sum_qbp div n_docs").as("mean_qbp"))
+      .orderBy("source")
+  }
+
+  val qDatasetCardOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(((count(*) - count(DISTINCT md5(text))) * 10000) // count(*) AS BIGINT) AS dup_bp,
+      |  CAST(sum((len(list_distinct(string_split(text, ' '))) * 10000)
+      |           // len(string_split(text, ' '))) // count(*) AS BIGINT) AS mean_qbp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dataset_card", qDatasetCard, Some(qDatasetCardOracle)),
     QueryDef("q_contamination", qContamination, Some(qContaminationOracle)),
     QueryDef("q_domain_cap", qDomainCap, Some(qDomainCapOracle)),
     QueryDef("q_shard_manifest", qShardManifest, Some(qShardManifestOracle)),
