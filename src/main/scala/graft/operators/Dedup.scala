@@ -467,7 +467,11 @@ object Dedup {
     */
   private[operators] def simhashBandPairs(
       sigs: DataFrame, cap: Int = SimhashBucketCap): DataFrame = {
-    val keyed = simhashKeyedBands(sigs, cap)
+    // persisted: the self-join reads the banded+counted frame twice, and
+    // without the cache the band explode + bucket-count aggregate run
+    // once per side (same discipline as qMinhashLsh's band table; the
+    // caller owns cache lifetime, Bench/Verify clear between queries)
+    val keyed = simhashKeyedBands(sigs, cap).persist()
     keyed.as("a").join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_sig") === col("b.band_sig") &&
