@@ -35,6 +35,57 @@ class StructuredStreamsSpec extends AnyFunSuite {
       "stream(events) must equal batch(events) row for row")
   }
 
+  test("checkpoint resume is exactly-once: a restarted query reads only new files and still matches batch") {
+    // The contract every StreamOps scaladoc claims ("at 100 TB the same
+    // query runs incrementally over arriving files") proven across a
+    // RESTART: drain file 1 under a checkpoint, stop, add files 2-3,
+    // restart from the same checkpoint — the resumed query must read
+    // ONLY the new files (source bookkeeping) while the complete-mode
+    // answer still equals the batch aggregate over everything (state
+    // store recovery).
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.t(spark, dir, "events")
+    val srcDir = tmp("ckpt_src")
+    val ckpt = tmp("ckpt_state").toString
+    def addFile(idx: Int): Long = {
+      val part = ev.filter(col("event_id") % 3 === idx)
+      val staging = tmp(s"ckpt_stage_$idx")
+      part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val f = staging.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, srcDir.resolve(s"f$idx.parquet"))
+      part.count()
+    }
+    def runDrain() = {
+      val s = spark.readStream.schema(ev.schema).parquet(srcDir.toString)
+      StructuredStreams.windowedEventStats(s, "1 hour", "1 hour")
+        .writeStream.format("memory").queryName("ckpt_resume")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val n1 = addFile(0)
+    val q1 = runDrain(); q1.awaitTermination()
+    assert(q1.recentProgress.map(_.numInputRows).sum == n1)
+    val n23 = addFile(1) + addFile(2)
+    val q2 = runDrain(); q2.awaitTermination()
+    val in2 = q2.recentProgress.map(_.numInputRows).sum
+    assert(in2 == n23,
+      s"resume must read ONLY the new files: read $in2, expected $n23")
+    val got = spark.table("ckpt_resume")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("n_events"), round(col("value_sum"), 2).as("value_sum"))
+      .orderBy("hr", "event_type").collect().map(_.mkString("|")).toSeq
+    val want = ev
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("value"))
+      .groupBy("hr", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .orderBy("hr", "event_type").collect().map(_.mkString("|")).toSeq
+    assert(got.nonEmpty && got == want,
+      "recovered stream state must reproduce the batch aggregate exactly")
+  }
+
   test("q_stream_join: the stream-stream interval join equals the batch join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
