@@ -84,8 +84,20 @@ object Bench {
     // ...and a compact summary LAST: the driver snapshots only the tail
     // of the run output, so with this many queries the full line loses
     // its head to truncation — the line the gates need most must be the
-    // final thing printed (tools/compare_bench.py falls back to it)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{},"sf":"$sfDir"}""")
+    // final thing printed (tools/compare_bench.py falls back to it).
+    // It carries the slowest queries (the regression-gating signal) up
+    // to a byte budget that keeps the whole line inside the driver's
+    // 2000-char tail capture.
+    val slow = new StringBuilder
+    results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .foreach { e =>
+        if (slow.length + e.length < 1500) {
+          if (slow.nonEmpty) slow.append(',')
+          slow.append(e)
+        }
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":{${slow.result()}},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
