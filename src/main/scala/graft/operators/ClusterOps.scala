@@ -485,6 +485,178 @@ object ClusterOps {
       |SELECT lbl AS cluster_rep, id AS keep_doc_id, n_members, ttr AS best_ttr
       |FROM rk WHERE rk = 1 ORDER BY cluster_rep""".stripMargin
 
+  /** Entity resolution end-to-end — the record-linkage pipeline shape
+    * (Fellegi–Sunter by way of modern blocking): normalize → block →
+    * pairwise verify (edit distance) → transitive closure → canonical
+    * representative. The record set is the customer table unioned with a
+    * deterministically dirtied variant of itself (case flip, `#`→`-`,
+    * a `Custmer` typo — one mutation class per custkey mod 3), so the
+    * ground truth is known and every stage is oracle-checkable.
+    *
+    * Blocking key = (nation, digit-string of the name): mutations
+    * preserve digits, so every true match shares a block, and the
+    * pairwise levenshtein verify (≤2 after lowercasing) only ever runs
+    * within blocks — the candidate surface is Σ block², never records².
+    * Closure reuses the [[connectedComponents]] pointer-jump kernel; the
+    * canonical pick is the component-min record id.
+    *
+    * Scale shape: the block join is a key-equality shuffle; blocks are
+    * bounded by construction (digit strings are near-unique), and a hot
+    * block would get the same subdivide-by-extra-bits treatment as the
+    * simhash bands. The closure iterates over the MATCH graph, which is
+    * duplicate-surface-sized, not corpus-sized.
+    */
+  def qErClusters(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val clean = c.select(col("c_custkey").cast("long").as("rec_id"),
+      col("c_name").as("name"), col("c_nationkey").as("nation"))
+    val dirty = c.select((col("c_custkey") + 1000000L).as("rec_id"),
+      when(col("c_custkey") % 3 === 0, lower(col("c_name")))
+        .when(col("c_custkey") % 3 === 1, regexp_replace(col("c_name"), "#", "-"))
+        .otherwise(regexp_replace(col("c_name"), "Customer", "Custmer")).as("name"),
+      col("c_nationkey").as("nation"))
+    val recs = clean.unionByName(dirty)
+      .withColumn("blk", concat_ws(":", col("nation"),
+        regexp_replace(col("name"), "[^0-9]", "")))
+    val pairs = recs.as("a").join(recs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.rec_id") < col("b.rec_id"))
+      .filter(levenshtein(lower(col("a.name")), lower(col("b.name"))) <= 2)
+      .select(col("a.rec_id").as("doc_a"), col("b.rec_id").as("doc_b"))
+    connectedComponents(pairs, maxIter = 10)
+      .groupBy(col("lbl").as("entity_rep"))
+      .agg(count(lit(1)).as("n_records"), max("id").as("max_rec"))
+      .orderBy("entity_rep")
+  }
+
+  val qErClustersOracle: String =
+    """WITH recs AS (
+      |  SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nation
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    CASE c_custkey % 3
+      |      WHEN 0 THEN lower(c_name)
+      |      WHEN 1 THEN replace(c_name, '#', '-')
+      |      ELSE replace(c_name, 'Customer', 'Custmer') END,
+      |    c_nationkey
+      |  FROM customer),
+      |blocked AS (
+      |  SELECT rec_id, name, nation,
+      |    nation::VARCHAR || ':' || regexp_replace(name, '[^0-9]', '', 'g') AS blk
+      |  FROM recs),
+      |pairs AS (
+      |  SELECT a.rec_id AS ra, b.rec_id AS rb
+      |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.rec_id < b.rec_id
+      |  WHERE levenshtein(lower(a.name), lower(b.name)) <= 2),
+      |-- blocks are cliques under the verify (all members within edit
+      |-- distance of each other), so one min-label round over
+      |-- self+neighbors IS the component fixpoint
+      |lbl AS (
+      |  SELECT id, min(l) AS lbl FROM (
+      |    SELECT ra AS id, ra AS l FROM pairs
+      |    UNION ALL SELECT rb, ra FROM pairs
+      |    UNION ALL SELECT rb, rb FROM pairs
+      |    UNION ALL SELECT ra, rb FROM pairs) u
+      |  GROUP BY id)
+      |SELECT lbl AS entity_rep, count(*) AS n_records, max(id) AS max_rec
+      |FROM lbl GROUP BY lbl ORDER BY entity_rep""".stripMargin
+
+  /** PageRank over the similarity kNN graph — the graph-centrality rank
+    * retrieval pipelines use to pick representative documents out of a
+    * near-dup neighborhood (and the canonical "iterative distributed
+    * compute" kernel). Nodes are embedding vectors; directed edges go
+    * from each vector to its k=3 nearest same-label neighbors by rounded
+    * cosine (label = the IVF coarse cell, so graph construction is the
+    * blocked pair join of [[Similarity.qEmbeddingNearDup]], never
+    * all-pairs). Three damped power-iteration rounds (d=0.85) from the
+    * uniform start; ranks are reported scaled by N and rounded.
+    *
+    * Scale shape: the edge build is the label-blocked scored join + the
+    * bounded [[graft.functions.TopKAggregator]] (k rows per node cross
+    * the exchange); each iteration is ONE key-equality shuffle of (node,
+    * contribution) pairs over the kN-edge frame — the textbook Pregel
+    * round — with `localCheckpoint` truncating lineage per round exactly
+    * like [[connectedComponents]]. Nothing driver-side but the node
+    * count (one scalar action).
+    */
+  def qPagerank(s: SparkSession, dir: String, iters: Int = 3, k: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(Similarity.normExpr).as("nrm"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("qv"),
+      col("label"), col("nrm").as("qnrm"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding"),
+      col("label"), col("nrm"))
+    val scored = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(expr(Similarity.dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos"))
+    val edges = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("src", "top")
+      .select(col("src"), explode(col("top")).as("item"))
+      .select(col("src"), col("item._2").as("dst"))
+      .persist()
+    val nodes = e.select(col("vec_id").as("id")).persist()
+    val n = nodes.count()
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(pr, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("pr") / k.toDouble).as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    val out = pr.select(col("id").as("vec_id"),
+      round(col("pr") * n, 6).as("pr_scaled6")).orderBy("vec_id")
+    edges.unpersist(blocking = true)
+    nodes.unpersist(blocking = true)
+    out
+  }
+
+  val qPagerankOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT src, dst,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+      |  FROM pairs GROUP BY src, dst),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      |    FROM scored) WHERE rk <= 3),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM e),
+      |pr0 AS (SELECT vec_id AS id, 1.0 / (SELECT n FROM n) AS pr FROM e),
+      |pr1 AS (
+      |  SELECT v.vec_id AS id,
+      |    0.15 / (SELECT n FROM n) + 0.85 * coalesce(c.s, 0) AS pr
+      |  FROM e v LEFT JOIN (
+      |    SELECT dst, sum(pr / 3) AS s FROM edges JOIN pr0 ON pr0.id = edges.src
+      |    GROUP BY dst) c ON c.dst = v.vec_id),
+      |pr2 AS (
+      |  SELECT v.vec_id AS id,
+      |    0.15 / (SELECT n FROM n) + 0.85 * coalesce(c.s, 0) AS pr
+      |  FROM e v LEFT JOIN (
+      |    SELECT dst, sum(pr / 3) AS s FROM edges JOIN pr1 ON pr1.id = edges.src
+      |    GROUP BY dst) c ON c.dst = v.vec_id),
+      |pr3 AS (
+      |  SELECT v.vec_id AS id,
+      |    0.15 / (SELECT n FROM n) + 0.85 * coalesce(c.s, 0) AS pr
+      |  FROM e v LEFT JOIN (
+      |    SELECT dst, sum(pr / 3) AS s FROM edges JOIN pr2 ON pr2.id = edges.src
+      |    GROUP BY dst) c ON c.dst = v.vec_id)
+      |SELECT id AS vec_id, round(pr * (SELECT n FROM n), 6) AS pr_scaled6
+      |FROM pr3 ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
     QueryDef("q_dedup_keep_best", qDedupKeepBest, Some(qDedupKeepBestOracle)),
@@ -494,5 +666,7 @@ object ClusterOps {
     QueryDef("q_stress_chain_clusters", qStressChainClusters,
       Some(qStressChainClustersOracle)),
     QueryDef("q_dup_triangles", qDupTriangles, Some(qDupTrianglesOracle)),
+    QueryDef("q_er_clusters", qErClusters, Some(qErClustersOracle)),
+    QueryDef("q_pagerank", (s, d) => qPagerank(s, d), Some(qPagerankOracle)),
   )
 }

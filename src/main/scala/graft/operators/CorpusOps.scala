@@ -493,6 +493,60 @@ object CorpusOps {
       |  FROM documents) r
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** Weighted k-sample per language WITHOUT a window sort — sequential
+    * Poisson sampling (Ohlsson '98): each doc draws a deterministic
+    * uniform u from a content hash, its priority is u/w (w = token
+    * count), and the k smallest priorities per stratum win — inclusion
+    * probability is ~proportional to weight, the πps scheme survey
+    * sampling actually ships. The priority is kept in INTEGER arithmetic
+    * (`(h * 100000) div w` over a 24-bit hash) so no float rounding can
+    * reorder the selection between engines, then zero-padded into the
+    * string key [[graft.functions.MinKAggregator]] orders on.
+    *
+    * Scale shape: same contract as [[qReservoirSample]] — a size-k buffer
+    * per (lang, partition), k rows per lang cross the exchange, no
+    * partition-wide Window sort; weights are arbitrary per-row values, so
+    * this is the drop-in replacement for "sample by tokens, not by docs"
+    * at any corpus size.
+    */
+  def qWeightedSample(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        expr("conv(substring(md5(concat(cast(doc_id AS string), ':', text)), 1, 6), 16, 10)")
+          .cast("long").as("h"))
+      .select(col("lang"), col("doc_id"), col("w"),
+        lpad(expr("(h * 100000L) div w").cast("string"), 16, "0").as("priority"))
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._4, r._2))
+      .agg(graft.functions.MinKAggregator.minK(k))
+      .toDF("lang", "keep")
+      .select(col("lang"), posexplode(col("keep")).as(Seq("pos", "item")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("item._2").as("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val qWeightedSampleOracle: String =
+    """WITH pri AS (
+      |  SELECT lang, doc_id,
+      |    lpad(CAST(
+      |      (list_reduce(list_transform(range(1, 7), i ->
+      |         CAST(strpos('0123456789abcdef',
+      |           substr(md5(doc_id::VARCHAR || ':' || text), i, 1)) - 1 AS BIGINT)),
+      |        (a, b) -> a * 16 + b) * 100000)
+      |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS VARCHAR),
+      |      16, '0') AS priority
+      |  FROM documents)
+      |SELECT lang, rk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY priority, doc_id) AS INT) AS rk
+      |  FROM pri) r
+      |WHERE rk <= 8 ORDER BY lang, rk""".stripMargin
+
   /** Per-source token-budget selection ("nucleus" curation): within each
     * source, documents are ranked by a quality key (distinct-word ratio in
     * basis points — repetitive docs rank last) and kept while the running
@@ -679,6 +733,7 @@ object CorpusOps {
     QueryDef("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
     QueryDef("q_reservoir_sample", (s, d) => qReservoirSample(s, d), Some(qReservoirSampleOracle)),
+    QueryDef("q_weighted_sample", (s, d) => qWeightedSample(s, d), Some(qWeightedSampleOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),

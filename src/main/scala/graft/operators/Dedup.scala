@@ -595,6 +595,75 @@ object Dedup {
       |FROM l JOIN st USING (h)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Boilerplate strip — the template-removal pass a crawl pipeline runs
+    * before dedup: a line (10-word shingle, the [[lineHashes]] kernel)
+    * that appears in at least half of a source's documents is that
+    * source's boilerplate (header/footer/nav chrome), and every
+    * occurrence of it is stripped corpus-wide within the source. Reports
+    * per source how much of the line volume the template accounts for —
+    * the number a curator reads before deciding whether a crawl is
+    * salvageable.
+    *
+    * Scale shape: line volume travels as md5 digests; the frequency pass
+    * is a (source, digest) groupBy with map-side combine; the strip join
+    * is a digest-keyed equi-join back onto the line stream (AQE
+    * size-chooses the build side — the boilerplate set is tiny by
+    * definition: it's the lines repeated across ≥half the docs). The
+    * per-source doc count rides the same aggregate, never a second scan.
+    */
+  def qBoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val lines = lineHashes(s, dir)
+    val freq = lines.groupBy("source", "h")
+      .agg(countDistinct("doc_id").as("line_docs"))
+    val nDocs = lines.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    val boiler = freq.join(nDocs, "source")
+      .filter(col("line_docs") * 2 >= col("n_docs"))
+      .select(col("source"), col("h"))
+    lines.join(boiler, Seq("source", "h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_stripped"))
+      .join(lines.groupBy("source").agg(count(lit(1)).as("n_lines")), Seq("source"), "right")
+      .join(boiler.groupBy("source").agg(count(lit(1)).as("n_boiler_lines")), Seq("source"), "left")
+      .select(col("source"), col("n_lines"),
+        coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+        coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
+        round((col("n_lines") - coalesce(col("n_stripped"), lit(0L))) /
+          col("n_lines").cast("double"), 4).as("retained4"))
+      .orderBy("source")
+  }
+
+  val qBoilerplateStripOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |l AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(ws[(i - 1) * 10 + 1:i * 10], ' ')) AS h
+      |  FROM w, unnest(generate_series(1, len(ws) // 10)) AS t(i)),
+      |freq AS (
+      |  SELECT source, h, count(DISTINCT doc_id) AS line_docs
+      |  FROM l GROUP BY source, h),
+      |nd AS (
+      |  SELECT source, count(DISTINCT doc_id) AS n_docs FROM l GROUP BY source),
+      |boiler AS (
+      |  SELECT f.source, f.h FROM freq f JOIN nd USING (source)
+      |  WHERE f.line_docs * 2 >= nd.n_docs),
+      |stripped AS (
+      |  SELECT l.source, count(*) AS n_stripped
+      |  FROM l WHERE EXISTS (
+      |    SELECT 1 FROM boiler b WHERE b.source = l.source AND b.h = l.h)
+      |  GROUP BY l.source),
+      |tot AS (SELECT source, count(*) AS n_lines FROM l GROUP BY source),
+      |nb AS (SELECT source, count(*) AS n_boiler_lines FROM boiler GROUP BY source)
+      |SELECT t.source, t.n_lines,
+      |  coalesce(nb.n_boiler_lines, 0) AS n_boiler_lines,
+      |  coalesce(st.n_stripped, 0) AS n_stripped,
+      |  round((t.n_lines - coalesce(st.n_stripped, 0)) / t.n_lines::DOUBLE, 4)
+      |    AS retained4
+      |FROM tot t
+      |LEFT JOIN nb ON nb.source = t.source
+      |LEFT JOIN stripped st ON st.source = t.source
+      |ORDER BY t.source""".stripMargin
+
   /** Cross-source overlap matrix — the "which crawls duplicate each
     * other" report a corpus audit leads with: for every source pair, the
     * number of distinct 10-word lines BOTH contain (document-level exact
@@ -1063,6 +1132,7 @@ object Dedup {
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
     QueryDef("q_allpairs_jaccard", qAllpairsJaccard, Some(qAllpairsJaccardOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
+    QueryDef("q_boilerplate_strip", qBoilerplateStrip, Some(qBoilerplateStripOracle)),
     QueryDef("q_span_dedup", qSpanDedup, Some(qSpanDedupOracle)),
     QueryDef("q_content_chunks", qContentChunks, Some(qContentChunksOracle)),
     QueryDef("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallOracle)),

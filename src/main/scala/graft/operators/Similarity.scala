@@ -376,6 +376,107 @@ object Similarity {
       |LEFT JOIN hits h ON h.query_id = q.query_id
       |ORDER BY q.query_id""".stripMargin
 
+  /** NDCG@10 of the hyperplane-bucket ANN arm against the exact cosine
+    * ranking — the graded companion to [[qAnnRecall]]'s set-overlap
+    * recall: recall treats every exact top-10 member as equally valuable,
+    * NDCG weights each retrieved item by its exact cosine (gain, clamped
+    * at 0) discounted by log2(rank+1), so swapping the #1 neighbor for
+    * the #10 costs more than swapping #9 for #11. DCG is the ANN top-10's
+    * discounted gain, IDCG the exact top-10's (the ideal ordering by
+    * construction), NDCG their ratio.
+    *
+    * Both arms rank by the same rounded cosine with vec_id tie-break and
+    * the same bounded [[graft.functions.TopKAggregator]], so gains and
+    * ranks are exactly reproducible in the oracle.
+    *
+    * Scale shape: identical to [[qAnnRecall]] — the 3-row query set
+    * broadcasts, the exact arm is a map-side scoring pass, the ANN arm
+    * touches only the bucket-collision fraction, and the DCG sums fold
+    * 10-row-per-query frames.
+    */
+  def qNdcgEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"),
+        hyperplaneBucket.as("bucket"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val corpus = e.filter(col("vec_id") >= 3)
+    def score(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("vec_id"),
+        round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
+    // bounded top-10 with (cos DESC, vec_id) ranks — posexplode order IS
+    // the aggregator's sort order, so rank = position + 1
+    def top10(scored: DataFrame): DataFrame =
+      scored.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(graft.functions.TopKAggregator.topK(10))
+        .toDF("query_id", "top")
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+        .select(col("query_id"), col("item._2").as("vec_id"),
+          col("item._1").as("gain"), (col("pos") + 1).cast("double").as("rk"))
+    def dcg(ranked: DataFrame, out: String): DataFrame =
+      ranked.groupBy("query_id").agg(
+        sum(greatest(col("gain"), lit(0.0)) / log2(col("rk") + 1.0)).as(out))
+    val ideal = dcg(top10(score(corpus.crossJoin(broadcast(q)))), "idcg")
+    val ann = dcg(top10(score(
+      corpus.join(broadcast(q), col("bucket") === col("qbucket")))), "dcg")
+    ideal.join(ann, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)), 4).as("dcg4"),
+        round(col("idcg"), 4).as("idcg4"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4).as("ndcg4"))
+      .orderBy("query_id")
+  }
+
+  val qNdcgEvalOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |comp AS (
+      |  SELECT vec_id, p.p AS p,
+      |    sum((e.embedding[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
+      |  FROM embeddings e, range(8) AS p(p), range(64) AS j(j)
+      |  GROUP BY vec_id, p.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM comp GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id, unnest(q.qv)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY query_id, vec_id),
+      |exact10 AS (
+      |  SELECT query_id, vec_id, cos_sim, rk FROM (
+      |    SELECT query_id, vec_id, cos_sim,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM scored) WHERE rk <= 10),
+      |ann10 AS (
+      |  SELECT query_id, vec_id, cos_sim, rk FROM (
+      |    SELECT s.query_id, s.vec_id, s.cos_sim,
+      |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.cos_sim DESC, s.vec_id) AS rk
+      |    FROM scored s
+      |    JOIN buckets bq ON bq.vec_id = s.query_id
+      |    JOIN buckets bc ON bc.vec_id = s.vec_id AND bc.bucket = bq.bucket)
+      |  WHERE rk <= 10),
+      |idcg AS (
+      |  SELECT query_id, sum(greatest(cos_sim, 0) / log2(rk + 1.0)) AS idcg
+      |  FROM exact10 GROUP BY query_id),
+      |adcg AS (
+      |  SELECT query_id, sum(greatest(cos_sim, 0) / log2(rk + 1.0)) AS dcg
+      |  FROM ann10 GROUP BY query_id)
+      |SELECT i.query_id,
+      |  round(coalesce(a.dcg, 0), 4) AS dcg4,
+      |  round(i.idcg, 4) AS idcg4,
+      |  round(coalesce(a.dcg, 0) / i.idcg, 4) AS ndcg4
+      |FROM idcg i LEFT JOIN adcg a ON a.query_id = i.query_id
+      |ORDER BY i.query_id""".stripMargin
+
   /** Product-quantization encode — the codebook half of a real ANN index
     * (IVF-PQ): dim 64 splits into M=8 subspaces of 8 dims; each subvector
     * is assigned to its nearest of 8 deterministic sub-centroids (the
@@ -1298,6 +1399,7 @@ object Similarity {
       Some(qEmbeddingNearDupOracle)),
     QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),
     QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
+    QueryDef("q_ndcg_eval", qNdcgEval, Some(qNdcgEvalOracle)),
     QueryDef("q_pq_encode", qPqEncode, Some(qPqEncodeOracle)),
     QueryDef("q_pq_search", qPqSearch, Some(qPqSearchOracle)),
     QueryDef("q_ivfpq_search", (s, d) => qIvfPqSearch(s, d), Some(qIvfPqSearchOracle)),

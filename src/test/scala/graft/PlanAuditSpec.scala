@@ -39,8 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_minhash_recall", "q_pmi", "q_knn_classify", "q_bm25_topk",
       "q_unigram_ce",
       // q_trunc_recall broadcasts its 3-probe query set on both arms,
-      // exactly like q_cosine_topk / q_ann_recall
-      "q_trunc_recall")
+      // exactly like q_cosine_topk / q_ann_recall, and q_ndcg_eval's
+      // exact arm is the same 3-row broadcast cross
+      "q_trunc_recall", "q_ndcg_eval")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

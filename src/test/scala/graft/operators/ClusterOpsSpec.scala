@@ -155,6 +155,32 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("entity resolution links every dirty record back to its clean twin") {
+    val rows = ClusterOps.qErClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (rep, n, maxRec) =>
+      assert(n == 2, s"entity $rep: expected exactly clean+dirty, got $n")
+      assert(maxRec == rep + 1000000L,
+        s"entity $rep: dirty twin id should be rep + 1000000, got $maxRec")
+    }
+    val nCustomers = graft.Tables.t(spark, dir, "customer").count()
+    assert(rows.length == nCustomers, "one resolved entity per customer")
+  }
+
+  test("pagerank mass is conserved and ranks stay positive") {
+    val rows = ClusterOps.qPagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val n = rows.length
+    assert(n > 0)
+    rows.foreach { case (id, pr) => assert(pr > 0.0, s"node $id: rank must be positive") }
+    // scaled ranks average 1 when no rank leaks to dangling nodes (every
+    // node has out-degree k by construction, so mass is conserved up to
+    // the per-round rounding applied only at output)
+    val mean = rows.map(_._2).sum / n
+    assert(math.abs(mean - 1.0) < 0.01, s"scaled rank mean $mean drifted from 1")
+  }
+
   test("triangle counts match a brute-force check on the collected graph") {
     import org.apache.spark.sql.functions.col
     val reported = ClusterOps.qDupTriangles(spark, dir).collect()

@@ -67,6 +67,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == b, "sample must be deterministic across runs")
   }
 
+  test("weighted sample matches the window form and favors heavy docs") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val agg = CorpusOps.qWeightedSample(spark, dir, k = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    agg.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 4), s"$lang: ranks not 1..4")
+    }
+    // the bounded-aggregator selection must equal the full window sort
+    // over the same integer priority (the q_grouped_topk proof pattern)
+    val windowed = graft.Tables.t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        expr("conv(substring(md5(concat(cast(doc_id AS string), ':', text)), 1, 6), 16, 10)")
+          .cast("long").as("h"))
+      .select(col("lang"), col("doc_id"),
+        lpad(expr("(h * 100000L) div w").cast("string"), 16, "0").as("priority"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("priority"), col("doc_id"))))
+      .filter(col("rk") <= 4)
+      .select(col("lang"), col("rk"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(agg.sorted == windowed.sorted,
+      "bounded min-k selection diverged from the window-sort form")
+  }
+
   test("temperature mix weights sum to 1 and flatten toward uniform") {
     val rows = CorpusOps.qTemperatureMix(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))

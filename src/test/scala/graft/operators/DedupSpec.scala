@@ -10,6 +10,33 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("boilerplate strip matches an exact driver-side reference at toy scale") {
+    val rows = Dedup.qBoilerplateStrip(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val occ = docs.flatMap { case (id, src, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length / 10).map(i =>
+        (id, src, ws.slice(i * 10, i * 10 + 10).mkString(" ")))
+    }
+    occ.groupBy(_._2).foreach { case (src, os) =>
+      val nDocs = os.map(_._1).distinct.size
+      val boiler = os.groupBy(_._3).filter { case (_, g) =>
+        g.map(_._1).distinct.size * 2 >= nDocs
+      }.keySet
+      val nStripped = os.count(o => boiler(o._3))
+      val (nLines, nBoiler, nStrippedRep, retained) = rows(src)
+      assert(nLines == os.size, s"$src: line count")
+      assert(nBoiler == boiler.size, s"$src: boilerplate line count")
+      assert(nStrippedRep == nStripped, s"$src: stripped occurrence count")
+      assert(math.abs(retained - (os.size - nStripped).toDouble / os.size) < 1e-3,
+        s"$src: retained ratio")
+    }
+  }
+
   test("line dedup matches an exact driver-side reference at toy scale") {
     val rows = Dedup.qLineDedup(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -71,6 +71,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ndcg eval: idcg bounds dcg and ndcg lands in [0,1]") {
+    val rows = Similarity.qNdcgEval(spark, dir).collect()
+    assert(rows.length == 3, "one row per query vector")
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(idcg > 0.0, s"query ${r.getLong(0)}: ideal gain must be positive")
+      assert(dcg <= idcg + 1e-9, s"query ${r.getLong(0)}: dcg $dcg exceeds idcg $idcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+    }
+  }
+
   test("pq encode assigns every non-codebook vector one code per subspace") {
     val rows = Similarity.qPqEncode(spark, dir).collect()
     val total = graft.Tables.t(spark, dir, "embeddings").count() - 8
