@@ -43,6 +43,12 @@ object Bench {
       .sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
+      // settle the heap before the timed window: 150+ queries of byte[]
+      // payloads and cached signature tables leave GC debt that
+      // otherwise lands inside whichever sub-second query runs next
+      // (observed 5-10x inflation of the multimodal family deep into the
+      // suite, at r1 levels when run in isolation)
+      System.gc()
       // min of two timed runs: single-shot timing of sub-100ms queries is
       // dominated by scheduler/GC jitter (observed 2-4x swings on an
       // otherwise-identical run), and min is the standard steady-state
