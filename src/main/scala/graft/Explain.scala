@@ -52,7 +52,9 @@ object Explain {
       "q_pii_scan", "q_dataset_card",
       "q_knn_classify", "q_cosine_curve", "q_shard_manifest",
       "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk",
-      "q_allpairs_jaccard", "q_sketch_merge")
+      "q_allpairs_jaccard", "q_sketch_merge",
+      "q_ndcg_eval", "q_weighted_sample", "q_boilerplate_strip",
+      "q_er_clusters", "q_pagerank")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
