@@ -493,6 +493,83 @@ object CorpusOps {
       |  FROM documents) r
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** URL canonicalization — the first pass of every web-crawl curation
+    * pipeline: strip fragments, default ports, `www.` prefixes, and
+    * tracking (`utm_*`) query parameters, then count how many raw URLs
+    * collapse onto each canonical form per source. The corpus has no URL
+    * column, so a synthetic-but-deterministic URL is derived per doc
+    * (variant chrome keyed on doc_id residues — the same URL content
+    * appearing with/without www, port, fragment, and tracking params,
+    * exactly the duplication a crawler sees); BOTH engines derive and
+    * canonicalize identically, so the collapse counts are hash-checked.
+    *
+    * Scale shape: derive + canonicalize are narrow codegen'd string
+    * passes; the rollup keys on md5-free plain strings with map-side
+    * combine. No joins, no windows — the op is scan-shaped at any size.
+    */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("source"),
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/page/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 10).cast("string")))
+          .otherwise(concat(lit("?id="), (col("doc_id") % 10).cast("string"),
+            lit("&utm_campaign=spring"))),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+    val canon = raw.withColumn("canonical",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("url"), "#.*$", ""),
+              ":443/", "/"),
+            "https://www\\.", "https://"),
+          "utm_[a-z_]+=[a-z]+&", ""),
+        "&utm_[a-z_]+=[a-z]+", ""))
+    canon.groupBy("source")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("canonical").as("n_canonical"),
+        (count(lit(1)) - countDistinct("canonical")).as("n_collapsed"))
+      .orderBy("source")
+  }
+
+  val qUrlCanonOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id, lang, source,
+      |    'https://'
+      |    || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      |    || source || '.example.com'
+      |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+      |    || '/' || lang || '/page/' || (doc_id % 50)::VARCHAR
+      |    || CASE WHEN doc_id % 2 = 0
+      |         THEN '?utm_source=feed&id=' || (doc_id % 10)::VARCHAR
+      |         ELSE '?id=' || (doc_id % 10)::VARCHAR || '&utm_campaign=spring' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT source,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          replace(
+      |            regexp_replace(url, '#.*$', ''),
+      |            ':443/', '/'),
+      |          'https://www\.', 'https://'),
+      |        'utm_[a-z_]+=[a-z]+&', ''),
+      |      '&utm_[a-z_]+=[a-z]+', '') AS canonical
+      |  FROM raw)
+      |SELECT source, count(*) AS n_urls,
+      |  count(DISTINCT canonical) AS n_canonical,
+      |  count(*) - count(DISTINCT canonical) AS n_collapsed
+      |FROM canon GROUP BY source ORDER BY source""".stripMargin
+
   /** Weighted k-sample per language WITHOUT a window sort — sequential
     * Poisson sampling (Ohlsson '98): each doc draws a deterministic
     * uniform u from a content hash, its priority is u/w (w = token
@@ -734,6 +811,7 @@ object CorpusOps {
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
     QueryDef("q_reservoir_sample", (s, d) => qReservoirSample(s, d), Some(qReservoirSampleOracle)),
     QueryDef("q_weighted_sample", (s, d) => qWeightedSample(s, d), Some(qWeightedSampleOracle)),
+    QueryDef("q_url_canon", qUrlCanon, Some(qUrlCanonOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),

@@ -297,6 +297,85 @@ object SketchOps {
       |         dist_l_orderkey FROM a) u
       |ORDER BY col_name""".stripMargin
 
+  /** CMS width for the join-cardinality inner product. Wider than the
+    * heavy-hitter sketch: inner-product error is ‖a‖₁‖b‖₁/w in
+    * expectation, so the width is sized to the KEY surface (~15k orders
+    * at sf0.01), not the top-k read path. Memory stays fixed at
+    * depth × width cells regardless of data scale — the whole point.
+    */
+  private val JcWidth = 262144L
+  private def jcPosExpr(i: Int, k: String): String =
+    s"((${Dedup.aCoef(i + 44)} * $k + ${Dedup.bCoef(i + 44)}) % ${Dedup.P}) % $JcWidth"
+
+  /** Join-size estimation WITHOUT running the join — the CMS inner
+    * product (AGMS/Count-Min estimator): sketch each side's key column
+    * into depth×width cell counts, estimate |A ⋈ B| as min over depth of
+    * Σ_pos cntA[pos]·cntB[pos]. This is the statistic a cost-based
+    * planner needs before committing to a join strategy at 100 TB, and
+    * the overcount it reports is the estimator's real collision mass —
+    * published bound ‖a‖₁‖b‖₁/w per row, min-of-depth tightens it.
+    *
+    * The exact cardinality comes from the per-key count join (the key
+    * surface, never the row surface) so the estimate's error is itself
+    * hash-checked — the sketch quality is part of the contract, exactly
+    * like [[qCmsHeavyHitters]] and [[qApproxDistinct]].
+    *
+    * Scale shape: each sketch is ONE narrow pass (groupBy key → affine
+    * scatter → cell aggregate, all partial-agg'd) into a fixed
+    * depth×width frame; the estimate join touches ≤ depth×width rows per
+    * side. The exact arm's key join is the only key-surface shuffle, and
+    * exists to anchor the oracle.
+    */
+  def qJoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    def cells(df: DataFrame, key: String): DataFrame = {
+      val cnt = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val posArr = (0 until CmsDepth).map(i => expr(jcPosExpr(i, "k")))
+      cnt.select(col("c"), posexplode(array(posArr: _*)).as(Seq("i", "pos")))
+        .groupBy("i", "pos").agg(sum("c").as("cnt"))
+    }
+    val est = cells(t(s, dir, "orders"), "o_orderkey").as("a")
+      .join(cells(t(s, dir, "lineitem"), "l_orderkey").as("b"), Seq("i", "pos"))
+      .select(col("i"), (col("a.cnt") * col("b.cnt")).as("prod"))
+      .groupBy("i").agg(sum("prod").as("est_i"))
+      .agg(min("est_i").as("cms_estimate"))
+    val exact = t(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      .join(t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_card"))
+    // two single-row aggregates — the scalar broadcast-cross idiom
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_card"), col("cms_estimate"),
+        expr("((cms_estimate - exact_card) * 10000L) div exact_card")
+          .as("overcount_bp"))
+  }
+
+  val qJoinCardinalityOracle: String = {
+    val posCases = "CASE i " + (0 until CmsDepth)
+      .map(i => s"WHEN $i THEN ${jcPosExpr(i, "k")}").mkString(" ") + " END"
+    s"""WITH ca AS (
+      |  SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |cb AS (
+      |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |sa AS (
+      |  SELECT i, $posCases AS pos, CAST(sum(c) AS BIGINT) AS cnt
+      |  FROM ca, range($CmsDepth) AS r(i) GROUP BY 1, 2),
+      |sb AS (
+      |  SELECT i, $posCases AS pos, CAST(sum(c) AS BIGINT) AS cnt
+      |  FROM cb, range($CmsDepth) AS r(i) GROUP BY 1, 2),
+      |est AS (
+      |  SELECT CAST(min(est_i) AS BIGINT) AS cms_estimate FROM (
+      |    SELECT sa.i, sum(sa.cnt * sb.cnt) AS est_i
+      |    FROM sa JOIN sb ON sa.i = sb.i AND sa.pos = sb.pos
+      |    GROUP BY sa.i)),
+      |exact AS (
+      |  SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS exact_card
+      |  FROM ca JOIN cb USING (k))
+      |SELECT exact_card, cms_estimate,
+      |  ((cms_estimate - exact_card) * 10000) // exact_card AS overcount_bp
+      |FROM exact, est""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_profile_stats", qProfileStats, Some(qProfileStatsOracle)),
     QueryDef("q_cms_heavy_hitters", qCmsHeavyHitters, Some(qCmsHeavyHittersOracle)),
@@ -304,5 +383,6 @@ object SketchOps {
     QueryDef("q_sketch_merge", qSketchMerge, Some(qSketchMergeOracle)),
     QueryDef("q_approx_quantiles", qApproxQuantiles, Some(qApproxQuantilesOracle)),
     QueryDef("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsOracle)),
+    QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalityOracle)),
   )
 }

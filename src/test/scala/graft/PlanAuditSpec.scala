@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q_trunc_recall broadcasts its 3-probe query set on both arms,
       // exactly like q_cosine_topk / q_ann_recall, and q_ndcg_eval's
       // exact arm is the same 3-row broadcast cross
-      "q_trunc_recall", "q_ndcg_eval")
+      "q_trunc_recall", "q_ndcg_eval",
+      // q_join_cardinality crosses its two single-row aggregates (exact
+      // count x sketch estimate) — the scalar idiom again
+      "q_join_cardinality")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

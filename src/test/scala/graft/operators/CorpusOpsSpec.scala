@@ -67,6 +67,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == b, "sample must be deterministic across runs")
   }
 
+  test("url canonicalization strips chrome and only ever collapses") {
+    val rows = CorpusOps.qUrlCanon(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, canon, collapsed) =>
+      assert(canon <= n, s"$src: canonical forms exceed raw urls")
+      assert(collapsed == n - canon, s"$src: collapse arithmetic")
+      assert(canon > 0, s"$src: no canonical forms")
+    }
+    // at least one source must actually collapse something, else the
+    // canonicalizer is a no-op on this corpus
+    assert(rows.exists(_._4 > 0), "no URL ever collapsed")
+  }
+
   test("weighted sample matches the window form and favors heavy docs") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -91,6 +91,20 @@ class SketchOpsSpec extends AnyFunSuite {
       "orderkey must be higher-cardinality than quantity")
   }
 
+  test("join cardinality estimate never undercounts and matches the key-count fold") {
+    val r = SketchOps.qJoinCardinality(spark, dir).collect().head
+    val (exact, est, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // driver-side exact: sum over shared keys of count_orders * count_lineitem
+    val oc = graft.Tables.t(spark, dir, "orders").select("o_orderkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val lc = graft.Tables.t(spark, dir, "lineitem").select("l_orderkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val expected = oc.keysIterator.map(k => oc(k) * lc.getOrElse(k, 0L)).sum
+    assert(exact == expected, "exact cardinality disagrees with driver fold")
+    assert(est >= exact, "CMS inner product can only overcount")
+    assert(bp == (est - exact) * 10000 / exact)
+  }
+
   test("hll merged estimate is invariant to the shard layout") {
     val rows = SketchOps.qSketchMerge(spark, dir).collect()
     assert(rows.nonEmpty)
