@@ -54,7 +54,8 @@ object Explain {
       "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk",
       "q_allpairs_jaccard", "q_sketch_merge",
       "q_ndcg_eval", "q_weighted_sample", "q_boilerplate_strip",
-      "q_er_clusters", "q_pagerank", "q_join_cardinality", "q_url_canon")
+      "q_er_clusters", "q_pagerank", "q_join_cardinality", "q_url_canon",
+      "q_mm_phash")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

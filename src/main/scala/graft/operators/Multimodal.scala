@@ -264,6 +264,96 @@ object Multimodal {
       |    AS entropy4
       |FROM wt GROUP BY codec ORDER BY codec""".stripMargin
 
+  /** Perceptual-hash near-dup over the asset payloads — the image-dedup
+    * pipeline stage, run here on the synthetic byte bodies: a 64-sample
+    * "pixel" grid is read at evenly spaced offsets out of the decoded
+    * body, the classic dHash gradient (is pixel left of its neighbor
+    * darker?) packs into a 56-bit signature, and near-dup candidates come
+    * from 4×14-bit LSH bands over the signature with a popcount hamming
+    * verify (≤6) — byte-for-byte the simhash discipline
+    * ([[Dedup]] `q_simhash_near_dup`) applied to media payloads instead
+    * of token sets. A real deployment swaps the sampling step for the
+    * decoded luma plane; everything downstream is unchanged.
+    *
+    * Scale shape: hashing is a narrow codegen'd pass (payload bytes never
+    * shuffle — only the 8-byte signature does); the band join is
+    * key-equality bucketed, and the hot-bucket subdivision story from the
+    * simhash family applies verbatim if band cardinality saturates.
+    */
+  def qPhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = assets(s, dir)
+      .select(col("asset_id"),
+        decode(expr(s"substring(payload, ${HeaderBytes + 1}, length(payload) - $HeaderBytes)"),
+          "UTF-8").as("txt"))
+      .select(col("asset_id"),
+        expr("""transform(sequence(0, 63), k ->
+          ascii(substring(txt, CAST(1 + (k * CAST(length(txt) AS BIGINT)) div 64 AS INT), 1)))""")
+          .as("px"))
+    // +1-brightness twin of every sampled grid (ascii bodies top out well
+    // below 255, so the shift never wraps): dHash is a gradient hash, and
+    // the twins MUST collapse to hamming 0 — the invariance is part of
+    // the hash-checked contract, not prose
+    val brightened = base.select((col("asset_id") + 1000000L).as("asset_id"),
+      expr("transform(px, p -> p + 1)").as("px"))
+    val hashes = base.unionByName(brightened)
+      .select(col("asset_id"),
+        expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) ->
+          acc + CASE WHEN element_at(px, CAST((b div 7) * 8 + (b % 7) + 1 AS INT))
+                       < element_at(px, CAST((b div 7) * 8 + (b % 7) + 2 AS INT))
+                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+          .as("phash"))
+      .persist() // both sides of the band self-join read it; caller
+                 // (Bench/Verify) owns cache lifetime, like qCmsHeavyHitters
+    val bands = hashes.select(col("asset_id"), col("phash"),
+      posexplode(array((0 until 4).map(m =>
+        expr(s"shiftright(phash, ${14 * m}) & CAST(16383 AS BIGINT)")): _*))
+        .as(Seq("band_idx", "band_sig")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .select(col("asset_a"), col("asset_b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("asset_a", "asset_b")
+  }
+
+  val qPhashNearDupOracle: String =
+    """WITH px0 AS (
+      |  SELECT doc_id AS asset_id,
+      |    list_transform(range(0, 64), k ->
+      |      ascii(substr(text, CAST(1 + (k * length(text)) // 64 AS INT), 1))) AS px
+      |  FROM documents),
+      |px AS (
+      |  SELECT asset_id, px FROM px0
+      |  UNION ALL
+      |  SELECT asset_id + 1000000, list_transform(px, p -> p + 1) FROM px0),
+      |h AS (
+      |  SELECT asset_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 56), b ->
+      |        CASE WHEN px[CAST((b // 7) * 8 + (b % 7) + 1 AS INT)]
+      |               < px[CAST((b // 7) * 8 + (b % 7) + 2 AS INT)]
+      |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |        ELSE CAST(0 AS BIGINT) END)),
+      |      (a, x) -> a + x) AS phash
+      |  FROM px),
+      |bands AS (
+      |  SELECT asset_id, phash, m.m AS band_idx,
+      |    (phash >> CAST(14 * m.m AS INT)) & 16383 AS band_sig
+      |  FROM h, range(4) AS m(m)),
+      |cand AS (
+      |  SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |    a.phash AS ha, b.phash AS hb
+      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+      |    AND a.band_sig = b.band_sig AND a.asset_id < b.asset_id)
+      |SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      |ORDER BY asset_a, asset_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_mm_decode_stats", qDecodeStats, Some(qDecodeStatsOracle)),
     QueryDef("q_mm_asset_stats", qAssetStats, Some(qAssetStatsOracle)),
@@ -271,5 +361,6 @@ object Multimodal {
     QueryDef("q_mm_resize", qResize, Some(qResizeOracle)),
     QueryDef("q_mm_byte_histogram", qByteHistogram, Some(qByteHistogramOracle)),
     QueryDef("q_mm_entropy", qEntropy, Some(qEntropyOracle)),
+    QueryDef("q_mm_phash", qPhashNearDup, Some(qPhashNearDupOracle)),
   )
 }

@@ -69,4 +69,16 @@ class MultimodalSpec extends AnyFunSuite {
         s"$codec: entropy $h outside (0, ln 16]")
     }
   }
+
+  test("phash collapses every brightness twin to hamming 0") {
+    val pairs = Multimodal.qPhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    val twins = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(twins.length == nDocs, "every asset must pair with its brightness twin")
+    twins.foreach { case (a, _, ham) =>
+      assert(ham == 0, s"asset $a: gradient hash changed under brightness shift")
+    }
+    pairs.foreach { case (_, _, ham) => assert(ham >= 0 && ham <= 6) }
+  }
 }
