@@ -54,7 +54,7 @@ object Explain {
       "q_jaccard_curve", "q_filter_attribution", "q_grouped_topk",
       "q_allpairs_jaccard", "q_sketch_merge",
       "q_ndcg_eval", "q_weighted_sample", "q_boilerplate_strip",
-      "q_er_clusters", "q_pagerank", "q_join_cardinality", "q_url_canon",
+      "q_er_clusters", "q_pagerank", "q_label_prop", "q_join_cardinality", "q_url_canon",
       "q_mm_phash")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
@@ -161,7 +161,33 @@ object Explain {
         "definition), never corpus-scaled. The ObjectHashAggregate is " +
         "the bounded TopKAggregator — 5 pairs per (probe, partition) " +
         "cross the shuffle, not the scored set; the final vote window " +
-        "runs over probe-count rows."))
+        "runs over probe-count rows."),
+      "q_pagerank" -> ("Iterative plan: localCheckpoint truncates " +
+        "lineage each round, so the printed plan shows only the FINAL " +
+        "round's contribution join + aggregate reading the previous " +
+        "round's checkpoint blocks — per-round cost is exactly this " +
+        "plan, one keyed shuffle over the kN-edge frame. The kNN edge " +
+        "build (label-blocked scored join + bounded top-k) ran before " +
+        "the loop and is cached."),
+      "q_label_prop" -> ("Same iterative shape as q_pagerank: the plan " +
+        "shows the last propagation round over checkpoint blocks. The " +
+        "vote mode is a struct-max aggregate — no Window anywhere; the " +
+        "ANN graph build is the q_ann_recall bucket-candidate " +
+        "discipline."),
+      "q_er_clusters" -> ("The blocking join is key-equality on " +
+        "(nation, digit-string) — near-unique blocks, so the pairwise " +
+        "levenshtein verify sees block-bounded candidates. The closure " +
+        "loop is the pointer-jump CC kernel; its per-round plan is the " +
+        "q_dedup_clusters shape over the match graph."),
+      "q_join_cardinality" -> ("Both sketches are fixed depth×width " +
+        "cell aggregates (map-side combined); the estimate join touches " +
+        "sketch cells only. The single BroadcastNestedLoopJoin is the " +
+        "1-row exact × 1-row estimate cross — the scalar idiom."),
+      "q_mm_phash" -> ("Payload bytes never shuffle: the dHash is a " +
+        "narrow codegen'd pass ending in an 8-byte signature; the band " +
+        "self-join is key-equality on 14-bit slices, and the hamming " +
+        "verify reads the signatures already in the join output — the " +
+        "q_simhash_near_dup discipline on media bytes."))
 
     val sb = new StringBuilder
     sb ++= "# Physical plans (generated by `runMain graft.Explain`)\n\n"

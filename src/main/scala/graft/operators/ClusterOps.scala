@@ -657,6 +657,147 @@ object ClusterOps {
       |SELECT id AS vec_id, round(pr * (SELECT n FROM n), 6) AS pr_scaled6
       |FROM pr3 ORDER BY vec_id""".stripMargin
 
+  /** Semi-supervised label propagation — the "label 10%, infer the rest"
+    * step of weakly-supervised data curation: seeds (vec_id < 50) keep
+    * their true class; every other node adopts, round by round, the
+    * MAJORITY label among its labeled graph neighbors (vote ties break
+    * to the smaller label — the deterministic convention). The graph is
+    * an honest ANN kNN graph: candidates from the 8-bit hyperplane
+    * bucket (NOT the true label — that is the quantity being predicted),
+    * top-5 by rounded cosine per node via the bounded
+    * [[graft.functions.TopKAggregator]]. Two propagation rounds, then
+    * accuracy against the held-back true labels per class — the
+    * measurement that decides whether propagated labels are usable.
+    *
+    * Scale shape: graph build = the [[Similarity.qAnnRecall]] candidate
+    * discipline (bucket-equality join, bounded top-k); each round is one
+    * keyed shuffle of (node, vote) pairs over the kN-edge frame plus a
+    * struct-max aggregate (no window); seeds and predictions never leave
+    * the node frame.
+    */
+  def qLabelProp(s: SparkSession, dir: String, rounds: Int = 2, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(Similarity.normExpr).as("nrm"),
+        Similarity.hyperplaneBucket.as("bucket"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("qv"),
+      col("nrm").as("qnrm"), col("bucket"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding"),
+      col("nrm"), col("bucket"))
+    val scored = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(expr(Similarity.dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos"))
+    val edges = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("src", "top")
+      .select(col("src"), explode(col("top")).as("item"))
+      .select(col("src"), col("item._2").as("dst"))
+      .persist()
+    val nodes = e.select(col("vec_id").as("id"), col("label").as("true_lbl"))
+      .persist()
+    var cur = nodes.select(col("id"),
+      when(col("id") < 50, col("true_lbl")).as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(cur.filter(col("lbl").isNotNull), col("dst") === col("id"))
+        .groupBy(col("src"), col("lbl").as("vlbl"))
+        .agg(count(lit(1)).as("v"))
+      // mode per node WITHOUT a window: lexicographic struct-max over
+      // (votes, -label) = most votes, ties to the smaller label
+      val best = votes
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("v"), (-col("vlbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).cast("int").as("vlbl"))
+      cur = cur.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("vlbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val out = nodes.join(cur, "id")
+      .groupBy(col("true_lbl"))
+      .agg(
+        sum(when(col("id") < 50, 1L).otherwise(0L)).as("n_seeds"),
+        sum(when(col("id") >= 50 && col("lbl").isNotNull, 1L).otherwise(0L))
+          .as("n_predicted"),
+        sum(when(col("id") >= 50 && col("lbl") === col("true_lbl"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("true_lbl"), col("n_seeds"), col("n_predicted"), col("n_correct"),
+        expr("CASE WHEN n_predicted > 0 THEN (n_correct * 10000) div n_predicted ELSE 0 END")
+          .as("accuracy_bp"))
+      .orderBy("true_lbl")
+    edges.unpersist(blocking = true)
+    nodes.unpersist(blocking = true)
+    out
+  }
+
+  val qLabelPropOracle: String =
+    """WITH comp AS (
+      |  SELECT vec_id, p.p AS p,
+      |    sum((e.embedding[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
+      |  FROM embeddings e, range(8) AS p(p), range(64) AS j(j)
+      |  GROUP BY vec_id, p.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM comp GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+      |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      |scored AS (
+      |  SELECT src, dst,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+      |  FROM pairs GROUP BY src, dst),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      |    FROM scored) WHERE rk <= 5),
+      |l0 AS (
+      |  SELECT vec_id AS id, CASE WHEN vec_id < 50 THEN label END AS lbl
+      |  FROM embeddings),
+      |v1 AS (
+      |  SELECT e.src, l.lbl AS vlbl, count(*) AS v
+      |  FROM edges e JOIN l0 l ON l.id = e.dst AND l.lbl IS NOT NULL
+      |  GROUP BY e.src, l.lbl),
+      |b1 AS (
+      |  SELECT src AS id, vlbl FROM (
+      |    SELECT src, vlbl,
+      |      row_number() OVER (PARTITION BY src ORDER BY v DESC, vlbl) AS rk
+      |    FROM v1) WHERE rk = 1),
+      |l1 AS (
+      |  SELECT l0.id, coalesce(l0.lbl, b1.vlbl) AS lbl
+      |  FROM l0 LEFT JOIN b1 ON b1.id = l0.id),
+      |v2 AS (
+      |  SELECT e.src, l.lbl AS vlbl, count(*) AS v
+      |  FROM edges e JOIN l1 l ON l.id = e.dst AND l.lbl IS NOT NULL
+      |  GROUP BY e.src, l.lbl),
+      |b2 AS (
+      |  SELECT src AS id, vlbl FROM (
+      |    SELECT src, vlbl,
+      |      row_number() OVER (PARTITION BY src ORDER BY v DESC, vlbl) AS rk
+      |    FROM v2) WHERE rk = 1),
+      |l2 AS (
+      |  SELECT l1.id, coalesce(l1.lbl, b2.vlbl) AS lbl
+      |  FROM l1 LEFT JOIN b2 ON b2.id = l1.id)
+      |SELECT e.label AS true_lbl,
+      |  CAST(sum(CASE WHEN e.vec_id < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+      |  CAST(sum(CASE WHEN e.vec_id >= 50 AND l2.lbl IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_predicted,
+      |  CAST(sum(CASE WHEN e.vec_id >= 50 AND l2.lbl = e.label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(CASE WHEN sum(CASE WHEN e.vec_id >= 50 AND l2.lbl IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |    THEN (sum(CASE WHEN e.vec_id >= 50 AND l2.lbl = e.label THEN 1 ELSE 0 END) * 10000)
+      |      // sum(CASE WHEN e.vec_id >= 50 AND l2.lbl IS NOT NULL THEN 1 ELSE 0 END)
+      |    ELSE 0 END AS BIGINT) AS accuracy_bp
+      |FROM embeddings e JOIN l2 ON l2.id = e.vec_id
+      |GROUP BY e.label ORDER BY true_lbl""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
     QueryDef("q_dedup_keep_best", qDedupKeepBest, Some(qDedupKeepBestOracle)),
@@ -668,5 +809,6 @@ object ClusterOps {
     QueryDef("q_dup_triangles", qDupTriangles, Some(qDupTrianglesOracle)),
     QueryDef("q_er_clusters", qErClusters, Some(qErClustersOracle)),
     QueryDef("q_pagerank", (s, d) => qPagerank(s, d), Some(qPagerankOracle)),
+    QueryDef("q_label_prop", (s, d) => qLabelProp(s, d), Some(qLabelPropOracle)),
   )
 }

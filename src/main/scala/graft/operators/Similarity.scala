@@ -189,7 +189,7 @@ object Similarity {
   // accumulation, so bucket assignment is reproducible in the DuckDB
   // oracle's CASE-sum form. Shared by qLshBuckets (occupancy report) and
   // qAnnNearDup (candidate generation).
-  private def hyperplaneBucket: Column = {
+  private[operators] def hyperplaneBucket: Column = {
     def planeSql(p: Int): String =
       (0 until 64).map(j => s"CAST(${(p * 131 + j * 37) % 19 - 9} AS FLOAT)")
         .mkString("array(", ", ", ")")

@@ -181,6 +181,20 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.01, s"scaled rank mean $mean drifted from 1")
   }
 
+  test("label propagation only labels non-seeds and never exceeds its vote surface") {
+    val rows = ClusterOps.qLabelProp(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == 50, "seed budget is exactly vec_id < 50")
+    val total = graft.Tables.t(spark, dir, "embeddings").count()
+    assert(rows.map(_._3).sum <= total - 50, "predictions cannot exceed non-seeds")
+    rows.foreach { case (lbl, _, pred, correct, bp) =>
+      assert(correct <= pred, s"class $lbl: correct exceeds predicted")
+      assert(bp == (if (pred > 0) correct * 10000 / pred else 0L),
+        s"class $lbl: accuracy arithmetic")
+    }
+  }
+
   test("triangle counts match a brute-force check on the collected graph") {
     import org.apache.spark.sql.functions.col
     val reported = ClusterOps.qDupTriangles(spark, dir).collect()
