@@ -310,6 +310,52 @@ object StreamOps {
       |SELECT source, doc_id, admitted, spent_after
       |FROM walk WHERE rn > 0 ORDER BY source, doc_id""".stripMargin
 
+  /** Streaming deterministic reservoir — the [[CorpusOps.qReservoirSample]]
+    * sampler run AS A STREAMING AGGREGATE: the bounded
+    * [[graft.functions.MinKAggregator]] (k smallest md5 priorities per
+    * language) is registered as a UDAF over the document stream, so the
+    * engine's state store holds exactly one size-k buffer per language
+    * and the result is provably independent of arrival order and
+    * micro-batch boundaries (min-k is a commutative, idempotent-merge
+    * aggregate — the property the batch spec proves by split invariance,
+    * proven here by hash-equality with the batch oracle).
+    *
+    * At 100 TB this is the always-on corpus sampler: a firehose of
+    * documents maintains a uniform (or, with [[CorpusOps.qWeightedSample]]
+    * priorities, weighted) per-stratum sample in O(k · strata) state,
+    * emitted on every micro-batch in update/complete mode.
+    */
+  def qStreamReservoir(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("lang"), md5(encode(col("text"), "UTF-8")).as("priority"),
+        col("doc_id"))
+    val mink = udaf(new graft.functions.MinKAggregator(10),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val agg = docs.groupBy("lang")
+      .agg(mink(col("priority"), col("doc_id")).as("keep"))
+    val sink = "stream_reservoir_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("lang"), posexplode(col("keep")).as(Seq("pos", "item")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("item._2").as("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  // identical contract to the batch sampler — stream == batch == oracle
+  val qStreamReservoirOracle: String = CorpusOps.qReservoirSampleOracle
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
     QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
@@ -317,5 +363,6 @@ object StreamOps {
     QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinOracle)),
     QueryDef("q_stream_token_budget", qStreamTokenBudget,
       Some(qStreamTokenBudgetOracle)),
+    QueryDef("q_stream_reservoir", qStreamReservoir, Some(qStreamReservoirOracle)),
   )
 }

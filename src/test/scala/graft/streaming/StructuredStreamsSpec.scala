@@ -403,4 +403,45 @@ class StructuredStreamsSpec extends AnyFunSuite {
       assert(ds.map(_.spent_after).max <= budget, s"$src overspent")
     }
   }
+
+  test("streaming min-k reservoir is invariant to micro-batch split and order") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("lang"), md5(encode(col("text"), "UTF-8")).as("priority"),
+        col("doc_id"))
+    // two shards, REVERSED order: the second half of the corpus arrives
+    // in the first micro-batch (file listing order is name order)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_res_shards")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(shardDir.resolve("a_late_half").toString)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(shardDir.resolve("b_early_half").toString)
+    val mink = udaf(new graft.functions.MinKAggregator(7),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force one shard per micro-batch
+      .parquet(shardDir.toString + "/*")
+      .groupBy("lang").agg(mink(col("priority"), col("doc_id")).as("keep"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_res_ckpt").toString
+    val q = streamed.writeStream.format("memory").queryName("res_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    val got = spark.table("res_stream")
+      .select(col("lang"), explode(col("keep")).as("item"))
+      .select(col("lang"), col("item._2").as("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    import spark.implicits._
+    val batch = docs.as[(String, String, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(graft.functions.MinKAggregator.minK(7))
+      .collect().flatMap { case (lang, keep) => keep.map(p => (lang, p._2)) }
+      .toSet
+    assert(got == batch,
+      "streamed min-k sample diverged from the batch fold under shard reversal")
+  }
 }
