@@ -552,7 +552,7 @@ object Dedup {
   /** (doc_id, source, h) rows: md5 of each non-overlapping 10-word line.
     * Shared by [[qLineDedup]] and [[qSourceOverlap]].
     */
-  private def lineHashes(s: SparkSession, dir: String): DataFrame =
+  private[operators] def lineHashes(s: SparkSession, dir: String): DataFrame =
     withWords(t(s, dir, "documents"))
       .select(col("doc_id"), col("source"), explode(expr(
         """CASE WHEN size(ws) >= 10 THEN

@@ -376,6 +376,72 @@ object SketchOps {
       |FROM exact, est""".stripMargin
   }
 
+  /** Sketch-algebra source overlap — [[Dedup.qSourceOverlap]]'s exact
+    * shared-line matrix re-derived from FIXED-MEMORY per-source HLL
+    * sketches by inclusion–exclusion: |A∩B| ≈ est(A) + est(B) −
+    * est(A ∪ B), with the union computed by `hll_union` over the two
+    * serialized sketches (never the data). The exact count anchors the
+    * oracle; the sketch estimate is bound-checked per pair, so the
+    * algebra's real error under lgK=12 is part of the hash-checked
+    * contract, [[qApproxDistinct]]-style.
+    *
+    * Scale shape: ONE corpus pass builds all per-source sketches
+    * (mergeable partial aggregates, ~2.5 KB each); the pair matrix is
+    * sketch-count² over a source-bounded frame — at 100 TB the data is
+    * touched once regardless of how many source pairs get audited,
+    * which is the whole reason pipelines keep sketch stores. The
+    * non-equi pair join is over the ≤|sources| aggregate, bounded by
+    * construction.
+    */
+  def qHllIntersection(s: SparkSession, dir: String): DataFrame = {
+    val lines = Dedup.lineHashes(s, dir).select("source", "h")
+    val sk = lines.groupBy("source")
+      .agg(expr("hll_sketch_agg(h, 12)").as("sk")).persist()
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    val est = a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_u"))
+      .select(col("src_a"), col("src_b"),
+        (col("est_a") + col("est_b") - col("est_u")).as("est_overlap"),
+        (col("est_a") + col("est_b")).as("est_mass"))
+    val ls = lines.distinct()
+    val shared = ls.as("x").join(ls.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    est.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (abs(col("est_overlap") - coalesce(col("n_shared"), lit(0L))) <=
+          col("est_mass").cast("double") * 0.05 + 16.0).as("overlap_ok"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val qHllIntersectionOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |l AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(ws[(i - 1) * 10 + 1:i * 10], ' ')) AS h
+      |  FROM w, unnest(generate_series(1, len(ws) // 10)) AS t(i)),
+      |srcs AS (SELECT DISTINCT source FROM l),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM srcs a JOIN srcs b ON a.source < b.source),
+      |shared AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+      |  FROM l x JOIN l y ON x.h = y.h AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b,
+      |  coalesce(s.n_shared, 0) AS n_shared,
+      |  TRUE AS overlap_ok
+      |FROM pairs p LEFT JOIN shared s
+      |  ON s.src_a = p.src_a AND s.src_b = p.src_b
+      |ORDER BY p.src_a, p.src_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_profile_stats", qProfileStats, Some(qProfileStatsOracle)),
     QueryDef("q_cms_heavy_hitters", qCmsHeavyHitters, Some(qCmsHeavyHittersOracle)),
@@ -384,5 +450,6 @@ object SketchOps {
     QueryDef("q_approx_quantiles", qApproxQuantiles, Some(qApproxQuantilesOracle)),
     QueryDef("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsOracle)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalityOracle)),
+    QueryDef("q_hll_intersection", qHllIntersection, Some(qHllIntersectionOracle)),
   )
 }

@@ -43,8 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // exact arm is the same 3-row broadcast cross
       "q_trunc_recall", "q_ndcg_eval",
       // q_join_cardinality crosses its two single-row aggregates (exact
-      // count x sketch estimate) — the scalar idiom again
-      "q_join_cardinality")
+      // count x sketch estimate) — the scalar idiom again;
+      // q_hll_intersection's non-equi pair join runs over the ≤|sources|
+      // sketch aggregate (bounded by construction, like the centroids)
+      "q_join_cardinality", "q_hll_intersection")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

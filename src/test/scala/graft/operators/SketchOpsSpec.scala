@@ -105,6 +105,19 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(bp == (est - exact) * 10000 / exact)
   }
 
+  test("hll inclusion-exclusion covers every source pair inside its bound") {
+    val rows = SketchOps.qHllIntersection(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val nSources = graft.Tables.t(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { case (a, b, shared, ok) =>
+      assert(shared >= 0)
+      assert(ok, s"($a,$b): sketch overlap estimate outside its bound")
+    }
+  }
+
   test("hll merged estimate is invariant to the shard layout") {
     val rows = SketchOps.qSketchMerge(spark, dir).collect()
     assert(rows.nonEmpty)
