@@ -304,13 +304,26 @@ object Multimodal {
           .as("phash"))
       .persist() // both sides of the band self-join read it; caller
                  // (Bench/Verify) owns cache lifetime, like qCmsHeavyHitters
+    // hot-bucket subdivision, the Dedup.simhashKeyedBands discipline: a
+    // 14-bit band key caps at 16,384 buckets, so any bucket over the cap
+    // gets its join key extended by 8 bits of the NEXT band — bounded
+    // per-bucket pair work as the asset corpus outgrows the key space,
+    // cold buckets keep exact-banding behavior
     val bands = hashes.select(col("asset_id"), col("phash"),
       posexplode(array((0 until 4).map(m =>
         expr(s"shiftright(phash, ${14 * m}) & CAST(16383 AS BIGINT)")): _*))
         .as(Seq("band_idx", "band_sig")))
-    bands.as("a").join(bands.as("b"),
+      .withColumn("sub_key",
+        expr("shiftright(phash, CAST(((band_idx + 1) % 4) * 14 AS INT)) & 255"))
+    val counts = bands.groupBy("band_idx", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+    val keyed = bands.join(counts, Seq("band_idx", "band_sig"))
+      .withColumn("sub",
+        when(col("bucket_n") > 32, col("sub_key")).otherwise(lit(0L)))
+    keyed.as("a").join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_sig") === col("b.band_sig") &&
+        col("a.sub") === col("b.sub") &&
         col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
         col("a.phash").as("ha"), col("b.phash").as("hb"))
@@ -343,13 +356,22 @@ object Multimodal {
       |  FROM px),
       |bands AS (
       |  SELECT asset_id, phash, m.m AS band_idx,
-      |    (phash >> CAST(14 * m.m AS INT)) & 16383 AS band_sig
+      |    (phash >> CAST(14 * m.m AS INT)) & 16383 AS band_sig,
+      |    (phash >> CAST(((m.m + 1) % 4) * 14 AS INT)) & 255 AS sub_key
       |  FROM h, range(4) AS m(m)),
+      |counts AS (
+      |  SELECT band_idx, band_sig, count(*) AS bucket_n
+      |  FROM bands GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT b.*, CASE WHEN c.bucket_n > 32 THEN b.sub_key ELSE 0 END AS sub
+      |  FROM bands b JOIN counts c
+      |    ON c.band_idx = b.band_idx AND c.band_sig = b.band_sig),
       |cand AS (
       |  SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
       |    a.phash AS ha, b.phash AS hb
-      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-      |    AND a.band_sig = b.band_sig AND a.asset_id < b.asset_id)
+      |  FROM keyed a JOIN keyed b ON a.band_idx = b.band_idx
+      |    AND a.band_sig = b.band_sig AND a.sub = b.sub
+      |    AND a.asset_id < b.asset_id)
       |SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
       |ORDER BY asset_a, asset_b""".stripMargin
