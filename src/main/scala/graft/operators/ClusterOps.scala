@@ -569,7 +569,11 @@ object ClusterOps {
     * cosine (label = the IVF coarse cell, so graph construction is the
     * blocked pair join of [[Similarity.qEmbeddingNearDup]], never
     * all-pairs). Three damped power-iteration rounds (d=0.85) from the
-    * uniform start; ranks are reported scaled by N and rounded.
+    * uniform start; ranks are reported scaled by N and rounded. At
+    * 100 TB the label partitioning follows the IVF convention (~√n
+    * cells, so cells stay bounded as the corpus grows) and a hot cell
+    * decomposes via the [[Similarity.qEmbeddingNearDup]] triangle-block
+    * kernel.
     *
     * Scale shape: the edge build is the label-blocked scored join + the
     * bounded [[graft.functions.TopKAggregator]] (k rows per node cross
@@ -673,7 +677,11 @@ object ClusterOps {
     * discipline (bucket-equality join, bounded top-k); each round is one
     * keyed shuffle of (node, vote) pairs over the kN-edge frame plus a
     * struct-max aggregate (no window); seeds and predictions never leave
-    * the node frame.
+    * the node frame. The 8-plane bucket count is a corpus-size knob: at
+    * 100 TB the plane count grows with log₂(n) (16–32 planes) so expected
+    * bucket occupancy — and with it the scored join's per-bucket pair
+    * surface — stays constant, exactly the multi-table discipline the
+    * simhash/phash band caps apply.
     */
   def qLabelProp(s: SparkSession, dir: String, rounds: Int = 2, k: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.register(s)

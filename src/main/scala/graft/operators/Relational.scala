@@ -555,6 +555,57 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Seasonal (hour-of-day) baseline anomaly screen — the calendar
+    * companion to [[qRateAnomaly]]'s trailing-window spike detector: a
+    * metric that is perfectly normal at 14:00 can be a pager at 03:00,
+    * so each (event_type, calendar-hour) cell is compared against the
+    * MEAN of its own hour-of-day across the history, not against the
+    * preceding 24 h. Deviations are integer basis points
+    * (`cnt · n_cells · 10⁴ div Σcnt`) so the classification is exactly
+    * reproducible in the oracle; cells ≥1.5× baseline count as high,
+    * ≤0.5× as low.
+    *
+    * Scale shape: one hourly pre-aggregate (map-side combined) feeds
+    * both the 24-row-per-type profile and the deviation join; the
+    * profile side is hour-of-day-bounded (24 × |types|) so the join is
+    * AQE broadcast at any corpus size. No windows anywhere.
+    */
+  def qSeasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", hour(col("hr")))
+    val profile = hourly.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("base_n"), sum("cnt").as("base_sum"))
+    hourly.join(profile, Seq("event_type", "hod"))
+      .withColumn("ratio_bp", expr("(cnt * base_n * 10000) div base_sum"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("ratio_bp") >= 15000, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("ratio_bp") <= 5000, 1L).otherwise(0L)).as("n_low"),
+        max("ratio_bp").as("max_ratio_bp"))
+      .orderBy("event_type")
+  }
+
+  val qSeasonalBaselineOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |hh AS (SELECT event_type, hr, cnt, hour(hr) AS hod FROM hourly),
+      |profile AS (
+      |  SELECT event_type, hod, count(*) AS base_n,
+      |    CAST(sum(cnt) AS BIGINT) AS base_sum
+      |  FROM hh GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT h.event_type, (h.cnt * p.base_n * 10000) // p.base_sum AS ratio_bp
+      |  FROM hh h JOIN profile p
+      |    ON p.event_type = h.event_type AND p.hod = h.hod)
+      |SELECT event_type, count(*) AS n_cells,
+      |  CAST(sum(CASE WHEN ratio_bp >= 15000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(sum(CASE WHEN ratio_bp <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(max(ratio_bp) AS BIGINT) AS max_ratio_bp
+      |FROM dev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qRateAnomalyOracle: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt
@@ -828,6 +879,7 @@ object Relational {
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
     QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
+    QueryDef("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineOracle)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowOracle)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),

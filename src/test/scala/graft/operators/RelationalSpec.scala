@@ -85,6 +85,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal baseline covers every hourly cell and bounds its ratios") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val cells = graft.Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .count().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Relational.qSeasonalBaseline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tp, nCells, nHigh, nLow, maxBp) =>
+      assert(nCells == cells(tp), s"$tp: every hourly cell must be scored")
+      assert(nHigh + nLow <= nCells, s"$tp: flagged cells exceed total")
+      assert(maxBp >= 10000,
+        s"$tp: the max deviation cannot sit below its own mean")
+      assert((nHigh > 0) == (maxBp >= 15000), s"$tp: high count vs peak ratio")
+    }
+  }
+
   test("rate anomaly scores only hours with a full trailing day") {
     import org.apache.spark.sql.functions.{col, date_trunc}
     val hourly = graft.Tables.t(spark, dir, "events")
