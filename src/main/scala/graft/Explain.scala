@@ -55,7 +55,8 @@ object Explain {
       "q_allpairs_jaccard", "q_sketch_merge",
       "q_ndcg_eval", "q_weighted_sample", "q_boilerplate_strip",
       "q_er_clusters", "q_pagerank", "q_label_prop", "q_join_cardinality", "q_url_canon",
-      "q_mm_phash", "q_hll_intersection", "q_stream_reservoir", "q_seasonal_baseline")
+      "q_mm_phash", "q_hll_intersection", "q_stream_reservoir", "q_seasonal_baseline",
+      "q_aqp_sum", "q_pareto_docs")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

@@ -570,6 +570,56 @@ object CorpusOps {
       |  count(*) - count(DISTINCT canonical) AS n_collapsed
       |FROM canon GROUP BY source ORDER BY source""".stripMargin
 
+  /** Pareto (skyline) document selection — multi-objective curation:
+    * the docs worth keeping when quality (type/token ratio, integer
+    * basis points) should be MAXIMIZED and length MINIMIZED and no
+    * scalar mix of the two is agreed on. A metric point is on the
+    * skyline iff no other point has ≥ quality and ≤ length with one
+    * strict; the operator runs on DISTINCT metric POINTS (dominance is
+    * ill-posed on duplicate points) with the doc multiplicity carried as
+    * a count. The classic 2-D sweep: order by (quality desc, length
+    * asc) per language, keep a point iff its length beats the running
+    * minimum of everything that dominates-or-ties-quality before it.
+    *
+    * Scale shape: the corpus collapses to the distinct metric-point
+    * surface FIRST (a map-side-combined groupBy — bounded by metric
+    * granularity, ~10⁴·lengths, not by docs); the per-language window
+    * sorts that point surface only. At higher dimensions the sweep
+    * generalizes to grid-dominance prefiltering; 2-D needs none.
+    */
+  def qParetoDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("lang"),
+        expr("(size(array_distinct(ws)) * 10000L) div size(ws)").as("q_bp"),
+        size(col("ws")).cast("long").as("len"))
+      .groupBy("lang", "q_bp", "len").agg(count(lit(1)).as("n_docs"))
+    val sweep = Window.partitionBy("lang")
+      .orderBy(col("q_bp").desc, col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("runmin", min("len").over(sweep))
+      .filter(col("runmin").isNull || col("len") < col("runmin"))
+      .select("lang", "q_bp", "len", "n_docs")
+      .orderBy(col("lang"), col("q_bp").desc, col("len"))
+  }
+
+  val qParetoDocsOracle: String =
+    """WITH pts AS (
+      |  SELECT lang,
+      |    CAST((len(list_distinct(ws)) * 10000) // len(ws) AS BIGINT) AS q_bp,
+      |    CAST(len(ws) AS BIGINT) AS len, count(*) AS n_docs
+      |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents) d
+      |  GROUP BY 1, 2, 3),
+      |sw AS (
+      |  SELECT lang, q_bp, len, n_docs,
+      |    min(len) OVER (PARTITION BY lang ORDER BY q_bp DESC, len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+      |  FROM pts)
+      |SELECT lang, q_bp, len, n_docs
+      |FROM sw WHERE runmin IS NULL OR len < runmin
+      |ORDER BY lang, q_bp DESC, len""".stripMargin
+
   /** Weighted k-sample per language WITHOUT a window sort — sequential
     * Poisson sampling (Ohlsson '98): each doc draws a deterministic
     * uniform u from a content hash, its priority is u/w (w = token
@@ -812,6 +862,7 @@ object CorpusOps {
     QueryDef("q_reservoir_sample", (s, d) => qReservoirSample(s, d), Some(qReservoirSampleOracle)),
     QueryDef("q_weighted_sample", (s, d) => qWeightedSample(s, d), Some(qWeightedSampleOracle)),
     QueryDef("q_url_canon", qUrlCanon, Some(qUrlCanonOracle)),
+    QueryDef("q_pareto_docs", qParetoDocs, Some(qParetoDocsOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     QueryDef("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesOracle)),

@@ -442,6 +442,64 @@ object SketchOps {
       |  ON s.src_a = p.src_a AND s.src_b = p.src_b
       |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  /** Approximate aggregation from a deterministic row sample — the AQP
+    * (approximate query processing) kernel: a 10% content-hash sample of
+    * lineitem (keyed on the row identity, so the subset is re-derivable
+    * on any engine, any partitioning, any run) feeds a Horvitz–Thompson
+    * scale-up of count and revenue per return flag, reported NEXT TO the
+    * exact aggregate with the realized error in basis points. Because the
+    * sample is hash-deterministic, the ESTIMATE itself is
+    * oracle-reproducible — the approximation is audited, not asserted.
+    *
+    * Scale shape: the sample predicate is a scan-side filter (no shuffle
+    * sees the unsampled rows on the estimate arm); both arms are
+    * map-side-combined aggregates over a 3-group key. At 100 TB the
+    * exact arm is the one you skip — the whole point — and the sampled
+    * arm's cost is rate × scan.
+    */
+  def qAqpSum(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_exact"),
+        round(sum(col("l_extendedprice")), 2).as("sum_exact"))
+    val est = li
+      .filter(expr("conv(substring(md5(concat(cast(l_orderkey AS string), ':', " +
+        "cast(l_linenumber AS string))), 1, 6), 16, 10)").cast("long") <
+        lit(16777216L / 10))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("l_extendedprice")) * 10, 2).as("sum_est"))
+    exact.join(est, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_exact"), col("sum_exact"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sum_est"), lit(0.0)).as("sum_est"),
+        expr("CAST(floor(abs(sum_est - sum_exact) * 10000 / sum_exact) AS BIGINT)")
+          .as("err_bp"))
+      .orderBy("l_returnflag")
+  }
+
+  val qAqpSumOracle: String =
+    """WITH exact AS (
+      |  SELECT l_returnflag, count(*) AS n_exact,
+      |    round(sum(l_extendedprice), 2) AS sum_exact
+      |  FROM lineitem GROUP BY 1),
+      |est AS (
+      |  SELECT l_returnflag, count(*) AS n_sampled,
+      |    round(sum(l_extendedprice) * 10, 2) AS sum_est
+      |  FROM lineitem
+      |  WHERE list_reduce(list_transform(range(1, 7), i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(
+      |        l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), i, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) < 1677721
+      |  GROUP BY 1)
+      |SELECT e.l_returnflag, e.n_exact, e.sum_exact,
+      |  coalesce(s.n_sampled, 0) AS n_sampled,
+      |  coalesce(s.sum_est, 0.0) AS sum_est,
+      |  CAST(floor(abs(coalesce(s.sum_est, 0.0) - e.sum_exact) * 10000
+      |    / e.sum_exact) AS BIGINT) AS err_bp
+      |FROM exact e LEFT JOIN est s ON s.l_returnflag = e.l_returnflag
+      |ORDER BY e.l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_profile_stats", qProfileStats, Some(qProfileStatsOracle)),
     QueryDef("q_cms_heavy_hitters", qCmsHeavyHitters, Some(qCmsHeavyHittersOracle)),
@@ -451,5 +509,6 @@ object SketchOps {
     QueryDef("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsOracle)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalityOracle)),
     QueryDef("q_hll_intersection", qHllIntersection, Some(qHllIntersectionOracle)),
+    QueryDef("q_aqp_sum", qAqpSum, Some(qAqpSumOracle)),
   )
 }

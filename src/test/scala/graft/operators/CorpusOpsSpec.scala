@@ -67,6 +67,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == b, "sample must be deterministic across runs")
   }
 
+  test("pareto skyline is mutually non-dominated and dominates everything else") {
+    import org.apache.spark.sql.functions._
+    val sky = CorpusOps.qParetoDocs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sky.nonEmpty)
+    val pts = graft.Tables.t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("lang"),
+        expr("(size(array_distinct(ws)) * 10000L) div size(ws)").as("q"),
+        size(col("ws")).cast("long").as("len"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (String, Long, Long), b: (String, Long, Long)): Boolean =
+      a._1 == b._1 && a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    sky.foreach { s1 =>
+      assert(!sky.exists(s2 => dominates(s2, s1)),
+        s"skyline point $s1 is dominated inside the skyline")
+    }
+    pts.filterNot(sky).foreach { p =>
+      assert(sky.exists(s1 => dominates(s1, p)),
+        s"non-skyline point $p is not dominated by any skyline point")
+    }
+  }
+
   test("url canonicalization strips chrome and only ever collapses") {
     val rows = CorpusOps.qUrlCanon(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

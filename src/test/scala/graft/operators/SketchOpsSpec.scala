@@ -118,6 +118,21 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("aqp estimate lands near the exact aggregate at the sample rate") {
+    val rows = SketchOps.qAqpSum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, nExact, sumExact, nSampled, sumEst, errBp) =>
+      // 10% hash sample: realized rate within [5%, 15%] of the group
+      assert(nSampled * 20 >= nExact && nSampled * 20 <= nExact * 3,
+        s"$flag: sample rate ${nSampled.toDouble / nExact} far from 10%")
+      assert(errBp == math.floor(math.abs(sumEst - sumExact) * 10000 / sumExact).toLong,
+        s"$flag: error arithmetic")
+      assert(errBp < 1500, s"$flag: estimate off by ${errBp}bp (> 15%)")
+    }
+  }
+
   test("hll merged estimate is invariant to the shard layout") {
     val rows = SketchOps.qSketchMerge(spark, dir).collect()
     assert(rows.nonEmpty)
