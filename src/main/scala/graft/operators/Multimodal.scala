@@ -280,8 +280,11 @@ object Multimodal {
     * key-equality bucketed, and the hot-bucket subdivision story from the
     * simhash family applies verbatim if band cardinality saturates.
     */
-  def qPhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val base = assets(s, dir)
+  /** The 64-sample pixel grid per asset, read out of the decoded payload
+    * body at evenly spaced offsets — (asset_id, px: array<int>).
+    */
+  private[operators] def pixelGrids(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
       .select(col("asset_id"),
         decode(expr(s"substring(payload, ${HeaderBytes + 1}, length(payload) - $HeaderBytes)"),
           "UTF-8").as("txt"))
@@ -289,26 +292,27 @@ object Multimodal {
         expr("""transform(sequence(0, 63), k ->
           ascii(substring(txt, CAST(1 + (k * CAST(length(txt) AS BIGINT)) div 64 AS INT), 1)))""")
           .as("px"))
-    // +1-brightness twin of every sampled grid (ascii bodies top out well
-    // below 255, so the shift never wraps): dHash is a gradient hash, and
-    // the twins MUST collapse to hamming 0 — the invariance is part of
-    // the hash-checked contract, not prose
-    val brightened = base.select((col("asset_id") + 1000000L).as("asset_id"),
-      expr("transform(px, p -> p + 1)").as("px"))
-    val hashes = base.unionByName(brightened)
-      .select(col("asset_id"),
-        expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) ->
-          acc + CASE WHEN element_at(px, CAST((b div 7) * 8 + (b % 7) + 1 AS INT))
-                       < element_at(px, CAST((b div 7) * 8 + (b % 7) + 2 AS INT))
-                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
-          .as("phash"))
-      .persist() // both sides of the band self-join read it; caller
-                 // (Bench/Verify) owns cache lifetime, like qCmsHeavyHitters
-    // hot-bucket subdivision, the Dedup.simhashKeyedBands discipline: a
-    // 14-bit band key caps at 16,384 buckets, so any bucket over the cap
-    // gets its join key extended by 8 bits of the NEXT band — bounded
-    // per-bucket pair work as the asset corpus outgrows the key space,
-    // cold buckets keep exact-banding behavior
+
+  /** 56-bit dHash over a (asset_id, px) frame: 8×8 grid, bit = left
+    * pixel darker than its row neighbor.
+    */
+  private[operators] def phashOf(grids: DataFrame): DataFrame =
+    grids.select(col("asset_id"),
+      expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) ->
+        acc + CASE WHEN element_at(px, CAST((b div 7) * 8 + (b % 7) + 1 AS INT))
+                     < element_at(px, CAST((b div 7) * 8 + (b % 7) + 2 AS INT))
+              THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+        .as("phash"))
+
+  /** Banded (asset_id, phash) rows with HOT-BUCKET SUBDIVISION — the
+    * [[Dedup.simhashKeyedBands]] discipline on media signatures: a
+    * 14-bit band key caps at 16,384 buckets, so any bucket over `cap`
+    * gets its join key extended by 8 bits of the NEXT band — bounded
+    * per-bucket pair work as the asset corpus outgrows the key space;
+    * cold buckets keep exact-banding behavior. Shared by
+    * [[qPhashNearDup]] and [[StressOps.qStressHotPhash]].
+    */
+  private[operators] def phashKeyedBands(hashes: DataFrame, cap: Int = 32): DataFrame = {
     val bands = hashes.select(col("asset_id"), col("phash"),
       posexplode(array((0 until 4).map(m =>
         expr(s"shiftright(phash, ${14 * m}) & CAST(16383 AS BIGINT)")): _*))
@@ -317,9 +321,23 @@ object Multimodal {
         expr("shiftright(phash, CAST(((band_idx + 1) % 4) * 14 AS INT)) & 255"))
     val counts = bands.groupBy("band_idx", "band_sig")
       .agg(count(lit(1)).as("bucket_n"))
-    val keyed = bands.join(counts, Seq("band_idx", "band_sig"))
+    bands.join(counts, Seq("band_idx", "band_sig"))
       .withColumn("sub",
-        when(col("bucket_n") > 32, col("sub_key")).otherwise(lit(0L)))
+        when(col("bucket_n") > cap, col("sub_key")).otherwise(lit(0L)))
+  }
+
+  def qPhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = pixelGrids(s, dir)
+    // +1-brightness twin of every sampled grid (ascii bodies top out well
+    // below 255, so the shift never wraps): dHash is a gradient hash, and
+    // the twins MUST collapse to hamming 0 — the invariance is part of
+    // the hash-checked contract, not prose
+    val brightened = base.select((col("asset_id") + 1000000L).as("asset_id"),
+      expr("transform(px, p -> p + 1)").as("px"))
+    val hashes = phashOf(base.unionByName(brightened))
+      .persist() // both sides of the band self-join read it; caller
+                 // (Bench/Verify) owns cache lifetime, like qCmsHeavyHitters
+    val keyed = phashKeyedBands(hashes)
     keyed.as("a").join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_sig") === col("b.band_sig") &&
@@ -375,6 +393,27 @@ object Multimodal {
       |SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
       |ORDER BY asset_a, asset_b""".stripMargin
+
+  /** DuckDB CTE fragment replicating the twin-free dHash pass: defines
+    * `px0` and `h(asset_id, phash)` over `documents`. Shared by the
+    * [[StressOps.qStressHotPhash]] oracle.
+    */
+  val phashSigsDuck: String =
+    """px0 AS (
+      |  SELECT doc_id AS asset_id,
+      |    list_transform(range(0, 64), k ->
+      |      ascii(substr(text, CAST(1 + (k * length(text)) // 64 AS INT), 1))) AS px
+      |  FROM documents),
+      |h AS (
+      |  SELECT asset_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 56), b ->
+      |        CASE WHEN px[CAST((b // 7) * 8 + (b % 7) + 1 AS INT)]
+      |               < px[CAST((b // 7) * 8 + (b % 7) + 2 AS INT)]
+      |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |        ELSE CAST(0 AS BIGINT) END)),
+      |      (a, x) -> a + x) AS phash
+      |  FROM px0)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_mm_decode_stats", qDecodeStats, Some(qDecodeStatsOracle)),

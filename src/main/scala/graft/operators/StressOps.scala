@@ -171,10 +171,64 @@ object StressOps {
       |  count(*) AS n_buckets
       |FROM sub_sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hot-bucket stress for the phash band join, mirroring
+    * [[qStressHotBand]]: 25% of assets get their low 14 signature bits
+    * zeroed, manufacturing one band-0 bucket holding a quarter of the
+    * corpus — the adversarial shape (near-constant media payloads, e.g.
+    * blank thumbnails) that makes an uncapped 14-bit band join
+    * quadratic. The report shows raw vs subdivided max occupancy per
+    * band: the hot bucket must shrink to cells bounded by the next
+    * band's 8 subdivision bits while cold bands stay untouched.
+    */
+  def qStressHotPhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.phashOf(Multimodal.pixelGrids(s, dir))
+      .select(col("asset_id"),
+        expr("CASE WHEN asset_id % 4 = 0 THEN phash & -16384 ELSE phash END")
+          .as("phash"))
+      .persist() // band pass + counts join read it twice; caller clears
+    Multimodal.phashKeyedBands(sigs)
+      .groupBy("band_idx", "band_sig", "sub")
+      .agg(count(lit(1)).as("sub_n"), max("bucket_n").as("bucket_n"))
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(max("bucket_n").as("max_raw_bucket"),
+        max("sub_n").as("max_sub_bucket"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("band_idx")
+  }
+
+  val qStressHotPhashOracle: String =
+    s"""WITH ${Multimodal.phashSigsDuck},
+      |sigs AS (
+      |  SELECT asset_id,
+      |    CASE WHEN asset_id % 4 = 0 THEN phash & -16384 ELSE phash END AS phash
+      |  FROM h),
+      |bands AS (
+      |  SELECT asset_id, phash, m.m AS band_idx,
+      |    (phash >> CAST(14 * m.m AS INT)) & 16383 AS band_sig,
+      |    (phash >> CAST(((m.m + 1) % 4) * 14 AS INT)) & 255 AS sub_key
+      |  FROM sigs, range(4) AS m(m)),
+      |counts AS (
+      |  SELECT band_idx, band_sig, count(*) AS bucket_n
+      |  FROM bands GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT b.*, c.bucket_n,
+      |    CASE WHEN c.bucket_n > 32 THEN b.sub_key ELSE 0 END AS sub
+      |  FROM bands b JOIN counts c
+      |    ON c.band_idx = b.band_idx AND c.band_sig = b.band_sig),
+      |sub_sizes AS (
+      |  SELECT band_idx, band_sig, sub, count(*) AS sub_n, max(bucket_n) AS bucket_n
+      |  FROM keyed GROUP BY 1, 2, 3)
+      |SELECT CAST(band_idx AS BIGINT) AS band_idx,
+      |  max(bucket_n) AS max_raw_bucket,
+      |  max(sub_n) AS max_sub_bucket,
+      |  count(*) AS n_buckets
+      |FROM sub_sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stress_hot_near_dup", qStressHotNearDup, Some(qStressHotNearDupOracle)),
     QueryDef("q_stress_contam_skew", qStressContamSkew, Some(qStressContamSkewOracle)),
     QueryDef("q_stress_salted_join", qStressSaltedJoin, Some(qStressSaltedJoinOracle)),
     QueryDef("q_stress_hot_band", qStressHotBand, Some(qStressHotBandOracle)),
+    QueryDef("q_stress_hot_phash", qStressHotPhash, Some(qStressHotPhashOracle)),
   )
 }
