@@ -555,6 +555,52 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Event-path transition matrix — the Markov/Sankey feed behind every
+    * "where do users go next" product question: for each user's
+    * time-ordered event stream, count (event_type → next event_type)
+    * transitions and report each edge's share of its origin's outgoing
+    * mass in integer basis points. `event_id` breaks timestamp ties so
+    * both engines walk the identical sequence.
+    *
+    * Scale shape: ONE window partitioned by user (the per-user event
+    * list is the unit of sequence work — parallel across users, bounded
+    * per user), then a types×types aggregate (map-side combined; the
+    * transition matrix is |types|², model-sized). The share join is
+    * matrix-row-sized. No global sort anywhere.
+    */
+  def qPathTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outMass = edges.groupBy("from_type").agg(sum("n").as("out_n"))
+    edges.join(outMass, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 10000) div out_n").as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qPathTransitionsOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |edges AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |mass AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n
+      |  FROM edges GROUP BY 1)
+      |SELECT e.from_type, e.to_type, e.n,
+      |  (e.n * 10000) // m.out_n AS share_bp
+      |FROM edges e JOIN mass m ON m.from_type = e.from_type
+      |ORDER BY e.from_type, e.to_type""".stripMargin
+
   /** Seasonal (hour-of-day) baseline anomaly screen — the calendar
     * companion to [[qRateAnomaly]]'s trailing-window spike detector: a
     * metric that is perfectly normal at 14:00 can be a pager at 03:00,
@@ -880,6 +926,7 @@ object Relational {
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
     QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
     QueryDef("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineOracle)),
+    QueryDef("q_path_transitions", qPathTransitions, Some(qPathTransitionsOracle)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowOracle)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),

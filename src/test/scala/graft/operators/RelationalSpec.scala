@@ -85,6 +85,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("path transitions conserve the per-user sequence mass") {
+    val rows = Relational.qPathTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val perUser = graft.Tables.t(spark, dir, "events")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(rows.map(_._3).sum == perUser.map(n => math.max(n - 1, 0L)).sum,
+      "every consecutive event pair must appear exactly once")
+    rows.groupBy(_._1).foreach { case (from, es) =>
+      val shareSum = es.map(_._4).sum
+      // integer flooring loses at most 1bp per edge
+      assert(shareSum <= 10000 && shareSum > 10000 - es.length,
+        s"$from: outgoing shares sum to $shareSum bp")
+    }
+  }
+
   test("seasonal baseline covers every hourly cell and bounds its ratios") {
     import org.apache.spark.sql.functions.{col, date_trunc}
     val cells = graft.Tables.t(spark, dir, "events")
