@@ -70,6 +70,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash subdivision: cold buckets untouched, hot buckets split, keys refine") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 assets share band 0 (low 14 bits) with bands 1-3 varying, so the
+    // subdivision bits (next band's low 8) actually differ; 20 assets
+    // share a cold band-0 bucket under the cap
+    val hot = (0L until 40L).map(i =>
+      (i, 0x333L | (i << 14) | (i << 28) | (i << 42)))
+    val cold = (100L until 120L).map(i =>
+      (i, 0x222L | (i << 14) | (i << 28) | (i << 42)))
+    val hashes = (hot ++ cold).toDF("asset_id", "phash")
+    val cap = 32
+    val keyed = Multimodal.phashKeyedBands(hashes, cap)
+      .select("asset_id", "band_idx", "band_sig", "bucket_n", "sub").collect()
+    assert(keyed.filter(r => r.getLong(3) <= cap).forall(_.getLong(4) == 0L),
+      "cold buckets must pass through unsubdivided")
+    val hotCells = keyed.filter(r => r.getLong(3) > cap)
+      .groupBy(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+      .map(_._2.length)
+    assert(hotCells.size > 1, "hot bucket must split into multiple cells")
+    assert(hotCells.forall(_ < 40), "every cell must be smaller than the raw bucket")
+  }
+
   test("phash collapses every brightness twin to hamming 0") {
     val pairs = Multimodal.qPhashNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
