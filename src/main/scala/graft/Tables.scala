@@ -37,8 +37,26 @@ object Tables {
         // carries to a session-TZ micro-precision timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+      } else if (name == "embeddings") {
+        normalizeEmbedding(spark.read.parquet(s"$dir/$name.parquet"))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+
+  /** Normalize `embeddings.embedding` to array<float> — the type every
+    * vector kernel (vec_dot/vec_norm, PQ, IVF) binds to. The driver
+    * regenerates testdata between rounds and pandas/arrow writers have
+    * shipped float64 lists for the same logical column before (the
+    * events-ts drift in round 6 cost 24 queries); the cast is a no-op on
+    * the current files.
+    */
+  def normalizeEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 
   /** Normalize the events `ts` column to TimestampType regardless of how
     * the parquet encoded it: INT64 nanos-as-long (legacy driver testdata),
