@@ -376,6 +376,145 @@ object Similarity {
       |LEFT JOIN hits h ON h.query_id = q.query_id
       |ORDER BY q.query_id""".stripMargin
 
+  /** Multi-probe LSH recall — the standard recall lever when adding hash
+    * tables is too expensive (Lv et al., VLDB '07): probe the query's own
+    * bucket PLUS its 8 single-bit-flip neighbors, on the grounds that a
+    * near neighbor that missed the exact bucket most likely differs in
+    * exactly one hyperplane sign. Reports, per query, the single-probe
+    * and 9-probe candidate counts and recall@10 side by side — the
+    * recall-vs-cost curve's two endpoints, measured on the same harness
+    * as [[qAnnRecall]].
+    *
+    * Scale shape: the probe set is query-side only (9 rows per query, a
+    * broadcast), so the corpus-side cost is the bucket-collision
+    * fraction × 9 — still nothing like a scan; the exact arm, ranking,
+    * and hit join are [[qAnnRecall]] verbatim.
+    */
+  def qMultiprobeRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"),
+        hyperplaneBucket.as("bucket"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val corpus = e.filter(col("vec_id") >= 3)
+    def score(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("vec_id"),
+        round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
+    def top10(scored: DataFrame): DataFrame =
+      scored.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(graft.functions.TopKAggregator.topK(10))
+        .toDF("query_id", "top")
+        .select(col("query_id"), explode(col("top")).as("item"))
+        .select(col("query_id"), col("item._2").as("vec_id"))
+    val exact = top10(score(corpus.crossJoin(broadcast(q)))).persist()
+    // probe frame: the query's bucket plus each single-bit flip (p = 8
+    // keeps the original bucket; p < 8 flips plane p's sign bit)
+    val probes = q.select(col("query_id"), col("qv"), col("qnrm"),
+      explode(expr(
+        "transform(sequence(0, 8), p -> CASE WHEN p = 8 THEN qbucket " +
+          "ELSE CAST(qbucket ^ shiftleft(CAST(1 AS BIGINT), p) AS BIGINT) END)"))
+        .as("probe"))
+    def arm(cand: DataFrame, pfx: String): DataFrame = {
+      val scored = score(cand).distinct()
+      val n = scored.groupBy("query_id").agg(count(lit(1)).as(s"n_cand_$pfx"))
+      val hits = exact
+        .join(top10(scored), Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(s"n_hits_$pfx"))
+      n.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col(s"n_cand_$pfx"),
+          round(coalesce(col(s"n_hits_$pfx"), lit(0L)) / 10.0, 4)
+            .as(s"recall_$pfx"))
+    }
+    val single = arm(corpus.join(broadcast(q), col("bucket") === col("qbucket")), "single")
+    val multi = arm(corpus.join(broadcast(probes), col("bucket") === col("probe")), "multi")
+    q.select("query_id")
+      .join(single, Seq("query_id"), "left")
+      .join(multi, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cand_single"), lit(0L)).as("n_cand_single"),
+        coalesce(col("recall_single"), lit(0.0)).as("recall_single"),
+        coalesce(col("n_cand_multi"), lit(0L)).as("n_cand_multi"),
+        coalesce(col("recall_multi"), lit(0.0)).as("recall_multi"))
+      .orderBy("query_id")
+  }
+
+  val qMultiprobeRecallOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |comp AS (
+      |  SELECT vec_id, p.p AS p,
+      |    sum((e.embedding[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
+      |  FROM embeddings e, range(8) AS p(p), range(64) AS j(j)
+      |  GROUP BY vec_id, p.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM comp GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id, unnest(q.qv)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+      |  FROM pairs GROUP BY query_id, vec_id),
+      |exact10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM scored) WHERE rk <= 10),
+      |probes AS (
+      |  SELECT bq.vec_id AS query_id,
+      |    CASE WHEN p.p = 8 THEN bq.bucket
+      |      ELSE CAST(xor(bq.bucket, CAST(1 AS BIGINT) << CAST(p.p AS INT)) AS BIGINT)
+      |    END AS probe
+      |  FROM buckets bq JOIN q ON q.query_id = bq.vec_id, range(9) AS p(p)),
+      |cand_s AS (
+      |  SELECT s.query_id, s.vec_id, s.cos_sim
+      |  FROM scored s
+      |  JOIN buckets bq ON bq.vec_id = s.query_id
+      |  JOIN buckets bc ON bc.vec_id = s.vec_id AND bc.bucket = bq.bucket),
+      |cand_m AS (
+      |  SELECT DISTINCT s.query_id, s.vec_id, s.cos_sim
+      |  FROM scored s
+      |  JOIN probes pr ON pr.query_id = s.query_id
+      |  JOIN buckets bc ON bc.vec_id = s.vec_id AND bc.bucket = pr.probe),
+      |s10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM cand_s) WHERE rk <= 10),
+      |m10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |    FROM cand_m) WHERE rk <= 10),
+      |ns AS (SELECT query_id, count(*) AS n_cand_single FROM cand_s GROUP BY 1),
+      |nm AS (SELECT query_id, count(*) AS n_cand_multi FROM cand_m GROUP BY 1),
+      |hs AS (
+      |  SELECT e.query_id, count(*) AS n_hits FROM exact10 e
+      |  JOIN s10 a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      |  GROUP BY 1),
+      |hm AS (
+      |  SELECT e.query_id, count(*) AS n_hits FROM exact10 e
+      |  JOIN m10 a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      |  GROUP BY 1)
+      |SELECT q.query_id,
+      |  coalesce(ns.n_cand_single, 0) AS n_cand_single,
+      |  round(coalesce(hs.n_hits, 0) / 10.0, 4) AS recall_single,
+      |  coalesce(nm.n_cand_multi, 0) AS n_cand_multi,
+      |  round(coalesce(hm.n_hits, 0) / 10.0, 4) AS recall_multi
+      |FROM q
+      |LEFT JOIN ns ON ns.query_id = q.query_id
+      |LEFT JOIN hs ON hs.query_id = q.query_id
+      |LEFT JOIN nm ON nm.query_id = q.query_id
+      |LEFT JOIN hm ON hm.query_id = q.query_id
+      |ORDER BY q.query_id""".stripMargin
+
   /** NDCG@10 of the hyperplane-bucket ANN arm against the exact cosine
     * ranking — the graded companion to [[qAnnRecall]]'s set-overlap
     * recall: recall treats every exact top-10 member as equally valuable,
@@ -1400,6 +1539,7 @@ object Similarity {
     QueryDef("q_ann_near_dup", qAnnNearDup, Some(qAnnNearDupOracle)),
     QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
     QueryDef("q_ndcg_eval", qNdcgEval, Some(qNdcgEvalOracle)),
+    QueryDef("q_multiprobe_recall", qMultiprobeRecall, Some(qMultiprobeRecallOracle)),
     QueryDef("q_pq_encode", qPqEncode, Some(qPqEncodeOracle)),
     QueryDef("q_pq_search", qPqSearch, Some(qPqSearchOracle)),
     QueryDef("q_ivfpq_search", (s, d) => qIvfPqSearch(s, d), Some(qIvfPqSearchOracle)),

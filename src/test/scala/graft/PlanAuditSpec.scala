@@ -42,6 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // exactly like q_cosine_topk / q_ann_recall, and q_ndcg_eval's
       // exact arm is the same 3-row broadcast cross
       "q_trunc_recall", "q_ndcg_eval",
+      // q_multiprobe_recall broadcasts the 3-query probe set (9 rows per
+      // query) on both arms — the same shape as q_ann_recall
+      "q_multiprobe_recall",
       // q_join_cardinality crosses its two single-row aggregates (exact
       // count x sketch estimate) — the scalar idiom again;
       // q_hll_intersection's non-equi pair join runs over the ≤|sources|

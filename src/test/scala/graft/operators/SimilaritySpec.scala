@@ -71,6 +71,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe candidates and recall dominate the single-bucket arm") {
+    val rows = Similarity.qMultiprobeRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 3)
+    rows.foreach { case (qid, nS, rS, nM, rM) =>
+      assert(nM >= nS, s"query $qid: probing more buckets cannot shrink candidates")
+      assert(rM >= rS, s"query $qid: multi-probe recall cannot drop below single")
+      assert(rM >= 0.0 && rM <= 1.0 && rS >= 0.0 && rS <= 1.0)
+    }
+    assert(rows.exists { case (_, nS, _, nM, _) => nM > nS },
+      "at least one query must actually gain candidates from probing")
+  }
+
   test("ndcg eval: idcg bounds dcg and ndcg lands in [0,1]") {
     val rows = Similarity.qNdcgEval(spark, dir).collect()
     assert(rows.length == 3, "one row per query vector")
