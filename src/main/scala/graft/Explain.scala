@@ -57,7 +57,7 @@ object Explain {
       "q_er_clusters", "q_pagerank", "q_label_prop", "q_join_cardinality", "q_url_canon",
       "q_mm_phash", "q_hll_intersection", "q_stream_reservoir", "q_seasonal_baseline",
       "q_aqp_sum", "q_pareto_docs", "q_stress_hot_phash", "q_path_transitions",
-      "q_multiprobe_recall")
+      "q_multiprobe_recall", "q_time_travel")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

@@ -405,6 +405,67 @@ object LakeOps {
       |  CAST(rows_before - rows_deleted AS BIGINT) AS rows_after
       |FROM u ORDER BY tbl""".stripMargin
 
+  /** Time-travel read — the MVCC reconstruction every lakehouse "AS OF
+    * version V" query performs: a base snapshot (version 0) plus an
+    * append-only change log (upserts at v1, deletes + inserts at v2),
+    * replayed per key as "latest record with version ≤ V wins, delete
+    * tombstones drop the key". The query materializes all three
+    * versions' row counts and exact cent totals side by side — the audit
+    * a reproducibility review runs ("what did the table say when the
+    * model trained?"). Totals go through DECIMAL(18,2)·100 so both
+    * engines sum exact integers, never floats.
+    *
+    * Scale shape: each AS-OF arm is one per-key max(struct) aggregate
+    * over base ∪ log — map-side combined, keyed shuffle, no window; the
+    * arm count is the (bounded) number of versions audited. A real lake
+    * reads only the files the version manifest lists — the kernel here
+    * is the record-level merge those manifests avoid re-running.
+    */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"),
+        (col("o_orderkey") % 21).as("m"))
+    val log = o.select(col("key"), col("price"), lit(0L).as("version"), lit("upsert").as("op"))
+      .union(o.filter(col("m") === 0).select(col("key"),
+        (col("price") + 100.0).as("price"), lit(1L).as("version"), lit("upsert").as("op")))
+      .union(o.filter(col("m") === 2).select(col("key"), col("price"),
+        lit(2L).as("version"), lit("delete").as("op")))
+      .union(o.filter(col("m") === 3).select((col("key") + 200000000L).as("key"),
+        col("price"), lit(2L).as("version"), lit("upsert").as("op")))
+    Seq(0L, 1L, 2L).map { v =>
+      log.filter(col("version") <= v)
+        .groupBy("key")
+        .agg(max(struct(col("version"), col("op"), col("price"))).as("last"))
+        .filter(col("last.op") === "upsert")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("last.price").cast("decimal(18,2)").multiply(100).cast("long"))
+            .as("total_cents"))
+        .select(lit(v).as("as_of_version"), col("n_rows"), col("total_cents"))
+    }.reduce(_ union _).orderBy("as_of_version")
+  }
+
+  val qTimeTravelOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS price, o_orderkey % 21 AS m
+      |  FROM orders),
+      |log AS (
+      |  SELECT key, price, 0 AS version, 'upsert' AS op FROM o
+      |  UNION ALL SELECT key, price + 100.0, 1, 'upsert' FROM o WHERE m = 0
+      |  UNION ALL SELECT key, price, 2, 'delete' FROM o WHERE m = 2
+      |  UNION ALL SELECT key + 200000000, price, 2, 'upsert' FROM o WHERE m = 3),
+      |snap AS (
+      |  SELECT v.v AS as_of_version, l.key,
+      |    arg_max(l.op, l.version) AS op,
+      |    arg_max(l.price, l.version) AS price
+      |  FROM log l JOIN (VALUES (0), (1), (2)) AS v(v) ON l.version <= v.v
+      |  GROUP BY 1, 2)
+      |SELECT CAST(as_of_version AS BIGINT) AS as_of_version,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM snap WHERE op = 'upsert'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertOracle)),
     QueryDef("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffOracle)),
@@ -414,5 +475,6 @@ object LakeOps {
     QueryDef("q_scd2_intervals", qScd2Intervals, Some(qScd2IntervalsOracle)),
     QueryDef("q_delta_agg", qDeltaAgg, Some(qDeltaAggOracle)),
     QueryDef("q_delete_propagation", qDeletePropagation, Some(qDeletePropagationOracle)),
+    QueryDef("q_time_travel", qTimeTravel, Some(qTimeTravelOracle)),
   )
 }

@@ -133,6 +133,24 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(plan.contains("Union"), s"no provably-new fast path:\n$plan")
   }
 
+  test("time travel replays versions consistently with the change classes") {
+    import org.apache.spark.sql.functions.col
+    val rows = LakeOps.qTimeTravel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    val o = graft.Tables.t(spark, dir, "orders")
+    val n = o.count()
+    val nUpd = o.filter(col("o_orderkey") % 21 === 0).count()
+    val nDel = o.filter(col("o_orderkey") % 21 === 2).count()
+    val nIns = o.filter(col("o_orderkey") % 21 === 3).count()
+    assert(rows(0L)._1 == n, "v0 must be the base snapshot")
+    assert(rows(1L)._1 == n, "v1 only updates — row count unchanged")
+    assert(rows(1L)._2 == rows(0L)._2 + nUpd * 10000L,
+      "v1 total must grow by exactly +100.00 per updated row")
+    assert(rows(2L)._1 == n - nDel + nIns,
+      "v2 row count must reflect deletes and inserts")
+  }
+
   test("delta agg: merged partials equal the one-shot aggregate") {
     val merged = LakeOps.qDeltaAgg(spark, dir).collect().map(_.toSeq).toSeq
     val oneShot = t(spark, dir, "orders")
