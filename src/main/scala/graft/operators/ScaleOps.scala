@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.QueryDef
+import graft.Tables.t
+
+/** Cluster-scale planning and join-shape operators: the techniques that
+  * decide whether a 100 TB job is feasible BEFORE it runs (shard
+  * assignment stability, partition-load forecasting) and the candidate-
+  * generation patterns that replace quadratic work with bounded bucketed
+  * joins (grid neighbor join, runtime bloom-filter join reduction,
+  * random-projection dimensionality reduction).
+  *
+  * Reference scope note: the reference engine (bricolages/bricolage) has
+  * no counterpart for these — they belong to the LLM-pipeline surface this
+  * library adds on top of the reference's job/SQL machinery.
+  */
+object ScaleOps {
+
+  // Shared deterministic 32-bit mixers (Knuth multiplicative constants):
+  // integer-exact in both Spark and DuckDB, so oracles replay them bit-for-bit.
+  private val MixA = 2654435761L
+  private val MixB = 2246822519L
+  private val M32 = 4294967296L
+
+  // ---------------------------------------------------------------------
+  // Grid neighbor join (epsilon self-join in 2D)
+  // ---------------------------------------------------------------------
+
+  private val GridR = 300L // cell edge == epsilon, integer units in [0, 100000)
+
+  /** All point pairs within euclidean distance `GridR`, banded by
+    * distance — the 2D epsilon-self-join every spatial / geo pipeline
+    * needs (co-location mining, near-duplicate GPS points, POI joins).
+    *
+    * Scale shape: each point lands in ONE home grid cell of edge == eps;
+    * the left side expands to its 3x3 cell neighborhood, the right side
+    * keeps its home cell, and the join is a plain key-equality shuffle on
+    * (cell_x, cell_y) — never a cross join. Any true pair is found exactly
+    * once (the right row's home cell is unique and `id_a < id_b` kills the
+    * mirrored orientation); candidate count is bounded by 9 x mean cell
+    * occupancy, which tracks point DENSITY, not corpus size, so the plan
+    * survives any scale-up that keeps density fixed (and a hot cell is
+    * exactly the q_stress_hot_band subdivision case if it doesn't).
+    * Coordinates are synthesized deterministically from event ids so the
+    * DuckDB oracle (brute-force over the same points) can replay them.
+    */
+  def qGridJoin(s: SparkSession, dir: String): DataFrame = {
+    val r2 = GridR * GridR
+    val p = t(s, dir, "events")
+      .filter(col("event_id") % 2 === 0)
+      // multiply + middle-square per axis: a bare multiplicative hash laid
+      // the points on a coarse lattice (three-distance theorem) with NO
+      // pairs closer than eps at any SF; the squared-middle-bits spread is
+      // measured Poisson-like (pair counts track the density prediction)
+      .select(col("event_id").as("id"),
+        expr(s"(event_id * $MixA % $M32 % 67108864)" +
+          s" * (event_id * $MixA % $M32 % 67108864) DIV 1024 % 100000").as("xi"),
+        expr(s"(event_id * $MixB % $M32 % 67108864)" +
+          s" * (event_id * $MixB % $M32 % 67108864) DIV 1024 % 100000").as("yi"))
+      .withColumn("cx", expr(s"xi DIV $GridR"))
+      .withColumn("cy", expr(s"yi DIV $GridR"))
+    val lhs = p
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("id").as("id_a"), col("xi").as("xa"), col("yi").as("ya"),
+        (col("cx") + col("dx")).as("kx"), (col("cy") + col("dy")).as("ky"))
+    val rhs = p.select(col("id").as("id_b"), col("xi").as("xb"),
+      col("yi").as("yb"), col("cx").as("kx"), col("cy").as("ky"))
+    lhs.join(rhs, Seq("kx", "ky"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2", expr("(xa-xb)*(xa-xb) + (ya-yb)*(ya-yb)"))
+      .filter(col("d2") < r2)
+      .groupBy(expr(s"d2 * 4 DIV $r2").as("band"))
+      .agg(count(lit(1)).as("n_pairs"), sum("d2").cast("long").as("sum_d2"),
+        min("d2").as("min_d2"), max("d2").as("max_d2"))
+      .orderBy("band")
+  }
+
+  val qGridJoinOracle: String =
+    s"""WITH p AS (
+      |  SELECT event_id AS id,
+      |    (event_id * $MixA % $M32 % 67108864)
+      |      * (event_id * $MixA % $M32 % 67108864) // 1024 % 100000 AS xi,
+      |    (event_id * $MixB % $M32 % 67108864)
+      |      * (event_id * $MixB % $M32 % 67108864) // 1024 % 100000 AS yi
+      |  FROM events WHERE event_id % 2 = 0),
+      |pairs AS (
+      |  SELECT (a.xi - b.xi) * (a.xi - b.xi)
+      |       + (a.yi - b.yi) * (a.yi - b.yi) AS d2
+      |  FROM p a JOIN p b ON a.id < b.id
+      |  WHERE (a.xi - b.xi) * (a.xi - b.xi)
+      |      + (a.yi - b.yi) * (a.yi - b.yi) < ${GridR * GridR})
+      |SELECT d2 * 4 // ${GridR * GridR} AS band, count(*) AS n_pairs,
+      |  CAST(sum(d2) AS BIGINT) AS sum_d2,
+      |  min(d2) AS min_d2, max(d2) AS max_d2
+      |FROM pairs GROUP BY 1 ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Rendezvous (HRW) shard assignment stability
+  // ---------------------------------------------------------------------
+
+  /** Shard-assignment stability under a shard-count change (8 -> 9), the
+    * resharding decision every growing corpus faces: rendezvous (highest-
+    * random-weight) hashing moves only ~1/9 of documents, while mod-N
+    * reassigns ~8/9 of them — i.e. HRW re-copies one shard's worth of a
+    * 100 TB corpus where mod-N re-copies almost all of it.
+    *
+    * Shard choice is argmax over per-(doc, shard) weights; the argmax is
+    * encoded as max(weight * 16 + shard) so tie-breaks are deterministic
+    * arithmetic in both engines (no reliance on max_by ordering). The
+    * whole query is one explode(9) + two hash aggregates — embarrassingly
+    * parallel at any scale.
+    */
+  def qConsistentShards(s: SparkSession, dir: String): DataFrame = {
+    val assign = t(s, dir, "documents")
+      .select("doc_id")
+      .withColumn("sh", explode(sequence(lit(0), lit(8))))
+      .withColumn("hw", expr(s"(doc_id * 31 + sh) * $MixA % $M32 * 16 + sh"))
+      .groupBy("doc_id")
+      .agg((max(when(col("sh") < 8, col("hw"))) % 16).cast("long").as("hrw8"),
+        (max(col("hw")) % 16).cast("long").as("hrw9"))
+    assign.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("hrw8") =!= col("hrw9"), 1L).otherwise(0L)).as("hrw_moved"),
+      sum(when(col("doc_id") % 8 =!= col("doc_id") % 9, 1L).otherwise(0L))
+        .as("mod_moved"),
+      countDistinct("hrw9").as("n_shards_used"))
+  }
+
+  val qConsistentShardsOracle: String =
+    s"""WITH e AS (
+      |  SELECT doc_id, s.sh,
+      |    (doc_id * 31 + s.sh) * $MixA % $M32 * 16 + s.sh AS hw
+      |  FROM documents, (SELECT unnest(generate_series(0, 8)) AS sh) s),
+      |a AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN sh < 8 THEN hw END) % 16 AS hrw8,
+      |    max(hw) % 16 AS hrw9
+      |  FROM e GROUP BY doc_id)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+      |  CAST(sum(CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+      |  count(DISTINCT hrw9) AS n_shards_used
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Partition-load forecast (skew planner)
+  // ---------------------------------------------------------------------
+
+  /** Forecast of per-partition load under hash partitioning into 32
+    * partitions — the pre-flight check that catches a skewed shuffle
+    * BEFORE the 1000-executor job runs it: per-key counts (one hash
+    * aggregate over the fact table) are re-keyed by the partitioner's own
+    * hash and summed, yielding each partition's row load, key count, and
+    * heaviest single key. A plan whose max(n_events) >> avg says "salt or
+    * AQE-skew-split this key" while the job is still on the whiteboard.
+    * Two hash aggregates, no shuffle wider than the key-count frame.
+    */
+  def qSkewPlanner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      // high bits: an odd multiplier is bijective mod 32, so `% 32` of the
+      // product would just permute user_id % 32 instead of hashing it
+      .withColumn("p", expr(s"user_id * $MixA % $M32 DIV 65536 % 32"))
+      .groupBy("p")
+      .agg(sum("n").cast("long").as("n_events"),
+        count(lit(1)).as("n_keys"), max("n").as("max_key"))
+      .orderBy("p")
+
+  val qSkewPlannerOracle: String =
+    s"""WITH k AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+      |SELECT user_id * $MixA % $M32 // 65536 % 32 AS p,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  count(*) AS n_keys, max(n) AS max_key
+      |FROM k GROUP BY 1 ORDER BY p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Runtime bloom-filter join reduction
+  // ---------------------------------------------------------------------
+
+  /** Big-to-big join with Spark's runtime bloom-filter reduction — the
+    * optimizer feature that carries selective fact-to-fact joins at
+    * 100 TB: a bloom filter built from the filtered orders side is pushed
+    * into the lineitem SCAN (`bloom_filter_might_contain`), so ~80% of
+    * the fact table is dropped before the join exchange instead of after
+    * it. Broadcast is disabled within the query scope because the bloom
+    * path exists precisely for joins too big to broadcast (at real scale
+    * neither side fits); the query is materialized eagerly (a 2-row
+    * aggregate) so the conf scope closes with the call — later queries
+    * see untouched session confs. `ScaleOpsSpec` asserts the filter is
+    * present in the executed plan.
+    */
+  def qRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val rows = runtimeFilterAgg(s, dir).collect()
+      val schema = StructType(Seq(
+        StructField("l_linestatus", org.apache.spark.sql.types.StringType),
+        StructField("n_items", LongType),
+        StructField("revenue", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The lazy join+aggregate under whatever confs the caller set —
+    * shared by [[qRuntimeFilter]] (bloom confs scoped around an eager
+    * collect) and `ScaleOpsSpec` (which executes it with the confs held
+    * open to assert `bloom_filter_might_contain` in the executed plan).
+    */
+  private[operators] def runtimeFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_linestatus")
+  }
+
+  val qRuntimeFilterOracle: String =
+    """SELECT l_linestatus, count(*) AS n_items,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Johnson-Lindenstrauss random projection
+  // ---------------------------------------------------------------------
+
+  private val JlK = 16 // target dimensionality (from 64)
+
+  /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction
+    * with a measured distance-distortion audit: embeddings are projected
+    * 64 -> 16 dims through a deterministic +-1 matrix (sign = hash parity,
+    * so the oracle replays it; scaled 1/sqrt(k)), then for 3 probe vectors
+    * the ratio of projected to original squared distance is reported
+    * against the full corpus. JL says the ratios concentrate near 1 —
+    * measured here, not assumed, in the q_minhash_recall/q_ann_recall
+    * tradition of auditing every approximation.
+    *
+    * Scale shape: the projection is a per-row map (explode by 16 target
+    * dims -> hash aggregate), 4x smaller vectors for every downstream
+    * kernel (4x less shuffle in ANN candidate generation); the audit side
+    * broadcasts 3 probe rows, never shuffling the corpus.
+    */
+  def qJlProjection(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // (vec_id, j) -> projected coordinate: sum_i emb[i] * sign(i, j) / 4
+    val proj = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("j", explode(sequence(lit(0), lit(JlK - 1))))
+      // sign bit via multiply + middle-square: an odd multiplier alone is
+      // bijective on low bits (the low bit would be the (i+j) parity — a
+      // rank-1 checkerboard) and even its high bits carry lattice
+      // correlations across columns; squaring the spread value and taking
+      // a middle bit measures at random-matrix quality (max column corr
+      // 0.35 on 64 samples, same as seeded RNG matrices)
+      .withColumn("sign",
+        expr(s"1 - 2 * (((i * 16 + j + 1) * $MixA % $M32 % 67108864)" +
+          s" * ((i * 16 + j + 1) * $MixA % $M32 % 67108864) DIV 33554432 % 2)"))
+      .groupBy("vec_id", "j")
+      .agg((sum(col("x").cast("double") * col("sign")) / math.sqrt(JlK))
+        .as("pc"))
+    val qp = proj.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("j"), col("pc").as("qc"))
+    val dProj = proj.filter(col("vec_id") >= 3)
+      .join(broadcast(qp), Seq("j"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum((col("pc") - col("qc")) * (col("pc") - col("qc"))).as("d2p"))
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dOrig = e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        expr("""aggregate(zip_with(qv, embedding,
+          (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                  * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+          0D, (acc, v) -> acc + v)""").as("d2o"))
+    dProj.join(dOrig, Seq("query_id", "vec_id"))
+      .withColumn("ratio", col("d2p") / col("d2o"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("ratio"), 4).as("avg_ratio"),
+        round(min("ratio"), 4).as("min_ratio"),
+        round(max("ratio"), 4).as("max_ratio"))
+      .orderBy("query_id")
+  }
+
+  val qJlProjectionOracle: String =
+    s"""WITH ex AS (
+      |  SELECT vec_id, i - 1 AS i, x::DOUBLE AS x
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |proj AS (
+      |  SELECT vec_id, j.j,
+      |    sum(x * (1 - 2 * (((i * 16 + j.j + 1) * $MixA % $M32 % 67108864)
+      |      * ((i * 16 + j.j + 1) * $MixA % $M32 % 67108864) // 33554432 % 2)))
+      |      / sqrt($JlK) AS pc
+      |  FROM ex, (SELECT unnest(generate_series(0, ${JlK - 1})) AS j) j
+      |  GROUP BY vec_id, j.j),
+      |dp AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    sum((c.pc - q.pc) * (c.pc - q.pc)) AS d2p
+      |  FROM proj c JOIN proj q ON c.j = q.j
+      |  WHERE q.vec_id < 3 AND c.vec_id >= 3
+      |  GROUP BY q.vec_id, c.vec_id),
+      |exq AS (SELECT * FROM ex WHERE vec_id < 3),
+      |exc AS (SELECT * FROM ex WHERE vec_id >= 3),
+      |dorig AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    sum((c.x - q.x) * (c.x - q.x)) AS d2o
+      |  FROM exc c JOIN exq q ON c.i = q.i
+      |  GROUP BY q.vec_id, c.vec_id)
+      |SELECT dp.query_id AS query_id, count(*) AS n_pairs,
+      |  round(avg(d2p / d2o), 4) AS avg_ratio,
+      |  round(min(d2p / d2o), 4) AS min_ratio,
+      |  round(max(d2p / d2o), 4) AS max_ratio
+      |FROM dp JOIN dorig
+      |  ON dp.query_id = dorig.query_id AND dp.vec_id = dorig.vec_id
+      |GROUP BY dp.query_id ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_grid_join", qGridJoin, Some(qGridJoinOracle)),
+    QueryDef("q_consistent_shards", qConsistentShards, Some(qConsistentShardsOracle)),
+    QueryDef("q_skew_planner", qSkewPlanner, Some(qSkewPlannerOracle)),
+    QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterOracle)),
+    QueryDef("q_jl_projection", qJlProjection, Some(qJlProjectionOracle)),
+  )
+}

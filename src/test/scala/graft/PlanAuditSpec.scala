@@ -49,7 +49,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // count x sketch estimate) — the scalar idiom again;
       // q_hll_intersection's non-equi pair join runs over the ≤|sources|
       // sketch aggregate (bounded by construction, like the centroids)
-      "q_join_cardinality", "q_hll_intersection")
+      "q_join_cardinality", "q_hll_intersection",
+      // q_jl_projection broadcasts the 3-probe query set on the original-
+      // distance arm — the q_cosine_topk shape verbatim
+      "q_jl_projection")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan
