@@ -43,6 +43,13 @@ object Bench {
       .sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
+      // catalog.clearCache() misses RDD-level persistence: the iterative
+      // operators (pointer-jump CC, PageRank, label-prop) localCheckpoint
+      // each round, and those blocks sit in the BlockManager until the
+      // async ContextCleaner gets to them — ~170 queries of that debt
+      // inflated the dedup family 3-5x in-suite vs isolated (observed
+      // 16.7s vs 3.4s for q_dedup_keep_best). Release them synchronously.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       // settle the heap before the timed window: 150+ queries of byte[]
       // payloads and cached signature tables leave GC debt that
       // otherwise lands inside whichever sub-second query runs next
@@ -57,6 +64,7 @@ object Bench {
       // noise, never data work.
       val sec = (1 to 2).map { _ =>
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

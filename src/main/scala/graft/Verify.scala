@@ -29,8 +29,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query persisted tables (signature/hash caches whose
-      // lifetime belongs to the caller)
+      // lifetime belongs to the caller) AND RDD-level blocks — the
+      // iterative operators localCheckpoint per round, and those blocks
+      // are invisible to catalog.clearCache()
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

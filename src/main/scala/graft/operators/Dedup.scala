@@ -771,6 +771,47 @@ object Dedup {
       |FROM batch b LEFT JOIN dup d ON b.source = d.source
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  /** Incremental NEAR-duplicate maintenance — [[qIncrementalDedup]]'s
+    * twin for the LSH index: a new batch (doc_id % 10 == 7, ~10%) arrives
+    * and only pairs touching the batch are generated, by banding the
+    * BATCH signatures against the FULL band index (batch-vs-index plus
+    * batch-vs-batch; never index-vs-index). Verified pairs use the same
+    * exact-Jaccard gate as [[qMinhashLsh]], so the output is exactly the
+    * subset of the full near-dup pair set with ≥ 1 endpoint in the batch.
+    *
+    * Scale shape: THE property that makes LSH dedup operable at 100 TB —
+    * per-batch cost is Σ_bucket |batch ∩ bucket|·|bucket|, proportional
+    * to BATCH size at fixed index density, not corpus². The persisted
+    * band table is the long-lived index artifact; each ingest banding
+    * only its delta against it. Pair normalization (least/greatest +
+    * distinct) collapses the two orientations a batch-batch pair can
+    * arrive in.
+    */
+  def qIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOf(t(s, dir, "documents")).persist()
+    val bands = bandsOf(sigOf(grams)).persist()
+    val delta = bands.filter(col("doc_id") % 10 === 7)
+    val cand = bands.as("a").join(delta.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(cand, grams, 0.8).orderBy("doc_a", "doc_b")
+  }
+
+  val qIncrementalLshOracle: String =
+    s"""WITH ${lshCtesDuck()},
+      |cand AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |                  greatest(a.doc_id, b.doc_id) AS doc_b
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+      |   AND a.doc_id <> b.doc_id AND b.doc_id % 10 = 7)
+      |${lshVerifySelectDuck("0.8")}
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Measured MinHash-LSH quality — recall AND candidate precision of the
     * banded index against exact ground truth, on a deterministic PROBE
     * SAMPLE (doc_id % 10 == 0): for each probe doc, its true near-dups
@@ -1130,6 +1171,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
+    QueryDef("q_incremental_lsh", qIncrementalLsh, Some(qIncrementalLshOracle)),
     QueryDef("q_allpairs_jaccard", qAllpairsJaccard, Some(qAllpairsJaccardOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
     QueryDef("q_boilerplate_strip", qBoilerplateStrip, Some(qBoilerplateStripOracle)),

@@ -128,6 +128,114 @@ object StressOps {
       |FROM fact f JOIN dim d ON f.k = d.k
       |GROUP BY f.k ORDER BY f.k""".stripMargin
 
+  /** [[qStressSaltedJoin]]'s automatic twin: the SAME 50%-hot-key join,
+    * but skew handling is delegated to AQE's skew-join split instead of
+    * manual salting — the runtime re-plan that makes unforeseen skew
+    * survivable at 100 TB (salting is for skew you know about; AQE is for
+    * skew you don't). Thresholds are scoped down so the optimization
+    * triggers at test SF (at production scale the defaults fire on real
+    * partition sizes).
+    * Conf scope is closed by eager materialization (the 50-row
+    * aggregate), the [[ScaleOps.qRuntimeFilter]] idiom; `StressOpsSpec`
+    * asserts `skew=true` lands in the executed join.
+    */
+  def qStressAqeSkew(s: SparkSession, dir: String): DataFrame = {
+    val confs = aqeSkewConfs(s, dir)
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val rows = aqeSkewAgg(s, dir).collect()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("weighted",
+          org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Skew-split thresholds DERIVED FROM INPUT SIZE (one FS metadata call,
+    * never a data scan): the hot partition carries ~50% of the fact rows,
+    * so a threshold of input/32 sits well under it at every SF while the
+    * advisory size splits it into a handful of tasks instead of hundreds
+    * (a fixed byte constant either misses the split at toy SF or
+    * shatters the bench SF into confetti). Coalescing is disabled in
+    * scope — it otherwise merges the small partitions BEFORE skew
+    * detection sizes the median against the hot one.
+    */
+  private[operators] def aqeSkewConfs(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val len = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        math.max(512L, len / 64).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        math.max(256L, len / 128).toString,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+  }
+
+  /** The lazy skewed join+aggregate — shared by [[qStressAqeSkew]] and
+    * the spec (which holds the confs open to inspect the executed plan).
+    */
+  private[operators] def aqeSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    // A skewed reduce partition can only be split on MAP-output block
+    // boundaries, and the toy-SF events file is ONE parquet row group —
+    // one non-empty map block, unsplittable no matter how skewed
+    // (observed: "0 skewed partitions" with the hot partition at 6x the
+    // threshold). The even pre-shuffle on `measure` models the map-side
+    // granularity a real multi-file 100 TB scan has for free: the join's
+    // map stage becomes 8 tasks, so the hot reduce partition arrives as 8
+    // blocks AQE can split between. The measure itself is a spread 32-bit
+    // hash, not a cyclic `event_id % k` — the detector sizes COMPRESSED
+    // map blocks, and a cyclic column lz4-compresses below any sane skew
+    // threshold at toy SF.
+    val fact = t(s, dir, "events").select(
+      expr("CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END").as("k"),
+      expr("event_id * 2654435761 % 4294967296").as("measure"))
+      .repartition(8, col("measure"))
+    // localCheckpoint truncates the dim's lineage: OptimizeSkewedJoin only
+    // matches an SMJ whose children are Sort-over-shuffle-stage, and the
+    // distinct's final HashAggregate between shuffle and Sort would
+    // otherwise disqualify the whole join from skew handling. The
+    // checkpoint is a ≤50-row frame (the dim), released by the callers'
+    // RDD-unpersist discipline.
+    val dim = fact.select("k").distinct().withColumn("attr", col("k") + 1L)
+      .localCheckpoint()
+    fact.join(dim.hint("merge"), Seq("k"))
+      // the explicit exchange decouples the aggregate from the join
+      // stage: fused directly, the aggregate's required hash(k)
+      // distribution pins the join output and OptimizeSkewedJoin backs
+      // off (a skew split breaks co-partitioning). With the boundary in
+      // place the split feeds a shuffle that was going to run anyway —
+      // the standard price of AQE skew handling under a keyed consumer.
+      .repartition(16, col("k"), col("measure"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("measure") * col("attr")).as("weighted"))
+      .orderBy("k")
+  }
+
+  val qStressAqeSkewOracle: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END AS k,
+      |         event_id * 2654435761 % 4294967296 AS measure
+      |  FROM events),
+      |dim AS (SELECT DISTINCT k, k + 1 AS attr FROM fact)
+      |SELECT f.k, count(*) AS n_events,
+      |  CAST(sum(f.measure * d.attr) AS BIGINT) AS weighted
+      |FROM fact f JOIN dim d ON f.k = d.k
+      |GROUP BY f.k ORDER BY f.k""".stripMargin
+
   /** Hot BAND-BUCKET stress for the simhash LSH family: every fourth
     * document's low 16 signature bits are forced to zero, so one band-0
     * bucket holds 25% of the corpus — the adversarial version of what
@@ -228,6 +336,7 @@ object StressOps {
     QueryDef("q_stress_hot_near_dup", qStressHotNearDup, Some(qStressHotNearDupOracle)),
     QueryDef("q_stress_contam_skew", qStressContamSkew, Some(qStressContamSkewOracle)),
     QueryDef("q_stress_salted_join", qStressSaltedJoin, Some(qStressSaltedJoinOracle)),
+    QueryDef("q_stress_aqe_skew", qStressAqeSkew, Some(qStressAqeSkewOracle)),
     QueryDef("q_stress_hot_band", qStressHotBand, Some(qStressHotBandOracle)),
     QueryDef("q_stress_hot_phash", qStressHotPhash, Some(qStressHotPhashOracle)),
   )

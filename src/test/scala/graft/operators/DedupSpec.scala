@@ -236,6 +236,16 @@ class DedupSpec extends AnyFunSuite {
       "bins >= 0.8 must sum to the q_minhash_lsh pair count")
   }
 
+  test("incremental LSH equals the full pair set restricted to batch endpoints") {
+    val full = Dedup.qMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = full.filter(p => p._1 % 10 == 7 || p._2 % 10 == 7)
+    val inc = Dedup.qIncrementalLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc == expected,
+      s"incremental pairs diverge: got ${inc.size}, want ${expected.size}")
+  }
+
   test("minhash recall measurement is internally consistent") {
     val spark = graft.SparkTestBase.spark
     val r = Dedup.qMinhashRecall(spark, "/root/testdata/sf0.001").head()

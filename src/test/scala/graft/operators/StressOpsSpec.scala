@@ -71,4 +71,28 @@ class StressOpsSpec extends AnyFunSuite {
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }
   }
+
+  test("q_stress_aqe_skew gets skew=true on the real hot-key join") {
+    val s = spark
+    // sf0.01: at sf0.001 the whole fact shuffle is a few KB and the skew
+    // detector has nothing meaningful to size against
+    val skewDir = "/root/testdata/sf0.01"
+    val tuned = StressOps.aqeSkewConfs(s, skewDir).toMap
+    val saved = tuned.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => s.conf.set(k, v) }
+      val df = StressOps.aqeSkewAgg(s, skewDir)
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join:\n$plan")
+      // the public query (confs scoped internally) returns the same rows
+      // and leaves the session confs untouched
+      val pub = StressOps.qStressAqeSkew(s, skewDir).collect()
+      assert(pub.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+      tuned.foreach { case (k, v) => assert(s.conf.get(k) == v) }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 }
