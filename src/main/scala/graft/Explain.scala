@@ -57,11 +57,31 @@ object Explain {
       "q_er_clusters", "q_pagerank", "q_label_prop", "q_join_cardinality", "q_url_canon",
       "q_mm_phash", "q_hll_intersection", "q_stream_reservoir", "q_seasonal_baseline",
       "q_aqp_sum", "q_pareto_docs", "q_stress_hot_phash", "q_path_transitions",
-      "q_multiprobe_recall", "q_time_travel")
+      "q_multiprobe_recall", "q_time_travel",
+      "q_grid_join", "q_consistent_shards", "q_skew_planner",
+      "q_jl_projection", "q_incremental_lsh")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block
     val notes = Map(
+      "q_grid_join" -> ("The 9x neighbor-cell explode rides on the LEFT " +
+        "side only; the join is a plain (kx, ky) key-equality shuffle. " +
+        "A broadcast visible at toy SF is the optimizer's size choice — " +
+        "at corpus scale both sides shuffle and per-cell candidate work " +
+        "is bounded by point density, with the hot-bucket subdivision " +
+        "discipline available for dense cells."),
+      "q_jl_projection" -> ("The projection is explode(16) + one hash " +
+        "aggregate per (vec, j) — a narrow 4x-smaller replacement table; " +
+        "the distortion AUDIT broadcasts 3 probe rows on both arms " +
+        "(BNLJ by design, q_cosine_topk's shape). Projection cost is " +
+        "linear in the corpus; audit cost rides on the probe budget."),
+      "q_incremental_lsh" -> ("The band self-join is batch-vs-index: the " +
+        "delta filter sits on the RIGHT side before the join, so " +
+        "per-ingest cost is proportional to batch size at fixed bucket " +
+        "density — never index-vs-index."),
+      "q_skew_planner" -> ("Two hash aggregates; the second runs over " +
+        "the per-key count frame (|keys| rows), so the forecast costs " +
+        "one pass over the fact table and shuffles only key counts."),
       "q_containment" -> ("All joins are UNHINTED: the `BroadcastHashJoin`s " +
         "visible at this toy SF are the optimizer's size-based choice (no " +
         "`broadcast()` hint in the code) and degrade to shuffle joins when " +
