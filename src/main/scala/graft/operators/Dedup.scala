@@ -534,6 +534,80 @@ object Dedup {
       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Agreement audit between the two sub-quadratic near-dup detectors —
+    * the "which dedup do I trust" measurement a pipeline makes before
+    * picking its production pass: the MinHash-LSH pair set (exact-Jaccard
+    * verified ≥ 0.8) and the simhash pair set (banded candidates, Hamming
+    * ≤ 8) over the same corpus, full-outer-joined on the pair key. The
+    * output is the confusion surface: pairs both detectors flag, pairs
+    * only one flags, and the Jaccard of the two pair SETS. The two
+    * families err differently (shingle-set resemblance vs bit-vote
+    * distance), so `set_jaccard` is the honest agreement number — near 1
+    * means either pass suffices; low means union them (or tighten
+    * thresholds) before deleting data.
+    *
+    * Scale shape: strictly the union of the two detectors' own plans
+    * (both duplicate-surface-sized band joins + verifies) plus one
+    * pair-keyed full outer join over the DETECTED pair sets — bounded by
+    * duplicate density, never corpus².
+    */
+  def qDedupEnsemble(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val grams = gramsOf(t(s, dir, "documents")).persist()
+    val bands = bandsOf(sigOf(grams)).persist()
+    val mhCand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val mh = verifyPairs(mhCand, grams, 0.8)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("mh"))
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash48(text)").as("sig"))
+      .persist()
+    val sh = simhashBandPairs(sigs)
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 8)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("sh"))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("mh"), lit(0L))).as("n_minhash"),
+        sum(coalesce(col("sh"), lit(0L))).as("n_simhash"),
+        sum(when(col("mh").isNotNull && col("sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        round(
+          sum(when(col("mh").isNotNull && col("sh").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("set_jaccard"))
+  }
+
+  val qDedupEnsembleOracle: String =
+    s"""WITH mh AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    WITH ${lshCtesDuck()},
+      |    cand AS (
+      |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM bands2 a JOIN bands2 b
+      |        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+      |        AND a.doc_id < b.doc_id)
+      |    ${lshVerifySelectDuck("0.8")}) q1),
+      |sh AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    WITH $simhash48SigsDuck,
+      |    sigs AS (SELECT doc_id, sig FROM base_sigs),
+      |    $simhashCandDuck
+      |    SELECT doc_a, doc_b FROM cand
+      |    WHERE bit_count(xor(sig_a, sig_b)) <= 8) q2),
+      |j AS (
+      |  SELECT coalesce(mh.doc_a, sh.doc_a) AS doc_a,
+      |    mh.doc_a IS NOT NULL AS in_mh, sh.doc_a IS NOT NULL AS in_sh
+      |  FROM mh FULL OUTER JOIN sh
+      |    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b)
+      |SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+      |  CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+      |  CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |  round(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS set_jaccard
+      |FROM j""".stripMargin
+
   /** Line-level exact dedup (the RefinedWeb/CCNet pass that runs BELOW
     * document granularity): documents split into non-overlapping 10-word
     * "lines"; a line occurrence is removed when the same line appears in
@@ -1172,6 +1246,7 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_dedup", qIncrementalDedup, Some(qIncrementalDedupOracle)),
     QueryDef("q_incremental_lsh", qIncrementalLsh, Some(qIncrementalLshOracle)),
+    QueryDef("q_dedup_ensemble", qDedupEnsemble, Some(qDedupEnsembleOracle)),
     QueryDef("q_allpairs_jaccard", qAllpairsJaccard, Some(qAllpairsJaccardOracle)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupOracle)),
     QueryDef("q_boilerplate_strip", qBoilerplateStrip, Some(qBoilerplateStripOracle)),

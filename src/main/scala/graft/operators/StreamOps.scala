@@ -356,6 +356,84 @@ object StreamOps {
   // identical contract to the batch sampler — stream == batch == oracle
   val qStreamReservoirOracle: String = CorpusOps.qReservoirSampleOracle
 
+  /** Oracle-gated CUSTOM-STATE sessionization: the
+    * [[graft.streaming.StructuredStreams.sessionize]]
+    * `flatMapGroupsWithState` kernel (gap-based sessions, event-time
+    * timeouts) drained over the events table and hash-checked against a
+    * DuckDB twin. Emission semantics are the streaming contract, priced
+    * into the oracle rather than papered over: a session is emitted when
+    * it CLOSES — by a later same-user event beyond the gap (in-batch), or
+    * by the watermark passing `last + gap` (timeout in the post-drain
+    * no-data batch). With a 0s watermark delay that is exactly "sessions
+    * with end + gap < max event time"; each user's final session inside
+    * the gap of end-of-input stays open in the state store, as it should
+    * in a query that never ends. The per-user session-count/duration
+    * aggregate runs on the emitted (bounded) session stream.
+    *
+    * Scale shape: state per user is ONE {start, last, n} triple, dropped
+    * at timeout — bounded by active users inside the gap horizon, not by
+    * history; this and [[qStreamTokenBudget]] are the two custom-state
+    * operators the native `session_window`/window aggregates can't
+    * express (arbitrary fold + explicit timeout policy).
+    */
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val ev = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeEventsTs)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.StructuredStreams.Event]
+    val sessions = graft.streaming.StructuredStreams
+      .sessionize(ev, gapMs = 30L * 60 * 1000)
+    val sink = "stream_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = sessions.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        sum(col("end_ms") - col("start_ms")).as("total_dur_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Sessions via gap-walk (strict `> gap` starts a new session, matching
+    * the fold), emitted only when closed before the final watermark.
+    */
+  val qStreamSessionsOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN prev_ts IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g),
+      |per AS (
+      |  SELECT user_id, sess, count(*) AS n,
+      |    min(ts) AS t0, max(ts) AS t1
+      |  FROM s GROUP BY user_id, sess),
+      |closed AS (
+      |  SELECT * FROM per
+      |  WHERE epoch_ms(t1) + 1800000 < (SELECT epoch_ms(max(ts)) FROM events))
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  max(n) AS max_session_events,
+      |  CAST(sum(epoch_ms(t1) - epoch_ms(t0)) AS BIGINT) AS total_dur_ms
+      |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
     QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
@@ -364,5 +442,6 @@ object StreamOps {
     QueryDef("q_stream_token_budget", qStreamTokenBudget,
       Some(qStreamTokenBudgetOracle)),
     QueryDef("q_stream_reservoir", qStreamReservoir, Some(qStreamReservoirOracle)),
+    QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsOracle)),
   )
 }

@@ -225,6 +225,41 @@ object StressOps {
       .orderBy("k")
   }
 
+  /** Two-phase aggregation under the same 50% hot key — the groupBy-side
+    * skew defense (AQE splits skewed JOIN partitions, not skewed
+    * aggregates; Spark's own partial aggregation already spreads
+    * map-side, but a final reducer still receives every partial for the
+    * hot key — at extreme cardinality-per-key the salted first phase
+    * bounds each reducer to 1/salt of the hot key's rows). Algebraic
+    * aggregates only (count/sum/min/max decompose exactly), through
+    * [[SkewUtils.twoPhaseAgg]]; salting is plan-only, so the oracle is
+    * the plain per-key aggregate.
+    */
+  def qStressTwophaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "events").select(
+      expr("CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END").as("k"),
+      expr("event_id * 2654435761 % 4294967296").as("measure"))
+    SkewUtils.twoPhaseAgg(fact, "k", Salts,
+      partials = Map(
+        "n_part" -> count(lit(1)), "sum_part" -> sum("measure"),
+        "min_part" -> min("measure"), "max_part" -> max("measure")),
+      finals = Map(
+        "n_events" -> sum("n_part").cast("long"),
+        "sum_measure" -> sum("sum_part").cast("long"),
+        "min_measure" -> min("min_part"),
+        "max_measure" -> max("max_part")))
+      .select("k", "n_events", "sum_measure", "min_measure", "max_measure")
+      .orderBy("k")
+  }
+
+  val qStressTwophaseAggOracle: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END AS k,
+      |  count(*) AS n_events,
+      |  CAST(sum(event_id * 2654435761 % 4294967296) AS BIGINT) AS sum_measure,
+      |  min(event_id * 2654435761 % 4294967296) AS min_measure,
+      |  max(event_id * 2654435761 % 4294967296) AS max_measure
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   val qStressAqeSkewOracle: String =
     """WITH fact AS (
       |  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id % 50 END AS k,
@@ -337,6 +372,7 @@ object StressOps {
     QueryDef("q_stress_contam_skew", qStressContamSkew, Some(qStressContamSkewOracle)),
     QueryDef("q_stress_salted_join", qStressSaltedJoin, Some(qStressSaltedJoinOracle)),
     QueryDef("q_stress_aqe_skew", qStressAqeSkew, Some(qStressAqeSkewOracle)),
+    QueryDef("q_stress_twophase_agg", qStressTwophaseAgg, Some(qStressTwophaseAggOracle)),
     QueryDef("q_stress_hot_band", qStressHotBand, Some(qStressHotBandOracle)),
     QueryDef("q_stress_hot_phash", qStressHotPhash, Some(qStressHotPhashOracle)),
   )
