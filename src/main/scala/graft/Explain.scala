@@ -59,7 +59,8 @@ object Explain {
       "q_aqp_sum", "q_pareto_docs", "q_stress_hot_phash", "q_path_transitions",
       "q_multiprobe_recall", "q_time_travel",
       "q_grid_join", "q_consistent_shards", "q_skew_planner",
-      "q_jl_projection", "q_incremental_lsh")
+      "q_jl_projection", "q_incremental_lsh", "q_dedup_ensemble",
+      "q_stress_twophase_agg")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

@@ -243,6 +243,84 @@ object ScaleOps {
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Cost-based join reordering from ANALYZE statistics
+  // ---------------------------------------------------------------------
+
+  /** Statistics-driven join reordering — what the reference's
+    * `analyze_if` primitive (reference: lib/bricolage/psqldatasource.rb
+    * analyze actions) actually BUYS on Spark: the three-table chain is
+    * written in the worst order (fact first), tables are ANALYZEd with
+    * column stats, and CBO's dynamic-programming join reorder
+    * (`spark.sql.cbo.joinReorder.enabled`) rewrites the chain so the
+    * 1-row-filtered nation joins its ~1/25th of customers BEFORE the
+    * fact table touches anything — at 100 TB the difference between a
+    * corpus-sized intermediate and a selective one. Broadcast stays
+    * enabled (realistic); the REORDER is the point, and `ScaleOpsSpec`
+    * asserts the optimized join tree differs from the written order and
+    * that per-table row counts are present in the plan stats.
+    *
+    * Conf scope closed by eager materialization (5-row aggregate), the
+    * [[qRuntimeFilter]] idiom. The managed-table writes are the ANALYZE
+    * surface (stats attach to catalog tables, not paths) — scratch
+    * tables keyed by scale dir, the [[LayoutOps.qBucketedJoin]] mold.
+    */
+  def qCboReorder(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val rows = cboReorderAgg(s, dir).collect()
+      val schema = StructType(Seq(
+        StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+        StructField("n_orders", LongType),
+        StructField("total_price", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Prepares ANALYZEd scratch tables and returns the lazy worst-order
+    * join — shared by [[qCboReorder]] and the spec (which compares the
+    * optimized join tree with CBO on vs off).
+    */
+  private[operators] def cboReorderAgg(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ordT, custT, natT) = (s"ord_cbo_$tag", s"cust_cbo_$tag", s"nat_cbo_$tag")
+    if (!s.catalog.tableExists(ordT)) {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").saveAsTable(ordT)
+      t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .write.mode("overwrite").saveAsTable(custT)
+      t(s, dir, "nation").select("n_nationkey", "n_name")
+        .write.mode("overwrite").saveAsTable(natT)
+      Seq(ordT, custT, natT).foreach(tb =>
+        s.sql(s"ANALYZE TABLE $tb COMPUTE STATISTICS FOR ALL COLUMNS"))
+    }
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS total_price
+         |FROM $ordT o
+         |JOIN $custT c ON o.o_custkey = c.c_custkey
+         |JOIN $natT n ON c.c_nationkey = n.n_nationkey
+         |WHERE n.n_name = 'NATION_7'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val qCboReorderOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS total_price
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_name = 'NATION_7'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Johnson-Lindenstrauss random projection
   // ---------------------------------------------------------------------
 
@@ -343,6 +421,7 @@ object ScaleOps {
     QueryDef("q_consistent_shards", qConsistentShards, Some(qConsistentShardsOracle)),
     QueryDef("q_skew_planner", qSkewPlanner, Some(qSkewPlannerOracle)),
     QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterOracle)),
+    QueryDef("q_cbo_reorder", qCboReorder, Some(qCboReorderOracle)),
     QueryDef("q_jl_projection", qJlProjection, Some(qJlProjectionOracle)),
   )
 }

@@ -95,6 +95,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO reorders the worst-order join using ANALYZE stats") {
+    val s = spark
+    val confs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = confs.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach(k => s.conf.set(k, "false"))
+      val offDf = ScaleOps.cboReorderAgg(s, dir)
+      val offPlan = offDf.queryExecution.optimizedPlan.toString
+      val offRows = offDf.collect().map(_.toSeq).toSeq
+      confs.foreach(k => s.conf.set(k, "true"))
+      val onDf = ScaleOps.cboReorderAgg(s, dir)
+      val onPlan = onDf.queryExecution.optimizedPlan.toString
+      val onRows = onDf.collect().map(_.toSeq).toSeq
+      // stats exist and the optimizer used them to change the join tree
+      assert(onPlan != offPlan,
+        s"CBO did not reorder the join:\nON:\n$onPlan\nOFF:\n$offPlan")
+      assert(onRows == offRows, "reordering changed results")
+      // ANALYZE attached row counts the reorder can cost with
+      val leafStats = onDf.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.rowCount)
+      assert(leafStats.forall(_.nonEmpty), s"missing rowCount stats: $leafStats")
+      // the public query matches
+      val pub = ScaleOps.qCboReorder(s, dir).collect().map(_.toSeq).toSeq
+      assert(pub == onRows)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("JL projection concentrates distance ratios near 1") {
     val rows = ScaleOps.qJlProjection(spark, dir).collect()
     assert(rows.length == 3)
