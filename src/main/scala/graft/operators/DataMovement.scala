@@ -115,6 +115,39 @@ object DataMovement {
       | round(sum(round(l_quantity, 2)), 2) AS qty_sum
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ORC round-trip — the columnar-format sibling of [[qCsvRoundtrip]]
+    * (reference UNLOAD/COPY supported format variants the same way:
+    * psqldatasource.rb:392-473): orders unloaded to ORC, read back
+    * through a pushed-down predicate, aggregated — must equal the same
+    * filtered aggregate over the source. ORC carries its own schema and
+    * min/max stripe stats, so unlike the CSV leg the readback needs no
+    * declared schema and the `o_totalprice` filter prunes stripes at the
+    * scan (`PushedFilters` in the ORC scan node) — the second columnar
+    * format a lake realistically has to ingest from.
+    */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createDirectories(
+      Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_orc_roundtrip_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")).toString
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out)
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").as("key_sum"),
+        round(sum("o_totalprice"), 2).as("price_sum"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qOrcRoundtripOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      | round(sum(o_totalprice), 2) AS price_sum
+      |FROM orders WHERE o_totalprice > 100000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Multi-statement SQL script execution (reference: psql ran whole files;
     * we split on top-level `;` — sqlstatement.rb:69, SURVEY §7.4#4): a
     * 3-statement script with a quoted semicolon, run through the real
@@ -182,6 +215,7 @@ object DataMovement {
     QueryDef("q_insert_delta", qInsertDelta, Some(qInsertDeltaOracle)),
     QueryDef("q_streaming_dedup", qStreamingDedup, Some(qStreamingDedupOracle)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripOracle)),
+    QueryDef("q_orc_roundtrip", qOrcRoundtrip, Some(qOrcRoundtripOracle)),
     QueryDef("q_multi_statement", qMultiStatement, Some(qMultiStatementOracle)),
     QueryDef("q_load_maxerror", qLoadMaxerror, Some(qLoadMaxerrorOracle)),
   )

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Scale-sensitivity audit: compare per-query bench times at two scale
+factors and flag queries whose runtime grows faster than the data.
+
+Usage: python tools/scaling_audit.py <bench_small.json> <bench_big.json> [data_ratio]
+
+`data_ratio` is how much bigger the big SF's data is (default 10, i.e.
+sf0.01 -> sf0.1). A query is flagged SUPERLINEAR when its time ratio
+exceeds 1.5x the data ratio AND both measurements are slow enough for
+the ratio to be signal (>= 50 ms at the small SF — below that the base
+is planning/session overhead and scheduler jitter, not data work; and
+>= 0.2 s at the big SF) — sub-linear or linear growth is what a
+scale-safe plan shows, since fixed per-query overhead (session, planning,
+file listing) dominates at toy SF and washes out as data grows.
+
+Reads the same one-line JSON `graft.Bench` prints ({"metric":"total",
+..., "queries":{...}}); pass files containing that line (or the line
+itself saved to a file).
+"""
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        txt = f.read()
+    for line in txt.splitlines():
+        line = line.strip()
+        if line.startswith('[info] '):
+            line = line[len('[info] '):]
+        if line.startswith('{') and '"queries"' in line:
+            d = json.loads(line)
+            if d.get('queries'):
+                return d['queries']
+    raise SystemExit(f"no bench JSON line with queries in {path}")
+
+
+def main() -> None:
+    small, big = load(sys.argv[1]), load(sys.argv[2])
+    data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    flag_at = 1.5 * data_ratio
+    rows = []
+    for name in sorted(set(small) & set(big)):
+        s, b = small[name], big[name]
+        if s <= 0:
+            continue
+        rows.append((b / s, name, s, b))
+    rows.sort(reverse=True)
+    n_flag = 0
+    print(f"{'ratio':>7}  {'small':>7}  {'big':>7}  query")
+    for r, name, s, b in rows:
+        flag = "SUPERLINEAR" if (r > flag_at and b >= 0.2 and s >= 0.05) else ""
+        if flag:
+            n_flag += 1
+        if flag or r > data_ratio / 2:
+            print(f"{r:7.2f}  {s:7.3f}  {b:7.3f}  {name} {flag}")
+    ts, tb = sum(small[k] for k in small), sum(big[k] for k in big)
+    print(f"\ntotals: {ts:.1f}s -> {tb:.1f}s ({tb / ts:.2f}x) on "
+          f"{len(rows)} common queries; data grew {data_ratio:.0f}x; "
+          f"{n_flag} flagged")
+    sys.exit(1 if n_flag else 0)
+
+
+if __name__ == "__main__":
+    main()
