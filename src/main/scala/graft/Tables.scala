@@ -28,15 +28,29 @@ object Tables {
   private val readCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  // Timestamp-bearing columns per table: every one of these is exposed
+  // to the same drift the r6 testdata regen hit on events.ts (INT64
+  // TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) vs TIMESTAMP_NTZ), so all get
+  // the same normalization, not just the one that has already broken.
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "lineitem" -> Seq("l_shipdate"),
+    "orders" -> Seq("o_orderdate"))
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     readCache.computeIfAbsent((spark, dir, name), { _ =>
-      if (name == "events") {
-        // events.ts has shipped as both parquet INT64 TIMESTAMP(NANOS)
-        // (which Spark's vectorized reader rejects — hence nanosAsLong)
-        // and as native TIMESTAMP(MICROS); normalize whatever the file
-        // carries to a session-TZ micro-precision timestamp.
+      if (tsColumns.contains(name)) {
+        // these tables have shipped timestamps as parquet INT64
+        // TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+        // hence nanosAsLong) and as native TIMESTAMP(MICROS); repair
+        // whatever the file carries. Only `events` additionally casts
+        // NTZ to session-TZ timestamp (its consumers are windows /
+        // watermarks); lineitem/orders keep NTZ as read — a cast there
+        // would wrap the column and break parquet filter pushdown on
+        // every date predicate.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+        tsColumns(name).foldLeft(spark.read.parquet(s"$dir/$name.parquet"))(
+          (df, c) => normalizeTs(df, c, castNtz = name == "events"))
       } else if (name == "embeddings") {
         normalizeEmbedding(spark.read.parquet(s"$dir/$name.parquet"))
       } else spark.read.parquet(s"$dir/$name.parquet")
@@ -58,21 +72,27 @@ object Tables {
     }
   }
 
-  /** Normalize the events `ts` column to TimestampType regardless of how
-    * the parquet encoded it: INT64 nanos-as-long (legacy driver testdata),
+  /** Normalize a timestamp column to TimestampType regardless of how the
+    * parquet encoded it: INT64 nanos-as-long (legacy driver testdata),
     * TIMESTAMP_NTZ (pandas micros without timezone), or already TIMESTAMP.
     * The session runs in UTC, so the NTZ cast is instant-preserving and
     * matches what the DuckDB oracle sees reading the same file.
     */
-  def normalizeEventsTs(df: DataFrame): DataFrame = {
+  def normalizeTs(df: DataFrame, c: String, castNtz: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => df
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType if castNtz =>
+        df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
     }
   }
+
+  /** Back-compat alias for the events-specific form (streaming readers
+    * normalize through this after providing the batch-resolved schema).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
 
   /** Register every testdata table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

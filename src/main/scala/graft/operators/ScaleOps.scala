@@ -290,16 +290,21 @@ object ScaleOps {
   private[operators] def cboReorderAgg(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (ordT, custT, natT) = (s"ord_cbo_$tag", s"cust_cbo_$tag", s"nat_cbo_$tag")
-    if (!s.catalog.tableExists(ordT)) {
-      t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-        .write.mode("overwrite").saveAsTable(ordT)
-      t(s, dir, "customer").select("c_custkey", "c_nationkey")
-        .write.mode("overwrite").saveAsTable(custT)
-      t(s, dir, "nation").select("n_nationkey", "n_name")
-        .write.mode("overwrite").saveAsTable(natT)
-      Seq(ordT, custT, natT).foreach(tb =>
-        s.sql(s"ANALYZE TABLE $tb COMPUTE STATISTICS FOR ALL COLUMNS"))
+    // external tables on a scratch path, dropped up front: a MANAGED
+    // table's warehouse location outlives the in-memory catalog across
+    // JVM runs, so a second process would hit LOCATION_ALREADY_EXISTS on
+    // create (the driver's gate runs each query in a fresh JVM)
+    val base = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_cbo_$tag")).toString
+    val srcs = Seq(
+      ordT -> t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+      custT -> t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+      natT -> t(s, dir, "nation").select("n_nationkey", "n_name"))
+    srcs.foreach { case (tb, df) =>
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      df.write.mode("overwrite").option("path", s"$base/$tb").saveAsTable(tb)
+      s.sql(s"ANALYZE TABLE $tb COMPUTE STATISTICS FOR ALL COLUMNS")
     }
     s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,

@@ -434,6 +434,91 @@ object StreamOps {
       |  CAST(sum(epoch_ms(t1) - epoch_ms(t0)) AS BIGINT) AS total_dur_ms
       |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Late-data semantics under the oracle gate: the events table is
+    * split into two deterministic micro-batches (even event_ids arrive
+    * first, odd second, enforced by file modification times +
+    * `maxFilesPerTrigger=1`), so every odd event older than the
+    * watermark established by batch 1 is LATE and gets dropped by the
+    * windowed aggregate — the exactly-priced cost of bounded state. The
+    * DuckDB twin replays the watermark arithmetic: after batch 1 the
+    * watermark is max(even ts) - 1h, a batch-2 row is kept iff its
+    * 1h-window end is strictly above that, and (append mode) a window is
+    * emitted iff its end is at or below the final watermark
+    * max(all ts) - 1h. Nothing about lateness is asserted "roughly" —
+    * the kept/dropped/emitted sets are hash-checked.
+    *
+    * Scale shape: the window aggregate is the q_stream_hourly plan; the
+    * batch-split prep writes are test harness (production batches arrive
+    * as files on their own). State stays watermark-bounded precisely
+    * BECAUSE late rows are dropped — this operator is the measurement of
+    * that trade.
+    */
+  def qStreamLateDrop(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val base = Files.createTempDirectory("graft_stream_late").toString
+    val cols = graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(base, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // THREE batches, not two: Spark's late-record filter lags the
+    // eviction watermark by one batch (SPARK-40925 two-watermark
+    // semantics — measured here: with two files the late batch was
+    // filtered against the INITIAL 1970 watermark and nothing dropped).
+    // The even half arrives as two files, with the max-even-ts row
+    // pinned into file 1 so the filter watermark operating on the late
+    // file is exactly max(even ts) - 1h and the file-2/file-1 watermark
+    // gap is zero (a nonzero gap would re-emit already-closed windows).
+    val evens = cols.filter(col("event_id") % 2 === 0)
+    val maxEvenTs = evens.agg(max("ts")).head().getTimestamp(0)
+    writeBatch(evens.filter(col("event_id") % 4 === 0 || col("ts") === maxEvenTs),
+      "b1", 1000000000L)
+    writeBatch(evens.filter(col("event_id") % 4 =!= 0 && col("ts") =!= maxEvenTs),
+      "b2", 2000000000L)
+    writeBatch(cols.filter(col("event_id") % 2 =!= 0), "b3", 3000000000L)
+    val schema = s.read.parquet(s"$base/b1.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(base)
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val sink = "stream_late_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append") // emission gated on the watermark — the mode
+      // in which late-drop semantics are actually observable
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("n"))
+      .orderBy("hr", "event_type")
+  }
+
+  val qStreamLateDropOracle: String =
+    """WITH wm1 AS (
+      |  SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events WHERE event_id % 2 = 0),
+      |wm2 AS (
+      |  SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+      |kept AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+      |  WHERE event_id % 2 = 0
+      |     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT wm FROM wm1)),
+      |agg AS (SELECT h, event_type, count(*) AS n FROM kept GROUP BY 1, 2)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hr, event_type, n
+      |FROM agg WHERE h + INTERVAL 1 HOUR <= (SELECT wm FROM wm2)
+      |ORDER BY hr, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stream_hourly", qStreamHourly, Some(qStreamHourlyOracle)),
     QueryDef("q_stream_enriched", qStreamEnriched, Some(qStreamEnrichedOracle)),
@@ -443,5 +528,6 @@ object StreamOps {
       Some(qStreamTokenBudgetOracle)),
     QueryDef("q_stream_reservoir", qStreamReservoir, Some(qStreamReservoirOracle)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsOracle)),
+    QueryDef("q_stream_late_drop", qStreamLateDrop, Some(qStreamLateDropOracle)),
   )
 }
