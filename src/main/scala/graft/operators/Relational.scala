@@ -523,6 +523,36 @@ object Relational {
       | count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** OVERLAPPING (sliding) event-time windows — the third window shape
+    * after tumbling ([[qEventsHourly]]) and RANGE frames (`q_moving_avg`):
+    * `window(ts, "2 hours", "1 hour")` assigns every event to BOTH 2-hour
+    * windows covering it, the native Spark form of "rolling 2h totals
+    * reported hourly". The oracle replays the assignment by exploding
+    * each event into its two window starts (trunc(ts) and trunc(ts) - 1h)
+    * — the same expansion Spark's `TimeWindowing` rule compiles to.
+    *
+    * Scale shape: the 2x row expansion happens map-side inside codegen
+    * and feeds one partial-aggregated shuffle of (window, type) groups —
+    * a window-function formulation over raw events would sort the full
+    * stream instead.
+    */
+  def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
+  val qSlidingWindowOracle: String =
+    """WITH expanded AS (
+      |  SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS win_start,
+      |         event_type, "value"
+      |  FROM events, (SELECT unnest(generate_series(0, 1)) AS k) ks)
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      | count(*) AS cnt, round(sum("value"), 2) AS total_value
+      |FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   /** Event-rate spike detection over the hourly stream — the monitoring
     * twin of [[qEventsHourly]]: an hour is a spike when its event count
     * reaches 2× the trailing-24-hour mean for its type (the "traffic
@@ -924,6 +954,7 @@ object Relational {
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)),
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
+    QueryDef("q_sliding_window", qSlidingWindow, Some(qSlidingWindowOracle)),
     QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
     QueryDef("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineOracle)),
     QueryDef("q_path_transitions", qPathTransitions, Some(qPathTransitionsOracle)),
