@@ -48,14 +48,16 @@ object ScaleOps {
     * Coordinates are synthesized deterministically from event ids so the
     * DuckDB oracle (brute-force over the same points) can replay them.
     */
-  def qGridJoin(s: SparkSession, dir: String): DataFrame = {
-    val r2 = GridR * GridR
-    val p = t(s, dir, "events")
+  /** The synthesized point set (id, xi, yi, cx, cy) shared by
+    * [[qGridJoin]] and [[qGridKnn]]. Multiply + middle-square per axis:
+    * a bare multiplicative hash laid the points on a coarse lattice
+    * (three-distance theorem) with NO pairs closer than eps at any SF;
+    * the squared-middle-bits spread is measured Poisson-like (pair
+    * counts track the density prediction).
+    */
+  private def gridPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
       .filter(col("event_id") % 2 === 0)
-      // multiply + middle-square per axis: a bare multiplicative hash laid
-      // the points on a coarse lattice (three-distance theorem) with NO
-      // pairs closer than eps at any SF; the squared-middle-bits spread is
-      // measured Poisson-like (pair counts track the density prediction)
       .select(col("event_id").as("id"),
         expr(s"(event_id * $MixA % $M32 % 67108864)" +
           s" * (event_id * $MixA % $M32 % 67108864) DIV 1024 % 100000").as("xi"),
@@ -63,6 +65,20 @@ object ScaleOps {
           s" * (event_id * $MixB % $M32 % 67108864) DIV 1024 % 100000").as("yi"))
       .withColumn("cx", expr(s"xi DIV $GridR"))
       .withColumn("cy", expr(s"yi DIV $GridR"))
+
+  /** The same CTE for DuckDB oracles. */
+  private def gridPointsDuck: String =
+    s"""p AS (
+      |  SELECT event_id AS id,
+      |    (event_id * $MixA % $M32 % 67108864)
+      |      * (event_id * $MixA % $M32 % 67108864) // 1024 % 100000 AS xi,
+      |    (event_id * $MixB % $M32 % 67108864)
+      |      * (event_id * $MixB % $M32 % 67108864) // 1024 % 100000 AS yi
+      |  FROM events WHERE event_id % 2 = 0)""".stripMargin
+
+  def qGridJoin(s: SparkSession, dir: String): DataFrame = {
+    val r2 = GridR * GridR
+    val p = gridPoints(s, dir)
     val lhs = p
       .withColumn("dx", explode(sequence(lit(-1), lit(1))))
       .withColumn("dy", explode(sequence(lit(-1), lit(1))))
@@ -81,13 +97,7 @@ object ScaleOps {
   }
 
   val qGridJoinOracle: String =
-    s"""WITH p AS (
-      |  SELECT event_id AS id,
-      |    (event_id * $MixA % $M32 % 67108864)
-      |      * (event_id * $MixA % $M32 % 67108864) // 1024 % 100000 AS xi,
-      |    (event_id * $MixB % $M32 % 67108864)
-      |      * (event_id * $MixB % $M32 % 67108864) // 1024 % 100000 AS yi
-      |  FROM events WHERE event_id % 2 = 0),
+    s"""WITH $gridPointsDuck,
       |pairs AS (
       |  SELECT (a.xi - b.xi) * (a.xi - b.xi)
       |       + (a.yi - b.yi) * (a.yi - b.yi) AS d2
@@ -98,6 +108,60 @@ object ScaleOps {
       |  CAST(sum(d2) AS BIGINT) AS sum_d2,
       |  min(d2) AS min_d2, max(d2) AS max_d2
       |FROM pairs GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** Grid-bucketed k-nearest-neighbors (k=3, radius-bounded): for every
+    * point, its 3 closest neighbors within [[GridR]] — the spatial-kNN
+    * workload (nearest stores / nearest GPS trace / co-location
+    * features), composed from the two proven kernels: candidate pairs
+    * from the [[qGridJoin]] 3x3 neighbor-cell equi-join (all ORDERED
+    * pairs this time — both directions matter for kNN), ranked per probe
+    * by the bounded [[graft.functions.TopKAggregator]] (fed -d2 so the
+    * descending aggregator ranks ascending distance; d2 < 9e4 is exact
+    * in double). k rows per probe per partition cross the exchange —
+    * never a partition-wide window sort of the candidate set.
+    */
+  def qGridKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r2 = GridR * GridR
+    val p = gridPoints(s, dir)
+    val probes = p
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("id").as("id_a"), col("xi").as("xa"), col("yi").as("ya"),
+        (col("cx") + col("dx")).as("kx"), (col("cy") + col("dy")).as("ky"))
+    val cand = p.select(col("id").as("id_b"), col("xi").as("xb"),
+      col("yi").as("yb"), col("cx").as("kx"), col("cy").as("ky"))
+    probes.join(cand, Seq("kx", "ky"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("d2", expr("(xa-xb)*(xa-xb) + (ya-yb)*(ya-yb)"))
+      .filter(col("d2") < r2)
+      .select("id_a", "id_b", "d2")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._3.toDouble, t._2))
+      .agg(graft.functions.TopKAggregator.topK(3))
+      .toDF("id_a", "top")
+      .select(col("id_a"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("id_a"), (col("pos") + 1).cast("long").as("rk"),
+        col("item._2").as("id_b"), (-col("item._1")).cast("long").as("d2"))
+      .orderBy("id_a", "rk")
+  }
+
+  val qGridKnnOracle: String =
+    s"""WITH $gridPointsDuck,
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    (a.xi - b.xi) * (a.xi - b.xi)
+      |      + (a.yi - b.yi) * (a.yi - b.yi) AS d2
+      |  FROM p a JOIN p b ON a.id <> b.id
+      |  WHERE (a.xi - b.xi) * (a.xi - b.xi)
+      |      + (a.yi - b.yi) * (a.yi - b.yi) < ${GridR * GridR}),
+      |ranked AS (
+      |  SELECT id_a, id_b, d2,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY d2, id_b) AS rk
+      |  FROM pairs)
+      |SELECT id_a, rk, id_b, d2 FROM ranked WHERE rk <= 3
+      |ORDER BY id_a, rk""".stripMargin
 
   // ---------------------------------------------------------------------
   // Rendezvous (HRW) shard assignment stability
@@ -423,6 +487,7 @@ object ScaleOps {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_grid_join", qGridJoin, Some(qGridJoinOracle)),
+    QueryDef("q_grid_knn", qGridKnn, Some(qGridKnnOracle)),
     QueryDef("q_consistent_shards", qConsistentShards, Some(qConsistentShardsOracle)),
     QueryDef("q_skew_planner", qSkewPlanner, Some(qSkewPlannerOracle)),
     QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterOracle)),

@@ -44,6 +44,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_pairs")).sum > 0, "no pairs at sf0.001")
   }
 
+  test("grid kNN ranks through the bounded aggregator with contiguous ranks") {
+    val df = ScaleOps.qGridKnn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"kNN ranking fell back to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (a, rs) =>
+      assert(rs.length <= 3, s"probe $a has ${rs.length} neighbors")
+      val byRk = rs.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      val d2s = byRk.map(_.getLong(3))
+      assert(d2s.zip(d2s.tail).forall { case (x, y) => x <= y },
+        s"probe $a distances not ascending: ${d2s.toSeq}")
+    }
+  }
+
   test("rendezvous resharding moves ~1/9 of docs; mod-N moves most") {
     val r = ScaleOps.qConsistentShards(spark, dir).head()
     val n = r.getAs[Long]("n_docs")
