@@ -60,7 +60,8 @@ object Explain {
       "q_multiprobe_recall", "q_time_travel",
       "q_grid_join", "q_consistent_shards", "q_skew_planner",
       "q_jl_projection", "q_incremental_lsh", "q_dedup_ensemble",
-      "q_stress_twophase_agg", "q_sliding_window", "q_orc_roundtrip")
+      "q_stress_twophase_agg", "q_sliding_window", "q_orc_roundtrip",
+      "q_grid_knn", "q_grid_occupancy")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

@@ -163,6 +163,42 @@ object ScaleOps {
       |SELECT id_a, rk, id_b, d2 FROM ranked WHERE rk <= 3
       |ORDER BY id_a, rk""".stripMargin
 
+  /** Grid occupancy sweep — the resolution pre-flight for the two grid
+    * operators: per candidate cell size (eps, 4*eps, 16*eps), the number
+    * of occupied cells, the max and mean occupancy, and the implied
+    * candidate-pair work (sum over cells of n²·9, the quantity the
+    * [[qGridJoin]] shuffle actually pays). Pick the smallest cell size
+    * whose max occupancy is still bounded — the same "measure before you
+    * shuffle" discipline as [[qSkewPlanner]], applied to space instead
+    * of keys. One explode(3) + two hash aggregates.
+    */
+  def qGridOccupancy(s: SparkSession, dir: String): DataFrame =
+    gridPoints(s, dir)
+      .withColumn("lvl", explode(sequence(lit(0), lit(2))))
+      .withColumn("cell", expr(
+        s"concat(xi DIV ($GridR * shiftleft(CAST(1 AS BIGINT), 2 * lvl)), '_', " +
+          s"yi DIV ($GridR * shiftleft(CAST(1 AS BIGINT), 2 * lvl)))"))
+      .groupBy("lvl", "cell").agg(count(lit(1)).as("n"))
+      .groupBy("lvl")
+      .agg(count(lit(1)).as("n_cells"), max("n").as("max_occ"),
+        sum("n").cast("long").as("n_points"),
+        sum(col("n") * col("n") * 9).cast("long").as("cand_pairs"))
+      .orderBy("lvl")
+
+  val qGridOccupancyOracle: String =
+    s"""WITH $gridPointsDuck,
+      |lv AS (SELECT unnest(generate_series(0, 2)) AS lvl),
+      |cells AS (
+      |  SELECT lvl,
+      |    (xi // ($GridR * (1 << (2 * lvl)))) || '_' ||
+      |    (yi // ($GridR * (1 << (2 * lvl)))) AS cell,
+      |    count(*) AS n
+      |  FROM p, lv GROUP BY 1, 2)
+      |SELECT lvl, count(*) AS n_cells, max(n) AS max_occ,
+      |  CAST(sum(n) AS BIGINT) AS n_points,
+      |  CAST(sum(n * n * 9) AS BIGINT) AS cand_pairs
+      |FROM cells GROUP BY lvl ORDER BY lvl""".stripMargin
+
   // ---------------------------------------------------------------------
   // Rendezvous (HRW) shard assignment stability
   // ---------------------------------------------------------------------
@@ -488,6 +524,7 @@ object ScaleOps {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_grid_join", qGridJoin, Some(qGridJoinOracle)),
     QueryDef("q_grid_knn", qGridKnn, Some(qGridKnnOracle)),
+    QueryDef("q_grid_occupancy", qGridOccupancy, Some(qGridOccupancyOracle)),
     QueryDef("q_consistent_shards", qConsistentShards, Some(qConsistentShardsOracle)),
     QueryDef("q_skew_planner", qSkewPlanner, Some(qSkewPlannerOracle)),
     QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterOracle)),
