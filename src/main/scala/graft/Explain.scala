@@ -61,7 +61,8 @@ object Explain {
       "q_grid_join", "q_consistent_shards", "q_skew_planner",
       "q_jl_projection", "q_incremental_lsh", "q_dedup_ensemble",
       "q_stress_twophase_agg", "q_sliding_window", "q_orc_roundtrip",
-      "q_grid_knn", "q_grid_occupancy")
+      "q_grid_knn", "q_grid_occupancy", "q_recursive_cte",
+      "q_exists_subquery")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

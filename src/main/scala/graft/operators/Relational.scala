@@ -553,6 +553,61 @@ object Relational {
       | count(*) AS cnt, round(sum("value"), 2) AS total_value
       |FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`) — iterative graph walk
+    * expressed in pure SQL instead of a driver loop: every user id is
+    * halved until it reaches 0 (a synthetic parent chain), and the
+    * output is the depth histogram of the walk. The recursion runs
+    * INSIDE Catalyst (UnionLoop with the configured
+    * `spark.sql.cteRecursionLevelLimit`), so per-round state is a plan
+    * node, not a driver-side collect-and-resubmit loop — the SQL-level
+    * twin of the pointer-jump closure in `ClusterOps`. The DuckDB oracle
+    * is the same recursion in its own dialect.
+    */
+  def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE walk(orig, cur, d) AS (
+        |  SELECT DISTINCT user_id, user_id, 0 FROM events
+        |  UNION ALL
+        |  SELECT orig, cur DIV 2, d + 1 FROM walk WHERE cur > 0)
+        |SELECT d AS depth, count(*) AS n_users
+        |FROM walk WHERE cur = 0
+        |GROUP BY d ORDER BY depth""".stripMargin)
+  }
+
+  val qRecursiveCteOracle: String =
+    """WITH RECURSIVE walk(orig, cur, d) AS (
+      |  SELECT DISTINCT user_id, user_id, 0 FROM events
+      |  UNION ALL
+      |  SELECT orig, cur // 2, d + 1 FROM walk WHERE cur > 0)
+      |SELECT d AS depth, count(*) AS n_users
+      |FROM walk WHERE cur = 0
+      |GROUP BY d ORDER BY depth""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS — written as subqueries, executed as
+    * joins: Catalyst decorrelates both predicates into a left-semi and a
+    * left-anti join (RelationalSpec asserts both in the plan), so the
+    * "customers with a big order but no low-priority order" business
+    * filter costs two key-equality shuffles, never a per-row subquery
+    * probe. The oracle runs the identical SQL.
+    */
+  def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(existsSql)
+  }
+
+  private val existsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderpriority = '5-LOW')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val qExistsSubqueryOracle: String = existsSql
+
   /** Event-rate spike detection over the hourly stream — the monitoring
     * twin of [[qEventsHourly]]: an hour is a spike when its event count
     * reaches 2× the trailing-24-hour mean for its type (the "traffic
@@ -955,6 +1010,8 @@ object Relational {
     QueryDef("q_above_avg", qAboveAvg, Some(qAboveAvgOracle)),
     QueryDef("q_events_hourly", qEventsHourly, Some(qEventsHourlyOracle)),
     QueryDef("q_sliding_window", qSlidingWindow, Some(qSlidingWindowOracle)),
+    QueryDef("q_recursive_cte", qRecursiveCte, Some(qRecursiveCteOracle)),
+    QueryDef("q_exists_subquery", qExistsSubquery, Some(qExistsSubqueryOracle)),
     QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
     QueryDef("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineOracle)),
     QueryDef("q_path_transitions", qPathTransitions, Some(qPathTransitionsOracle)),

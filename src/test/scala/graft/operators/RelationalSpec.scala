@@ -164,4 +164,24 @@ class RelationalSpec extends AnyFunSuite {
         s"event $id: trailing sum $sm vs brute force")
     }
   }
+
+  test("EXISTS / NOT EXISTS decorrelate into semi and anti joins") {
+    val df = Relational.qExistsSubquery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS not decorrelated to semi:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not decorrelated to anti:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+
+  test("recursive CTE walk terminates with the analytic depth histogram") {
+    val rows = Relational.qRecursiveCte(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val users = graft.Tables.t(spark, dir, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    // analytic depth: halvings of u until 0 is floor(log2(u)) + 1 (u=0 -> 0)
+    val expected = users.groupBy(u =>
+      if (u == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(u))
+      .map { case (d, us) => (d, us.length.toLong) }
+    assert(rows == expected, s"depth histogram mismatch: $rows vs $expected")
+  }
 }
