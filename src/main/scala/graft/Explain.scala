@@ -62,7 +62,7 @@ object Explain {
       "q_jl_projection", "q_incremental_lsh", "q_dedup_ensemble",
       "q_stress_twophase_agg", "q_sliding_window", "q_orc_roundtrip",
       "q_grid_knn", "q_grid_occupancy", "q_recursive_cte",
-      "q_exists_subquery")
+      "q_exists_subquery", "q_lateral_join")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

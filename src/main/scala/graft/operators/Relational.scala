@@ -608,6 +608,29 @@ object Relational {
 
   val qExistsSubqueryOracle: String = existsSql
 
+  /** LATERAL correlated subquery — the per-row derived table (each
+    * customer's max order price) written the way an analyst writes it;
+    * Catalyst decorrelates the lateral aggregate into a left outer join
+    * over a pre-grouped orders frame, so it costs one key-equality
+    * shuffle, not a per-row probe. The oracle runs the identical SQL
+    * (DuckDB executes LATERAL natively).
+    */
+  def qLateralJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(lateralSql)
+  }
+
+  private val lateralSql: String =
+    """SELECT c.c_mktsegment, count(*) AS n_cust,
+      |  round(sum(t.top_price), 2) AS sum_top
+      |FROM customer c,
+      |LATERAL (SELECT max(o_totalprice) AS top_price
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      |WHERE t.top_price IS NOT NULL
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  val qLateralJoinOracle: String = lateralSql
+
   /** Event-rate spike detection over the hourly stream — the monitoring
     * twin of [[qEventsHourly]]: an hour is a spike when its event count
     * reaches 2× the trailing-24-hour mean for its type (the "traffic
@@ -1012,6 +1035,7 @@ object Relational {
     QueryDef("q_sliding_window", qSlidingWindow, Some(qSlidingWindowOracle)),
     QueryDef("q_recursive_cte", qRecursiveCte, Some(qRecursiveCteOracle)),
     QueryDef("q_exists_subquery", qExistsSubquery, Some(qExistsSubqueryOracle)),
+    QueryDef("q_lateral_join", qLateralJoin, Some(qLateralJoinOracle)),
     QueryDef("q_rate_anomaly", qRateAnomaly, Some(qRateAnomalyOracle)),
     QueryDef("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineOracle)),
     QueryDef("q_path_transitions", qPathTransitions, Some(qPathTransitionsOracle)),
