@@ -20,12 +20,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nOk, nFail = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      } catch { case e: Throwable =>
+        nFail += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query persisted tables (signature/hash caches whose
@@ -50,6 +54,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // visible tally: a query that throws is otherwise just ABSENT from
+    // the driver's correctness JSON (round 6 lost 24 queries to a
+    // testdata schema drift with no loud signal anywhere)
+    println(s"[verify] dumped $nOk queries, $nFail failed")
     spark.stop()
   }
 }
