@@ -93,8 +93,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy of the COMPLETE per-query map: the driver snapshots
+    // only the last ~2000 chars of stdout, which loses most of the
+    // 188-entry map and has repeatedly limited cross-round regression
+    // triage to the slowest ~30 queries. Written to the repo so a later
+    // commit (ours or the driver's end-of-round auto-commit) makes the
+    // full map part of the round's record. Partial-run (filtered)
+    // invocations go to a side file so they never clobber the
+    // full-suite record.
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL",
+      if (only.isEmpty) "/root/repo/bench_detail.json"
+      else "/root/repo/bench_detail_partial.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => } // bench must still print even if the repo path is unwritable
     // canonical full line first (complete in local captures)...
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(fullLine)
     // ...and a compact summary LAST: the driver snapshots only the tail
     // of the run output, so with this many queries the full line loses
     // its head to truncation — the line the gates need most must be the

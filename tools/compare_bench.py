@@ -5,7 +5,10 @@ Usage: compare_bench.py BASELINE.json NEW.json [--threshold 1.5]
 
 Accepts either the raw one-line JSON that graft.Bench prints
 ({"metric": "total", "value": N, "queries": {...}}) or the driver's
-BENCH_r{N}.json wrapper (whose "tail" text embeds that line).
+BENCH_r{N}.json wrapper (whose "tail" text embeds that line). Prefer
+the committed bench_detail.json (written by every full Bench run) over
+BENCH_r{N}.json wrappers: it carries the COMPLETE per-query map, while
+the wrapper's tail capture truncates to the slowest ~30 entries.
 Exits 1 if any query regresses more than THRESHOLD x against the
 baseline, or if the total does. New queries (absent from the baseline)
 are reported but never fail the gate. Sub-100ms baselines are noise:

@@ -54,7 +54,9 @@ def main() -> None:
             n_flag += 1
         if flag or r > data_ratio / 2:
             print(f"{r:7.2f}  {s:7.3f}  {b:7.3f}  {name} {flag}")
-    ts, tb = sum(small[k] for k in small), sum(big[k] for k in big)
+    # totals over the SAME common-and-nonzero set as the per-query rows,
+    # so the printed ratio and the row set can't disagree
+    ts, tb = sum(s for _, _, s, _ in rows), sum(b for _, _, _, b in rows)
     print(f"\ntotals: {ts:.1f}s -> {tb:.1f}s ({tb / ts:.2f}x) on "
           f"{len(rows)} common queries; data grew {data_ratio:.0f}x; "
           f"{n_flag} flagged")
