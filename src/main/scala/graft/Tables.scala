@@ -82,7 +82,17 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema(c).dataType match {
-      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case LongType if castNtz =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case LongType =>
+        // non-events (lineitem/orders): land on TIMESTAMP_NTZ, the same
+        // type the NTZ-vintage files read as natively, so the column type
+        // doesn't vary by testdata vintage. Pushdown on the wrapped column
+        // is lost in this vintage regardless (the file carries raw INT64
+        // nanos); the castNtz=false contract only promises pushdown on
+        // the NTZ/native vintages, where the column is untouched.
+        df.withColumn(c,
+          expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
       case TimestampNTZType if castNtz =>
         df.withColumn(c, col(c).cast("timestamp"))
       case _ => df

@@ -12,16 +12,24 @@ class TablesSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
-  test("normalizeTs repairs an INT64-nanos column to a true timestamp") {
+  test("normalizeTs repairs an INT64-nanos column, landing on the same type per branch") {
     import spark.implicits._
     // 2024-08-07 10:00:00 UTC in nanoseconds
     val ns = 1723024800L * 1000000000L
     val df = Seq(ns).toDF("ts")
+    // castNtz=false (lineitem/orders): nanos land on TIMESTAMP_NTZ — the
+    // SAME type the NTZ-vintage files read as natively, so the column
+    // type doesn't vary by testdata vintage (round-8 advice fix)
     val out = Tables.normalizeTs(df, "ts", castNtz = false)
-    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.schema("ts").dataType == TimestampNTZType)
     val got = out.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
       .head().getString(0)
     assert(got == "2024-08-07 10:00:00")
+    // castNtz=true (events): nanos land on session-TZ TIMESTAMP
+    val outTz = Tables.normalizeTs(df, "ts", castNtz = true)
+    assert(outTz.schema("ts").dataType == TimestampType)
+    assert(outTz.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .head().getString(0) == "2024-08-07 10:00:00")
   }
 
   test("normalizeTs casts NTZ only when asked (pushdown stays intact otherwise)") {
