@@ -429,6 +429,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => Jaccard4(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("minhash32",
       (exprs: Seq[Expression]) => MinHash32(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("container_decode",
+      (exprs: Seq[Expression]) => ContainerDecode(exprs.head), "built-in")
   }
 }
 
@@ -461,6 +463,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("minhash32"),
       new ExpressionInfo(classOf[MinHash32].getName, "minhash32"),
       (exprs: Seq[Expression]) => MinHash32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("container_decode"),
+      new ExpressionInfo(classOf[ContainerDecode].getName, "container_decode"),
+      (exprs: Seq[Expression]) => ContainerDecode(exprs.head)))
     // whole-operator extension: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

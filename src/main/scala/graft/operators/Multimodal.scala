@@ -17,9 +17,10 @@ import graft.Tables.t
   * physically prepended to the body bytes. The decode, however, is real
   * executor-side byte work: it validates the magic and parses the header
   * fields out of the payload bytes (not out of the metadata struct), then
-  * folds a checksum over the body. The binary column, metadata struct,
-  * mapPartitions batch shape, partition-local feature extraction, and
-  * frame sampling are exactly the Spark plumbing a production codec
+  * folds a checksum over the body — compiled into the scan stage as the
+  * native codegen expression [[graft.functions.ContainerDecode]]. The
+  * binary column, metadata struct, partition-local feature extraction,
+  * and frame sampling are exactly the Spark plumbing a production codec
   * (JNI or Arrow-batched UDF) would drop into.
   *
   * At 100 TB: all transforms here are narrow (no shuffle); binary payloads
@@ -67,43 +68,30 @@ object Multimodal {
   }
 
   /** Deterministic decode of the binary column: validates the magic,
-    * parses width/height/n_frames out of the big-endian header BYTES, and
-    * folds a rolling checksum over the body bytes — all executor-side byte
-    * work on the payload itself (the metadata struct is consulted only for
-    * the codec label, which a real container also carries out-of-band).
-    * A production codec (JNI decoder or Arrow-batched UDF) drops into the
-    * same per-partition iterator shape; only the pixel math changes.
+    * parses width/height out of the big-endian header BYTES, and folds a
+    * rolling checksum over the body bytes — all executor-side byte work on
+    * the payload itself (the metadata struct is consulted only for the
+    * codec label, which a real container also carries out-of-band).
+    *
+    * The byte work runs as the native codegen expression
+    * [[graft.functions.ContainerDecode]] (`container_decode(payload)`),
+    * not a `mapPartitions` typed map: the expression keeps the whole
+    * scan→decode→project pipeline inside ONE WholeStageCodegen span and
+    * reads the payload bytes in place instead of paying an
+    * InternalRow↔Row conversion per asset. A production codec (JNI
+    * decoder) drops into the helper's decode method; only the pixel math
+    * changes, the plan shape stays.
     */
   def qDecodeStats(s: SparkSession, dir: String): DataFrame = {
-    val a = assets(s, dir)
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("codec", StringType),
-      StructField("pixels", LongType),
-      StructField("payload_bytes", IntegerType),
-      StructField("checksum", LongType)))
-    def be32(p: Array[Byte], off: Int): Int =
-      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
-        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
-    val decoded = a.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        require(payload.length >= HeaderBytes &&
-          new String(payload, 0, 4, "US-ASCII") == Magic,
-          s"bad asset container header (len=${payload.length})")
-        val width = be32(payload, 4)
-        val height = be32(payload, 8)
-        var sum = 0L
-        var i = HeaderBytes
-        while (i < payload.length) { sum = (sum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
-        Row(r.getLong(r.fieldIndex("asset_id")),
-          r.getStruct(r.fieldIndex("meta")).getString(0),
-          width.toLong * height,
-          payload.length - HeaderBytes,
-          sum)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-    decoded.orderBy("asset_id")
+    graft.functions.VectorFunctions.register(s)
+    assets(s, dir)
+      .select(col("asset_id"), col("meta.codec").as("codec"),
+        expr("container_decode(payload)").as("dec"))
+      .select(col("asset_id"), col("codec"),
+        (col("dec.width").cast("long") * col("dec.height")).as("pixels"),
+        col("dec.payload_bytes").as("payload_bytes"),
+        col("dec.checksum").as("checksum"))
+      .orderBy("asset_id")
   }
 
   /** Per-codec size statistics over decoded assets — the "did the decode
