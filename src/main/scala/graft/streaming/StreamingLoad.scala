@@ -92,28 +92,27 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
 
     // Partition a queue snapshot against the load log on data_file
     // (reference :294-312 partition_loaded_objects). Runs as a Spark join.
-    // The `loaded` side (crash leftovers) is collected — bounded by one
-    // prior run; the `notLoaded` side streams through toLocalIterator so
-    // an unbounded queue never sits fully in driver memory — only one
-    // load batch of names at a time (the cursor-batch idiom,
-    // DataSource.queryBatch).
+    // BOTH sides stream through toLocalIterator so an unbounded queue
+    // never sits fully in driver memory — consumers pull one dequeue/load
+    // batch of names at a time (the cursor-batch idiom,
+    // DataSource.queryBatch). The `loaded` side is usually tiny (crash
+    // leftovers from one prior run) but CAN be the whole queue listing
+    // when dequeue lags, so it gets the same treatment.
     def partitionBySnapshot(candidates: Seq[String])
-        : (Seq[String], Iterator[String]) = {
-      if (candidates.isEmpty) return (Nil, Iterator.empty)
+        : (Iterator[String], Iterator[String]) = {
+      if (candidates.isEmpty) return (Iterator.empty, Iterator.empty)
       val spark = ds.spark
       import spark.implicits._
       ensureLogTable(ds, log)
       val cand = candidates.map(r => (r, fs.urlString(r))).toDF("rel", "data_file")
       val logged = ds.table(log).select(col("data_file"))
-      val loadedRel = cand.join(logged, Seq("data_file"), "left_semi")
-        .select("rel").as[String].collect().toSeq.sorted
-      val newRelIt = {
+      def sideIt(joinType: String): Iterator[String] = {
         import scala.jdk.CollectionConverters._
-        cand.join(logged, Seq("data_file"), "left_anti")
+        cand.join(logged, Seq("data_file"), joinType)
           .orderBy("rel").select("rel").as[String]
           .toLocalIterator().asScala
       }
-      (loadedRel, newRelIt)
+      (sideIt("left_semi"), sideIt("left_anti"))
     }
 
     val batchSize = p.longOpt("batch-size").map(_.toInt).getOrElse(100000)
@@ -170,16 +169,17 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
       // load log; unloaded queue objects stay put.
       return Seq(Action("streaming_load:dequeue") {
         val (loadedRel, _) = partitionBySnapshot(listCandidates())
-        dequeue(fs, queuePath, loadedRel, p, vars)
+        loadedRel.grouped(batchSize).foreach(b => dequeue(fs, queuePath, b, p, vars))
       })
 
     val loadAction = Action("streaming_load:load") {
       // ONE queue snapshot drives the whole run (reference :166-170):
       // files arriving after this point are next run's work.
       val (alreadyLoaded, newFiles) = partitionBySnapshot(listCandidates())
-      // leftovers from a crashed prior run: logged but never dequeued
-      if (!p.bool("load-only") && alreadyLoaded.nonEmpty)
-        dequeue(fs, queuePath, alreadyLoaded, p, vars)
+      // leftovers from a crashed prior run: logged but never dequeued.
+      // Batched pulls off the iterator — never the whole listing at once.
+      if (!p.bool("load-only"))
+        alreadyLoaded.grouped(batchSize).foreach(b => dequeue(fs, queuePath, b, p, vars))
       if (newFiles.nonEmpty) {
         val spark = ds.spark
         import spark.implicits._
