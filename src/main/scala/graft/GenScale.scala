@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf1-and-beyond testdata generator for the scaling audit
+  * (round-7 verdict item 1: "one more decade of data turns the 10×→1.73×
+  * claim from extrapolation into measurement").
+  *
+  * The driver's testdata tops out at sf0.1 and is read-only, so bigger
+  * scale factors are synthesized here, OUTSIDE /root/testdata, matched to
+  * the driver data's measured shape (same vocabulary, same ~4% planted
+  * near-duplicate pair rate, same 'dup'-token rate, same 30-day event
+  * window with constant per-user density, unit-norm label-clustered
+  * embeddings, and ×N replicas of the TPC-H-ish tables with offset keys).
+  * Matching the SHAPE is what makes the audit honest: dedup/LSH costs are
+  * governed by the duplicate-pair rate and bucket occupancy, stream/asof
+  * costs by per-key density — scaling corpus size while holding those
+  * constant is exactly how production corpora grow.
+  *
+  * Everything is hash-derived from the row id (splitmix64 finalizer — the
+  * round-7 lesson: low bits of odd-multiplier hashes are
+  * lattice-structured, so use a full avalanche finalizer), so output is
+  * deterministic, seedable, and generated fully distributed (spark.range,
+  * no driver-side loops).
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> <factor>
+  *   e.g.  runMain graft.GenScale /root/testdata/sf0.1 /tmp/graft_sf1 10
+  */
+object GenScale {
+
+  /** splitmix64 finalizer over (x, salt) — full-avalanche determinism. */
+  def h(x: Long, salt: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform double in [0,1) from a hash. */
+  def u01(x: Long, salt: Long): Double =
+    (h(x, salt) >>> 11).toDouble / (1L << 53).toDouble
+
+  // the driver corpus vocabulary, measured at sf0.1 (30 uniform words;
+  // 'dup' is the planted-duplicate marker appearing in ~5% of docs)
+  private val Vocab: Array[String] = Array(
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "row",
+    "the", "agg", "key", "query", "a", "scan", "batch")
+
+  /** Word sequence for one document: length ~ U[8, 110] words (matches
+    * the measured 44..577-char range, mean ≈ 297), words uniform over the
+    * vocab. `seed` decouples content from doc_id so near-dup pairs can
+    * share content with independent perturbations.
+    */
+  private def baseWords(seed: Long): Array[String] = {
+    val n = 8 + (h(seed, 1) >>> 33).toInt % 103 // >>>33 leaves 31 bits: non-negative
+    Array.tabulate(n)(i => Vocab((h(seed * 131 + i, 2) >>> 33).toInt % Vocab.length))
+  }
+
+  def docText(id: Long): String = {
+    // ~4% of docs form near-dup pairs: doc 25k+1 is a perturbed copy of
+    // doc 25k (same base seed, ~5% of positions mutated, matching the
+    // measured 206-pairs-per-5000-docs prefix-dup structure)
+    val isDupCopy = id % 25 == 1
+    val seed = if (isDupCopy) id - 1 else id
+    val words = baseWords(seed)
+    val perturbed =
+      if (!isDupCopy) words
+      else words.zipWithIndex.map { case (w, i) =>
+        if (u01(id * 131 + i, 3) < 0.05)
+          Vocab((h(id * 131 + i, 4) >>> 33).toInt.abs % Vocab.length)
+        else w
+      }
+    // 'dup' marker token in ~5% of docs (measured 250/5000)
+    val tagged =
+      if (h(seed, 5) % 20 == 0) perturbed :+ "dup" else perturbed
+    tagged.mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def out(name: String) = s"$outDir/$name.parquet"
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(out(name))
+      println(s"[genscale] wrote $name")
+    }
+
+    // ---- documents: 5000 * factor fresh docs, driver-measured shape ----
+    val nDocs = 5000L * factor
+    write(
+      spark.range(nDocs).select(col("id").as("doc_id")).map { r =>
+        val id = r.getLong(0)
+        val text = docText(id)
+        val lang = { // measured: en 41%, others ~15% each
+          val u = u01(id, 6)
+          if (u < 0.41) "en" else if (u < 0.56) "zh"
+          else if (u < 0.71) "es" else if (u < 0.86) "fr" else "de"
+        }
+        (id, text, lang, s"src${(h(id, 7) >>> 33).toInt.abs % 20}", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "documents")
+
+    // ---- events: constant per-user density (users scale, window fixed) --
+    val nEvents = 100000L * factor
+    val nUsers = 1500L * factor
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val spanUs = 30L * 86400L * 1000000L - 60L * 1000000L
+    write(
+      spark.range(nEvents).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(t0) +
+          (abs(xxhash64(col("id"), lit(11))) % spanUs)).as("ts"),
+        (abs(xxhash64(col("id"), lit(12))) % nUsers).as("user_id"),
+        element_at(
+          array(lit("error"), lit("view"), lit("signup"), lit("click"), lit("purchase")),
+          (abs(xxhash64(col("id"), lit(13))) % 5 + 1).cast("int")).as("event_type"),
+        // exponential(mean 50), capped like the measured max
+        round(least(
+          -lit(50.0) * log(lit(1.0) -
+            (abs(xxhash64(col("id"), lit(14))) % 1000000L).cast("double") / 1000000.0),
+          lit(560.0)), 2).as("value"),
+        concat(lit("{\"k\": "),
+          (abs(xxhash64(col("id"), lit(15))) % 100).cast("string"),
+          lit("}")).as("props")),
+      "events")
+
+    // ---- embeddings: unit-norm, 10 weak label clusters, 64 dims --------
+    val nVecs = 2000L * factor
+    write(
+      spark.range(nVecs).map { id =>
+        val label = (h(id, 21) >>> 33).toInt % 10
+        val raw = Array.tabulate(64) { d =>
+          // box-muller-lite: sum of 2 uniforms centered — close enough to
+          // gaussian for timing work; small label-dependent centroid shift
+          val g = u01(id * 64 + d, 22) + u01(id * 64 + d, 23) - 1.0
+          (g + 0.15 * (u01(label * 64L + d, 24) - 0.5)).toFloat
+        }
+        val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+        (id, raw.map(_ / norm), label)
+      }.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label")),
+      "embeddings")
+
+    // ---- TPC-H-ish tables: ×factor replicas with offset keys -----------
+    // Replication is the right model here: group keys (returnflag, status,
+    // priority, region...) keep their cardinality while per-group sizes
+    // grow ×factor — exactly how these tables grow in production. Key
+    // offsets keep join keys unique so join fan-outs stay 1:N, not N:N.
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    val rep = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
+    write(
+      rep(li)
+        .withColumn("l_orderkey", col("l_orderkey") + col("__r") * maxOrder)
+        .drop("__r"),
+      "lineitem")
+    write(
+      rep(ord)
+        .withColumn("o_orderkey", col("o_orderkey") + col("__r") * maxOrder)
+        .withColumn("o_custkey", col("o_custkey") + col("__r") * maxCust)
+        .drop("__r"),
+      "orders")
+    write(
+      rep(cust)
+        .withColumn("c_custkey", col("c_custkey") + col("__r") * maxCust)
+        .drop("__r"),
+      "customer")
+    // dimension tables: fixed cardinality at every SF (copy unchanged)
+    Seq("part", "supplier", "nation", "region").foreach { nm =>
+      write(spark.read.parquet(s"$srcDir/$nm.parquet"), nm)
+    }
+    println(s"[genscale] done: $outDir at ${factor}x of $srcDir")
+    spark.stop()
+  }
+}

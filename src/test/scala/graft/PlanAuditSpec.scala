@@ -120,6 +120,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the typed-aggregator plan shape")
   }
 
+  test("q_partition_prune reads exactly one of the day partitions at scan") {
+    // the whole point of the directory layout: the read-back scan must
+    // carry the day predicate as a PARTITION filter (pruned at listing,
+    // before any IO), not as a post-scan data filter over all 30 days.
+    val df = SparkEntry.queries("q_partition_prune")(spark, dir)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec whose collect() does not recurse into the
+    // not-yet-executed inner plan
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_day_part")) => s
+    }
+    assert(scans.nonEmpty, "no scan over the day-partitioned layout found")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "day")),
+        s"day predicate not pushed as a partition filter: ${s.metadata}")
+      val selected = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+      assert(selected.length == 1,
+        s"expected 1 pruned day partition, scan selects ${selected.length}")
+    }
+  }
+
   test("lineitem scans prune columns (never read the full 16-column schema)") {
     val wide = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue")
     val ScanCols = """FileScan parquet \[([^\]]*)\]""".r
