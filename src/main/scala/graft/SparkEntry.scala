@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, ClusterOps, CorpusOps, CurationOps, DataMovement, Dedup, LakeOps, LayoutOps, Multimodal, Relational, ScaleOps, Similarity, SketchOps, StreamOps, StressOps, TextOps}
+import graft.operators.{AsOfJoin, ClusterOps, CorpusOps, CurationOps, DataMovement, Dedup, DqOps, LakeOps, LayoutOps, Multimodal, Relational, ScaleOps, Similarity, SketchOps, StreamOps, StressOps, TextOps, WarehouseOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ DataMovement.all ++ AsOfJoin.all ++ CorpusOps.all ++
       StressOps.all ++ ClusterOps.all ++ SketchOps.all ++ LayoutOps.all ++
-      CurationOps.all ++ StreamOps.all ++ LakeOps.all ++ ScaleOps.all
+      CurationOps.all ++ StreamOps.all ++ LakeOps.all ++ ScaleOps.all ++
+      WarehouseOps.all ++ DqOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
