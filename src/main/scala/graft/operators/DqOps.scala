@@ -15,8 +15,8 @@ import graft.Tables.t
   * At 100 TB: all three are single-pass shapes. FK checks are anti-join
   * COUNTS (the orphan rows never materialize), rules are conditional sums
   * inside one scan (no shuffle beyond the single aggregated row), and the
-  * profile is one multi-aggregate pass per table unpivoted to rows —
-  * never a per-column re-scan.
+  * profile defaults to one HLL-sketch pass (exact distincts, which force
+  * either an Expand or per-column passes, are the oracle-gated audit arm).
   */
 object DqOps {
 
@@ -104,32 +104,75 @@ object DqOps {
       |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_order
       |FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey""".stripMargin
 
-  /** Per-column profile of orders (nulls, distincts, min/max as strings):
-    * ONE multi-aggregate pass, unpivoted to a row per column — the
-    * dataset-card building block for relational tables. Strings for
-    * min/max keep the row shape uniform across column types.
+  private val ProfileCols =
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  /** Per-column EXACT profile of orders (nulls, distincts, min/max as
+    * strings), one row per column — the dataset-card building block for
+    * relational tables. Strings for min/max keep the row shape uniform
+    * across column types.
+    *
+    * Shape: one single-distinct aggregate pass PER COLUMN, union'd.
+    * The earlier one-agg-with-four-count_distincts form planned as an
+    * Expand — Catalyst replicates every input row once per distinct
+    * aggregate, a 4× shuffle amplification of the full scan keyed on
+    * every distinct value. Per-column passes each prune the scan to that
+    * single column (a few percent of the row width on a real warehouse
+    * table) and plan as an ordinary two-phase distinct aggregate, so the
+    * total I/O is the profiled columns once — less than the Expand plan's
+    * one full-width scan, and with no amplified shuffle. For sketch-based
+    * one-pass profiling at 100 TB see [[qDqProfileApprox]].
     */
   def qDqProfile(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")
-    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
-    val aggs = cols.flatMap { c =>
+    val perCol = ProfileCols.map { c =>
+      val isDouble =
+        ord.schema(c).dataType == org.apache.spark.sql.types.DoubleType
+      // doubles route through DECIMAL(18,2) before the string cast:
+      // double→string rendering (shortest-round-trip vs scientific
+      // cutoffs) is engine-specific, decimal rendering is not
+      def str(e: org.apache.spark.sql.Column) =
+        if (isDouble) e.cast("decimal(18,2)").cast("string")
+        else e.cast("string")
+      ord.select(col(c)).agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col(c)).as("n_distinct"),
+        str(min(col(c))).as("min_value"),
+        str(max(col(c))).as("max_value"))
+        .select(lit(c).as("column_name"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }
+    perCol.reduce(_.unionAll(_)).orderBy("column_name")
+  }
+
+  /** The 100 TB arm of the profile: ONE full pass, `approx_count_distinct`
+    * (HyperLogLog++) per column — HLL aggregates are ordinary (non-distinct)
+    * aggregates, so four of them in one agg plan as a single scan with
+    * partial map-side aggregation and NO Expand, and the shuffle carries
+    * four fixed-size sketches instead of every distinct value. This is the
+    * default a dataset-card pipeline should run at scale; [[qDqProfile]]
+    * is the exact, oracle-gated twin. Checked rows-only by the driver
+    * (DuckDB's HLL is not bit-compatible); `DqSpec` asserts the approx
+    * counts land within 10% of exact and that the plan has no Expand.
+    */
+  def qDqProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val aggs = ProfileCols.flatMap { c =>
+      val isDouble =
+        ord.schema(c).dataType == org.apache.spark.sql.types.DoubleType
+      def str(e: org.apache.spark.sql.Column) =
+        if (isDouble) e.cast("decimal(18,2)").cast("string")
+        else e.cast("string")
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        count_distinct(col(c)).as(s"${c}_distinct"),
-        // doubles route through DECIMAL(18,2) before the string cast:
-        // double→string rendering (shortest-round-trip vs scientific
-        // cutoffs) is engine-specific, decimal rendering is not
-        (if (ord.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
-          min(col(c)).cast("decimal(18,2)").cast("string")
-        else min(col(c)).cast("string")).as(s"${c}_min"),
-        (if (ord.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
-          max(col(c)).cast("decimal(18,2)").cast("string")
-        else max(col(c)).cast("string")).as(s"${c}_max"))
+        approx_count_distinct(col(c), 0.02).as(s"${c}_distinct"),
+        str(min(col(c))).as(s"${c}_min"),
+        str(max(col(c))).as(s"${c}_max"))
     }
     val one = ord.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = cols.map { c =>
+    val stackExpr = ProfileCols.map { c =>
       s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max"
-    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    }.mkString(s"stack(${ProfileCols.size}, ", ", ", ")")
     one.select(expr(
         s"$stackExpr AS (column_name, n_nulls, n_distinct, min_value, max_value)"))
       .orderBy("column_name")
@@ -163,5 +206,6 @@ object DqOps {
     QueryDef("q_fk_integrity", qFkIntegrity, Some(qFkIntegrityOracle)),
     QueryDef("q_dq_rules", qDqRules, Some(qDqRulesOracle)),
     QueryDef("q_dq_profile", qDqProfile, Some(qDqProfileOracle)),
+    QueryDef("q_dq_profile_approx", qDqProfileApprox, None),
   )
 }

@@ -56,24 +56,41 @@ object WarehouseOps {
     * year. The nation dimension joins TWICE (supplier side and customer
     * side) — the same-table-two-roles shape that needs distinct attribute
     * ids; both nation joins broadcast (25 rows).
+    *
+    * The disjunctive pair predicate `(s=N1∧c=N2)∨(s=N2∧c=N1)` cannot be
+    * pushed through the joins by Catalyst, but its per-side implication
+    * can be derived by hand: the supplier's nation must be IN (N1,N2) and
+    * so must the customer's. So both nation arms are pre-filtered to the
+    * two nations and joined INTO the supplier/customer dimensions before
+    * any fact join — at scale this drops ~23/25 of lineitem at the first
+    * (broadcast) join and shrinks the orders↔customer shuffle the same
+    * way, instead of routing every 1996-97 line through orders→customer
+    * first. The original pair disjunction stays as the residual filter
+    * (it only removes the two same-direction combinations at that point).
     */
   def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
     val li = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-    val n1 = t(s, dir, "nation")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = t(s, dir, "nation")
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    li.join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
+    // dimensions carry their nation name AND the IN-pair restriction
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    // orders shrink to pair-nation customers before meeting lineitem
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(
         (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))

@@ -142,6 +142,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q7_nation_volume pushes the nation-pair implication below the joins") {
+    // the disjunctive pair predicate can't be pushed by Catalyst, but the
+    // hand-derived IN-pair implication must reach BOTH nation scans as a
+    // pushed filter, so supplier and customer shrink before any fact join
+    val plan = SparkEntry.queries("q7_nation_volume")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pushed = "In\\(n_name".r.findAllIn(plan).size
+    assert(pushed >= 2,
+      s"expected the nation pair pushed into both nation scans:\n$plan")
+  }
+
   test("lineitem scans prune columns (never read the full 16-column schema)") {
     val wide = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue")
     val ScanCols = """FileScan parquet \[([^\]]*)\]""".r
