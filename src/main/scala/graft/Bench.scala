@@ -146,7 +146,11 @@ object Bench {
       // round-stamped copy (round = max BENCH_r{N}.json present + 1,
       // which is the round whose artifacts the driver will write at
       // round end) so consecutive rounds' full maps coexist in git.
-      if (only.isEmpty) {
+      // ...but only for the canonical sf0.1 driver run: an explicit
+      // SPARK_GRAFT_BENCH_DETAIL override (the sf1 audit, ad-hoc SF
+      // sweeps) is a side measurement and must not clobber the round's
+      // sf0.1 record.
+      if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) {
         val repo = java.nio.file.Paths.get("/root/repo")
         val rounds = java.nio.file.Files.list(repo).iterator().asScala
           .flatMap { p =>

@@ -323,8 +323,100 @@ object CurationOps {
       |WHERE round(i / n_a::DOUBLE, 4) >= 0.3
       |ORDER BY inter.eval_id, train_id""".stripMargin
 
+  // ---------------------------------------------------------- leakage split
+
+  /** Leakage-safe train/test split: assignment is a pure function of the
+    * doc's NEAR-DUP-CLUSTER representative, not of the doc itself, so an
+    * entire duplicate family lands on one side of the boundary by
+    * construction — the discipline that keeps eval sets honest (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §6 documents eval contamination from split-crossing
+    * near-dups). Clusters here are the LSH band-0 buckets of [[Dedup]]'s
+    * 32-permutation MinHash signature (the corpus has zero byte-exact
+    * dups — its planted duplicates are NEAR-dups, which an md5-of-text
+    * grouping would scatter across the boundary); the cluster column is
+    * the pluggable seam — the full CC label from [[ClusterOps]] drops in
+    * unchanged when transitive closure is wanted.
+    *
+    * Split = first hex digit of md5(cluster-rep id) in [0,b] → train
+    * (12/16 = 75%), else test — deterministic, engine-portable, and
+    * stable under corpus growth (a doc's side never changes when new docs
+    * arrive, unlike modulo-on-row-count schemes).
+    *
+    * Output: per-split doc/cluster/token counts plus the split-crossing
+    * cluster count (structurally 0 — the report PROVES the property the
+    * operator exists to enforce, which is what a pipeline gate asserts
+    * before promoting a split manifest).
+    *
+    * At 100 TB: the signature is [[Dedup.sigOf]]'s narrow fused
+    * projection (zero shuffle), then ONE shuffle on the band key (the
+    * window partition is the duplicate family — group sizes are LSH
+    * bucket occupancies, the same bounded quantity the dedup family
+    * stress-proves), one partial-aggregated shuffle for the per-split
+    * stats, and a single-row broadcast for the leakage scalar. No
+    * all-pairs anything.
+    */
+  def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val sig = Dedup.sigOf(Dedup.gramsOf(docs, "n_tokens"), "n_tokens")
+    val rowsPerBand = Dedup.NumHashes / Dedup.Bands
+    val band0 = concat_ws(",", (0 until rowsPerBand).map(r =>
+      element_at(col("sig"), r + 1).cast("string")): _*)
+    val clustered = sig
+      .withColumn("cluster",
+        min(col("doc_id")).over(Window.partitionBy(band0)))
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 1) <= "b",
+          "train").otherwise("test"))
+    val leaky = clustered.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky_clusters"))
+    clustered.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(leaky))
+      .orderBy("split")
+  }
+
+  val qLeakageSplitOracle: String = {
+    val rowsPerBand = Dedup.NumHashes / Dedup.Bands
+    val mh = (0 until rowsPerBand).map { i =>
+      s"list_min(list_transform(ths, h -> (${Dedup.aCoef(i)} * h + ${Dedup.bCoef(i)}) % ${Dedup.P})) AS mh${"%02d".format(i)}"
+    }.mkString(", ")
+    val band0 = (0 until rowsPerBand)
+      .map(i => s"CAST(mh${"%02d".format(i)} AS VARCHAR)").mkString(" || ',' || ")
+    s"""WITH ths AS (
+      |  SELECT doc_id, len(ws) AS n_tokens,
+      |         list_transform(${Dedup.gramsDuck}, g -> ${Dedup.shingleHashScalar("g")}) AS ths
+      |  FROM ${Dedup.duckWords}),
+      |sig AS (SELECT doc_id, n_tokens, $mh FROM ths),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         min(doc_id) OVER (PARTITION BY $band0) AS cluster
+      |  FROM sig),
+      |s AS (
+      |  SELECT doc_id, cluster, n_tokens,
+      |         CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'b'
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM c),
+      |leak AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |           AS leaky_clusters
+      |  FROM (SELECT cluster, count(DISTINCT split) AS ns FROM s GROUP BY cluster))
+      |SELECT split, count(*) AS n_docs,
+      |       count(DISTINCT cluster) AS n_clusters,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       leaky_clusters
+      |FROM s CROSS JOIN leak
+      |GROUP BY split, leaky_clusters
+      |ORDER BY split""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_semdedup", qSemDedup, Some(qSemDedupOracle)),
+    QueryDef("q_leakage_split", qLeakageSplit, Some(qLeakageSplitOracle)),
     QueryDef("q_importance_weights", qImportanceWeights, Some(qImportanceWeightsOracle)),
     QueryDef("q_unigram_ce", qUnigramCe, Some(qUnigramCeOracle)),
     QueryDef("q_containment", qContainment, Some(qContainmentOracle)),

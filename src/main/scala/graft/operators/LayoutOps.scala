@@ -70,14 +70,17 @@ object LayoutOps {
       .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        // decimal accumulation: double sums drift past the 2dp boundary
+        // at sf1 row counts (see q5_region_revenue)
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")), 2).cast("double")
           .as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val qBucketedJoinOracle: String =
     """SELECT o_orderpriority, count(*) AS n_items,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

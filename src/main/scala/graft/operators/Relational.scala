@@ -106,14 +106,20 @@ object Relational {
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      // DECIMAL(30,6) accumulation: a double sum over sf1+ row counts
+      // (6M lineitem) carries enough random-walk error (~1e-2 at 1e11
+      // magnitudes) to flip the 2dp rounding vs the oracle's own double
+      // sum; casting each item to decimal makes the sum exact and
+      // order-independent in BOTH engines (WarehouseOps discipline)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
   val q5Oracle: String =
     """SELECT r_name, n_name,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
       | count(*) AS n_items
       |FROM region
       |JOIN nation ON r_regionkey = n_regionkey

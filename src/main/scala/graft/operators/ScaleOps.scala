@@ -330,14 +330,17 @@ object ScaleOps {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_linestatus")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        // decimal accumulation: double sums drift past the 2dp boundary
+        // at sf1 row counts (see q5_region_revenue)
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")), 2).cast("double")
           .as("revenue"))
       .orderBy("l_linestatus")
   }
 
   val qRuntimeFilterOracle: String =
     """SELECT l_linestatus, count(*) AS n_items,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin

@@ -40,6 +40,24 @@ object StreamOps {
     try body finally s.conf.set(key, saved)
   }
 
+  /** File-stream source for `<dir>/<name>.parquet` in BOTH testdata
+    * layouts: the driver's single-file-per-table layout (stream the
+    * parent dir with a name glob — the file source requires a directory)
+    * and the GenScale/production layout where the table IS a directory
+    * of part files (stream the directory itself — a name glob there
+    * would match against the part-file names and silently yield ZERO
+    * rows, which is exactly how the sf1 scaling audit caught this).
+    */
+  private def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      s.readStream.schema(rawSchema).parquet(path)
+    else
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   /** Streaming twin of [[Relational.qEventsHourly]]: hourly event counts
     * and value sums computed by a watermarked tumbling-window streaming
     * aggregate drained with `Trigger.AvailableNow` (no distinct-count —
@@ -57,11 +75,7 @@ object StreamOps {
     // readStream (the batch reader's resolved schema provides the
     // streaming schema)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    // the file streaming source requires a DIRECTORY; select just the
-    // events table out of the scale dir with a name glob
-    val ev = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = streamTable(s, dir, "events")
       .transform(graft.Tables.normalizeEventsTs)
     val agg = graft.streaming.StructuredStreams
       .windowedEventStats(ev, "1 hour", "1 hour")
@@ -98,9 +112,7 @@ object StreamOps {
     */
   def qStreamEnriched(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val ev = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = streamTable(s, dir, "events")
       .transform(graft.Tables.normalizeEventsTs)
     val dim = graft.Tables.t(s, dir, "events")
       .select(col("user_id")).distinct()
@@ -144,9 +156,7 @@ object StreamOps {
     */
   def qStreamCdcLatest(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val ev = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = streamTable(s, dir, "events")
       .transform(graft.Tables.normalizeEventsTs)
     val agg = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n_versions"),
@@ -197,9 +207,7 @@ object StreamOps {
     */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    def side(tp: String, pfx: String) = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def side(tp: String, pfx: String) = streamTable(s, dir, "events")
       .transform(graft.Tables.normalizeEventsTs)
       .filter(col("event_type") === tp)
       .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
@@ -253,9 +261,7 @@ object StreamOps {
   def qStreamTokenBudget(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val budget = 700L
-    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val docs = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = streamTable(s, dir, "documents")
       .selectExpr("source", "doc_id",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
       .as[graft.streaming.StructuredStreams.BudgetDoc]
@@ -326,9 +332,7 @@ object StreamOps {
     * emitted on every micro-batch in update/complete mode.
     */
   def qStreamReservoir(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
-    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val docs = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = streamTable(s, dir, "documents")
       .select(col("lang"), md5(encode(col("text"), "UTF-8")).as("priority"),
         col("doc_id"))
     val mink = udaf(new graft.functions.MinKAggregator(10),
@@ -379,9 +383,7 @@ object StreamOps {
   def qStreamSessions(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val ev = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = streamTable(s, dir, "events")
       .transform(graft.Tables.normalizeEventsTs)
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[graft.streaming.StructuredStreams.Event]

@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_join_cardinality", "q_hll_intersection",
       // q_jl_projection broadcasts the 3-probe query set on the original-
       // distance arm — the q_cosine_topk shape verbatim
-      "q_jl_projection")
+      "q_jl_projection",
+      // q_leakage_split broadcasts its single-row leaky-cluster scalar
+      // (the scalar-subquery-without-collect idiom)
+      "q_leakage_split")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

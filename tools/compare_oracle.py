@@ -30,10 +30,39 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # the driver testdata is one file per table; GenScale output (the
+        # sf1+ scaling-audit datasets) is a Spark-style directory of parts
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    # GRAFT_ORACLE_SKIP: comma-separated names to record as SKIPPED
+    # instead of executing — for the sf1+ scaling datasets where a few
+    # oracle formulations (recursive-CTE closures, banded self-joins) are
+    # impractical IN DUCKDB at that size; the Spark side runs them fine
+    # and they stay hash-gated at sf0.01.
+    skip = set(filter(None,
+                      os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
+    # GRAFT_ORACLE_RESUME: path to a previous run's output — queries with
+    # a PASS line there are not re-executed (long sf1 runs interrupted by
+    # one pathological oracle keep their finished work)
+    done = set()
+    resume = os.environ.get("GRAFT_ORACLE_RESUME")
+    if resume and os.path.exists(resume):
+        for line in open(resume):
+            if line.startswith("PASS"):
+                done.add(line.split()[1])
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in done:
+            print(f"PASS     {name} (cached from {resume})")
+            n_pass += 1
+            continue
+        if name in skip:
+            print(f"SKIPPED  {name}: oracle impractical at this SF (see GRAFT_ORACLE_SKIP)")
+            n_skip += 1
+            continue
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
             print(f"MISSING  {name}: no spark output")
@@ -73,7 +102,8 @@ def main(sf_dir: str, out_dir: str) -> None:
             files = glob.glob(os.path.join(out_dir, d, "*.parquet"))
             rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"ROWSONLY {d}: {rows} rows")
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} passed, {n_fail} failed"
+          + (f", {n_skip} skipped" if n_skip else ""))
     sys.exit(1 if n_fail else 0)
 
 
