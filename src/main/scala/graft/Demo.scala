@@ -19,7 +19,7 @@ import graft.runner.{Application, JobNetRunner, JobListener}
 object Demo {
 
   def main(args: Array[String]): Unit = {
-    val wh = Files.createTempDirectory("demo-warehouse")
+    val wh = graft.core.TempDirs.create("demo-warehouse")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-demo")
@@ -31,8 +31,8 @@ object Demo {
     spark.sparkContext.setLogLevel("ERROR")
     spark.sql("CREATE DATABASE IF NOT EXISTS demo")
 
-    val home = Files.createTempDirectory("demo-home")
-    val fsBase = Files.createTempDirectory("demo-fs")
+    val home = graft.core.TempDirs.create("demo-home")
+    val fsBase = graft.core.TempDirs.create("demo-fs")
     val subsys = home.resolve("etl")
     Files.createDirectories(subsys)
 

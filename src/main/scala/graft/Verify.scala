@@ -20,13 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    var nOk, nFail = 0
+    var nOk, nFail, nZero = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // empty-dump tripwire: a query that silently returns zero rows
+        // (dead stream source, bad glob, pruned-to-nothing scan) writes a
+        // valid parquet file and sails through "0 failed" — the sf1 audit
+        // shipped SEVEN empty streaming dumps that way. Reading the dump
+        // back is O(result), trivially cheap next to running the query.
+        if (spark.read.parquet(s"$outDir/$name").isEmpty) {
+          nZero += 1
+          System.err.println(s"[verify] ZERO-ROWS $name: dump is empty")
+        }
         nOk += 1
       } catch { case e: Throwable =>
         nFail += 1
@@ -57,7 +66,8 @@ object Verify {
     // visible tally: a query that throws is otherwise just ABSENT from
     // the driver's correctness JSON (round 6 lost 24 queries to a
     // testdata schema drift with no loud signal anywhere)
-    println(s"[verify] dumped $nOk queries, $nFail failed")
+    println(s"[verify] dumped $nOk queries, $nFail failed" +
+      (if (nZero > 0) s", $nZero ZERO-ROWS (suspicious — see stderr)" else ""))
     spark.stop()
   }
 }

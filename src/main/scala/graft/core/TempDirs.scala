@@ -1,0 +1,42 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Run-scoped temp directories with guaranteed cleanup.
+  *
+  * Every scratch directory the engine creates (stream checkpoints, queue
+  * dirs, derby stores, spec fixtures) goes under ONE per-JVM root that a
+  * shutdown hook removes recursively. Before this existed, a full bench +
+  * verify sweep left hundreds of `graft_stream_ckpt*` / queue / derby
+  * directories in `/tmp` — harmless per run, but the sf1 scaling audit
+  * actually ran the disk out of space mid-oracle because of the
+  * accumulation. With the shared root, a full `sbt test` + bench leaves
+  * O(1) residue (the root itself, deleted at JVM exit).
+  *
+  * Deletion is best-effort per file: Spark executors may still hold a
+  * handle at shutdown, and a leftover file inside the doomed root is
+  * strictly better than a hook that dies half way and leaks the rest.
+  */
+object TempDirs {
+
+  lazy val root: Path = {
+    val r = Files.createTempDirectory("graft_run_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r)))
+    r
+  }
+
+  /** A fresh directory `<root>/<prefix>…` — drop-in replacement for
+    * `Files.createTempDirectory(prefix)` with end-of-run cleanup.
+    */
+  def create(prefix: String): Path = Files.createTempDirectory(root, prefix)
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+        try Files.deleteIfExists(f)
+        catch { case _: Exception => () }
+      } finally walk.close()
+    }
+}

@@ -331,44 +331,65 @@ object CurationOps {
     * construction — the discipline that keeps eval sets honest (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 §6 documents eval contamination from split-crossing
-    * near-dups). Clusters here are the LSH band-0 buckets of [[Dedup]]'s
-    * 32-permutation MinHash signature (the corpus has zero byte-exact
-    * dups — its planted duplicates are NEAR-dups, which an md5-of-text
-    * grouping would scatter across the boundary); the cluster column is
-    * the pluggable seam — the full CC label from [[ClusterOps]] drops in
-    * unchanged when transitive closure is wanted.
+    * near-dups). The cluster key is the CONNECTED-COMPONENT label over
+    * ALL FOUR LSH bands of [[Dedup]]'s 32-permutation MinHash signature
+    * (bucket-min star edges per band, closed by
+    * [[ClusterOps.connectedComponents]]): any two docs that collide in AT
+    * LEAST ONE band — the entire candidate surface the dedup family
+    * itself searches — share a cluster and therefore a side. (A band-0-
+    * only grouping would let pairs that collide only in bands 1-3
+    * straddle; the residual exposure now is only pairs LSH itself never
+    * surfaces, which no LSH-based dedup would catch either.)
     *
     * Split = first hex digit of md5(cluster-rep id) in [0,b] → train
-    * (12/16 = 75%), else test — deterministic, engine-portable, and
-    * stable under corpus growth (a doc's side never changes when new docs
-    * arrive, unlike modulo-on-row-count schemes).
+    * (12/16 = 75%), else test — deterministic and engine-portable.
     *
     * Output: per-split doc/cluster/token counts plus the split-crossing
-    * cluster count (structurally 0 — the report PROVES the property the
-    * operator exists to enforce, which is what a pipeline gate asserts
-    * before promoting a split manifest).
+    * cluster count. That count is a STRUCTURAL invariant check — split is
+    * a pure function of the cluster key computed in the same query, so a
+    * nonzero value can only mean the pipeline itself is broken (the
+    * assertion a gate runs before promoting a split manifest), not a
+    * measurement of contamination against an external splitter.
     *
     * At 100 TB: the signature is [[Dedup.sigOf]]'s narrow fused
-    * projection (zero shuffle), then ONE shuffle on the band key (the
-    * window partition is the duplicate family — group sizes are LSH
-    * bucket occupancies, the same bounded quantity the dedup family
-    * stress-proves), one partial-aggregated shuffle for the per-split
-    * stats, and a single-row broadcast for the leakage scalar. No
-    * all-pairs anything.
+    * projection (zero shuffle); the bucket-min window is ONE shuffle on
+    * the band key with LSH-bucket-bounded partitions; the star edges are
+    * linear in the band rows (never within-bucket quadratic); the CC
+    * iteration runs over the DUPLICATE surface only (docs with no bucket
+    * collision never enter the graph) in O(log diameter) rounds; then one
+    * partial-aggregated shuffle for the per-split stats and a single-row
+    * broadcast for the leakage scalar. No all-pairs anything.
     */
-  def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc assignment frame (doc_id, n_tokens, cluster, split) behind
+    * [[qLeakageSplit]] — exposed so the growth-stability property (docs
+    * whose cluster membership is unchanged keep their side when the
+    * corpus grows) is testable on the actual assignments, not just on
+    * the aggregated report.
+    */
+  private[graft] def leakageAssignments(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
     val sig = Dedup.sigOf(Dedup.gramsOf(docs, "n_tokens"), "n_tokens")
-    val rowsPerBand = Dedup.NumHashes / Dedup.Bands
-    val band0 = concat_ws(",", (0 until rowsPerBand).map(r =>
-      element_at(col("sig"), r + 1).cast("string")): _*)
-    val clustered = sig
-      .withColumn("cluster",
-        min(col("doc_id")).over(Window.partitionBy(band0)))
+    // star edges: every doc links to the min doc_id of each LSH bucket it
+    // occupies — same components as within-bucket cliques at linear cost
+    val bands = Dedup.bandsOf(sig)
+    val withMin = bands.withColumn("bmin",
+      min(col("doc_id")).over(Window.partitionBy(col("band_idx"), col("band_sig"))))
+    val edges = withMin.filter(col("doc_id") > col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val labels = ClusterOps.connectedComponents(edges, 20)
+      .withColumnRenamed("id", "doc_id")
+    sig.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
       .withColumn("split",
         when(substring(md5(col("cluster").cast("string")), 1, 1) <= "b",
           "train").otherwise("test"))
+      .select("doc_id", "n_tokens", "cluster", "split")
+  }
+
+  def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val clustered = leakageAssignments(s, dir)
     val leaky = clustered.groupBy("cluster")
       .agg(countDistinct(col("split")).as("ns"))
       .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky_clusters"))
@@ -380,39 +401,38 @@ object CurationOps {
       .orderBy("split")
   }
 
-  val qLeakageSplitOracle: String = {
-    val rowsPerBand = Dedup.NumHashes / Dedup.Bands
-    val mh = (0 until rowsPerBand).map { i =>
-      s"list_min(list_transform(ths, h -> (${Dedup.aCoef(i)} * h + ${Dedup.bCoef(i)}) % ${Dedup.P})) AS mh${"%02d".format(i)}"
-    }.mkString(", ")
-    val band0 = (0 until rowsPerBand)
-      .map(i => s"CAST(mh${"%02d".format(i)} AS VARCHAR)").mkString(" || ',' || ")
-    s"""WITH ths AS (
-      |  SELECT doc_id, len(ws) AS n_tokens,
-      |         list_transform(${Dedup.gramsDuck}, g -> ${Dedup.shingleHashScalar("g")}) AS ths
-      |  FROM ${Dedup.duckWords}),
-      |sig AS (SELECT doc_id, n_tokens, $mh FROM ths),
-      |c AS (
-      |  SELECT doc_id, n_tokens,
-      |         min(doc_id) OVER (PARTITION BY $band0) AS cluster
-      |  FROM sig),
-      |s AS (
-      |  SELECT doc_id, cluster, n_tokens,
-      |         CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'b'
+  val qLeakageSplitOracle: String =
+    s"""WITH RECURSIVE ${Dedup.lshCtesDuck()},
+      |bm AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_sig) AS bmin
+      |  FROM bands2),
+      |pairs AS (
+      |  SELECT DISTINCT bmin AS doc_a, doc_id AS doc_b FROM bm WHERE doc_id > bmin),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
+      |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |sp AS (
+      |  SELECT t.doc_id, coalesce(c.lbl, t.doc_id) AS cluster, t.n_tokens,
+      |         CASE WHEN substring(md5(CAST(coalesce(c.lbl, t.doc_id) AS VARCHAR)), 1, 1) <= 'b'
       |              THEN 'train' ELSE 'test' END AS split
-      |  FROM c),
+      |  FROM tok t LEFT JOIN comp c ON c.id = t.doc_id),
       |leak AS (
       |  SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
       |           AS leaky_clusters
-      |  FROM (SELECT cluster, count(DISTINCT split) AS ns FROM s GROUP BY cluster))
+      |  FROM (SELECT cluster, count(DISTINCT split) AS ns FROM sp GROUP BY cluster))
       |SELECT split, count(*) AS n_docs,
       |       count(DISTINCT cluster) AS n_clusters,
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |       leaky_clusters
-      |FROM s CROSS JOIN leak
+      |FROM sp CROSS JOIN leak
       |GROUP BY split, leaky_clusters
       |ORDER BY split""".stripMargin
-  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_semdedup", qSemDedup, Some(qSemDedupOracle)),

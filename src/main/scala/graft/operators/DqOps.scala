@@ -202,10 +202,41 @@ object DqOps {
       |  min(o_orderpriority), max(o_orderpriority) FROM orders
       |ORDER BY column_name""".stripMargin
 
+  /** The deterministic facets of [[qDqProfileApprox]] under the full hash
+    * gate: nulls/min/max are exact even in the HLL arm (only n_distinct
+    * is approximate), so this projection of the SAME one-pass plan is
+    * oracle-checkable — shrinking the approx arm's ungated blind spot to
+    * the n_distinct column alone.
+    */
+  def qDqProfileApproxDet(s: SparkSession, dir: String): DataFrame =
+    qDqProfileApprox(s, dir).drop("n_distinct")
+
+  val qDqProfileApproxDetOracle: String =
+    """SELECT 'o_custkey' AS column_name,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(min(o_custkey) AS VARCHAR) AS min_value,
+      |  CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus',
+      |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  min(o_orderstatus), max(o_orderstatus) FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice',
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+      |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority',
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  min(o_orderpriority), max(o_orderpriority) FROM orders
+      |ORDER BY column_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_fk_integrity", qFkIntegrity, Some(qFkIntegrityOracle)),
     QueryDef("q_dq_rules", qDqRules, Some(qDqRulesOracle)),
     QueryDef("q_dq_profile", qDqProfile, Some(qDqProfileOracle)),
     QueryDef("q_dq_profile_approx", qDqProfileApprox, None),
+    QueryDef("q_dq_profile_approx_det", qDqProfileApproxDet,
+      Some(qDqProfileApproxDetOracle)),
   )
 }

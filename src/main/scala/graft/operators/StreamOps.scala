@@ -51,11 +51,30 @@ object StreamOps {
   private def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val rawSchema = s.read.parquet(path).schema
-    if (new java.io.File(path).isDirectory)
-      s.readStream.schema(rawSchema).parquet(path)
-    else
-      s.readStream.schema(rawSchema)
+    // Layout probe through Hadoop's FileSystem — NOT java.io.File, which
+    // answers false for any non-local scheme (hdfs://, s3x://) and would
+    // silently route a directory table into the glob branch → zero rows,
+    // the exact failure mode this helper exists to prevent.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(hPath).isDirectory
+    // Fail LOUDLY if the chosen layout branch would stream nothing: mirror
+    // the stream source with the BATCH reader using the same path+options
+    // (file listing is shared between the two) and require rows. The
+    // original layout bug — glob matched nothing against a directory of
+    // part files — survived a bench, a verify, and a "0 failed" summary
+    // because an empty stream is indistinguishable from a completed one.
+    val mirror =
+      if (isDir) s.read.schema(rawSchema).parquet(path)
+      else s.read.schema(rawSchema)
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    require(!mirror.isEmpty,
+      s"streamTable($path): the ${if (isDir) "directory" else "glob"} " +
+        "layout branch matches 0 rows — refusing to stream an empty " +
+        "table (layout mismatch or bad path?)")
+    if (isDir) s.readStream.schema(rawSchema).parquet(path)
+    else s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
 
   /** Streaming twin of [[Relational.qEventsHourly]]: hourly event counts
@@ -80,7 +99,7 @@ object StreamOps {
     val agg = graft.streaming.StructuredStreams
       .windowedEventStats(ev, "1 hour", "1 hour")
     val sink = "stream_hourly_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete") // re-emit all windows; append would hold
@@ -120,7 +139,7 @@ object StreamOps {
     val agg = graft.streaming.StructuredStreams
       .enrichedSegmentStats(ev, dim, "1 hour", "1 hour")
     val sink = "stream_enriched_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
@@ -163,7 +182,7 @@ object StreamOps {
         max(struct(col("ts"), col("event_id"),
           col("event_type"), col("value"))).as("last"))
     val sink = "stream_cdc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
@@ -216,7 +235,7 @@ object StreamOps {
     val joined = side("view", "v").join(side("purchase", "p"),
       expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
     val sink = "stream_join_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = joined.writeStream
       .format("memory").queryName(sink)
       .outputMode("append")
@@ -275,7 +294,7 @@ object StreamOps {
       val dec = graft.streaming.StructuredStreams
         .streamingTokenBudget(docs, budget)
       val sink = "stream_budget_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+      val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
       val q = dec.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
@@ -342,7 +361,7 @@ object StreamOps {
     val agg = docs.groupBy("lang")
       .agg(mink(col("priority"), col("doc_id")).as("keep"))
     val sink = "stream_reservoir_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
@@ -390,7 +409,7 @@ object StreamOps {
     val sessions = graft.streaming.StructuredStreams
       .sessionize(ev, gapMs = 30L * 60 * 1000)
     val sink = "stream_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = sessions.writeStream
       .format("memory").queryName(sink)
       .outputMode("append")
@@ -456,7 +475,7 @@ object StreamOps {
     * that trade.
     */
   def qStreamLateDrop(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
-    val base = Files.createTempDirectory("graft_stream_late").toString
+    val base = graft.core.TempDirs.create("graft_stream_late").toString
     val cols = graft.Tables.t(s, dir, "events")
       .select(col("event_id"), col("ts"), col("event_type"))
     def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -492,7 +511,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val sink = "stream_late_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("append") // emission gated on the watermark — the mode

@@ -191,7 +191,7 @@ object MySqlPlugin {
         // The dump itself is distributed; the single file is produced by
         // byte-concatenating the gzip members (a valid gzip stream), so no
         // row ever passes through driver memory.
-        val stage = java.nio.file.Files.createTempDirectory("my-migrate-dump")
+        val stage = graft.core.TempDirs.create("my-migrate-dump")
         src.table(srcTable).toJSON.write.mode(SaveMode.Overwrite)
           .option("compression", "gzip").text(stage.toString)
         import scala.jdk.CollectionConverters._

@@ -61,7 +61,7 @@ class ReferenceMiscSpec extends AnyFunSuite {
     runner("subsys").sequentialJobs(fixtureHome.resolve("subsys/net1.jobnet"))
 
   test("#restore_jobnet") {
-    val temp = Files.createTempDirectory("ftq").resolve("test_temp.queue")
+    val temp = graft.core.TempDirs.create("ftq").resolve("test_temp.queue")
     val empty = new FileTaskQueue(temp)
     assert(empty.queued.isEmpty)
     // a persisted queue restores its single pending job
@@ -71,7 +71,7 @@ class ReferenceMiscSpec extends AnyFunSuite {
   }
 
   test("#enqueue_jobnet") {
-    val temp = Files.createTempDirectory("ftq2").resolve("test_temp.queue")
+    val temp = graft.core.TempDirs.create("ftq2").resolve("test_temp.queue")
     val queue = new FileTaskQueue(temp)
     assert(queue.queued.isEmpty)
     net1Jobs.foreach(queue.enqueue)
@@ -82,7 +82,7 @@ class ReferenceMiscSpec extends AnyFunSuite {
   }
 
   test("#consume_each") {
-    val temp = Files.createTempDirectory("ftq3").resolve("test_temp.queue")
+    val temp = graft.core.TempDirs.create("ftq3").resolve("test_temp.queue")
     val queue = new FileTaskQueue(temp)
     net1Jobs.foreach(queue.enqueue)
     assert(!queue.locked)

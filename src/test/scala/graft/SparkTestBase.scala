@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 /** Shared local SparkSession with a throwaway warehouse for framework tests. */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val wh = Files.createTempDirectory("graft-warehouse")
+    val wh = graft.core.TempDirs.create("graft-warehouse")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -205,7 +205,7 @@ class SqlStatementSpec extends AnyFunSuite {
   }
 
   test("ERB: read_file_if_exist and path helpers") {
-    val dir = java.nio.file.Files.createTempDirectory("erb")
+    val dir = graft.core.TempDirs.create("erb")
     java.nio.file.Files.writeString(dir.resolve("frag.sql"), "select 1")
     val erb = ErbContext(appHome = Some(dir), baseDir = Some(dir))
     assert(EmbeddedFunctions.eval("read_file_if_exist('frag.sql')", erb) == "select 1")
@@ -226,7 +226,7 @@ class SqlStatementSpec extends AnyFunSuite {
   }
 
   test("ERB: all_tables / attribute_tables scan .ct headers") {
-    val home = java.nio.file.Files.createTempDirectory("erb-home")
+    val home = graft.core.TempDirs.create("erb-home")
     val sub = home.resolve("subsys"); java.nio.file.Files.createDirectories(sub)
     java.nio.file.Files.writeString(sub.resolve("users.ct"),
       "--dest-table: users\n--attributes: daily pii\n\ncreate table $dest_table (id int);\n")

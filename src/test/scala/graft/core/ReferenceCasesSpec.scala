@@ -318,7 +318,7 @@ class ReferenceVariablesSpec extends AnyFunSuite {
     })
     graft.jobclass.JobClass.register(jc)
     val ctx = JobContext(new DataSourceRegistry(Map.empty),
-      Files.createTempDirectory("refvars"), "", globals)
+      graft.core.TempDirs.create("refvars"), "", globals)
     new Job("varprec", JobFile("capture", jobFileValues), ctx,
       Map.empty, cliVars).compile()
     (capturedVars, capturedParams)

@@ -18,7 +18,7 @@ class HadoopFsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   test("put/list/get/move/delete over a file: URI") {
-    val dir = Files.createTempDirectory("hfs")
+    val dir = graft.core.TempDirs.create("hfs")
     val hfs = new HadoopFsDataSource("h", "file:" + dir.toString)
     val local = Files.createTempFile("hfs-local", ".txt")
     Files.writeString(local, "payload")
@@ -36,7 +36,7 @@ class HadoopFsSpec extends AnyFunSuite {
   }
 
   test("streaming_load runs end-to-end over the Hadoop store") {
-    val fsBase = Files.createTempDirectory("hfs-sl")
+    val fsBase = graft.core.TempDirs.create("hfs-sl")
     Files.createDirectories(fsBase.resolve("queue"))
     Files.writeString(fsBase.resolve("queue/ev-20240807-01.json"),
       """{"id":1,"name":"a"}""" + "\n")
@@ -44,7 +44,7 @@ class HadoopFsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS hsl.t")
     spark.sql("DROP TABLE IF EXISTS hsl.t_l")
     spark.sql("CREATE TABLE hsl.t (id INT, name STRING) USING parquet")
-    val home = Files.createTempDirectory("hfs-home")
+    val home = graft.core.TempDirs.create("hfs-home")
     Files.createDirectories(home.resolve("ss"))
     val ctx = JobContext(
       new DataSourceRegistry(Map(

@@ -68,7 +68,7 @@ class ObjectStoreSchemeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS s3xsl.t")
     spark.sql("DROP TABLE IF EXISTS s3xsl.t_l")
     spark.sql("CREATE TABLE s3xsl.t (id INT, name STRING) USING parquet")
-    val home = Files.createTempDirectory("s3x-home")
+    val home = graft.core.TempDirs.create("s3x-home")
     Files.createDirectories(home.resolve("ss"))
     val ctx = JobContext(
       new DataSourceRegistry(Map(

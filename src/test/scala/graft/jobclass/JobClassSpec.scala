@@ -23,8 +23,8 @@ class JobClassSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val sds = ctx.registry.spark("sql")
 
   override def beforeAll(): Unit = {
-    home = Files.createTempDirectory("graft-home")
-    fsBase = Files.createTempDirectory("graft-fs")
+    home = graft.core.TempDirs.create("graft-home")
+    fsBase = graft.core.TempDirs.create("graft-fs")
     Files.createDirectories(home.resolve("subsys"))
     spark.sql("CREATE DATABASE IF NOT EXISTS app")
     val registry = new DataSourceRegistry(Map(
@@ -258,7 +258,7 @@ class JobClassSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runner.run(home.resolve("subsys/net_ok.jobnet")).success)
 
     write("net_fail.jobnet", "ok1 -> boom\nboom -> ok2\n")
-    val qdir = Files.createTempDirectory("queue")
+    val qdir = graft.core.TempDirs.create("queue")
     val q1 = new FileTaskQueue(qdir.resolve("net_fail.queue"))
     val r = runner.run(home.resolve("subsys/net_fail.jobnet"), q1)
     assert(!r.success)

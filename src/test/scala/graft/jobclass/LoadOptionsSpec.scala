@@ -15,7 +15,7 @@ class LoadOptionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private def writeLines(name: String, lines: String*): String = {
-    val dir = Files.createTempDirectory(name)
+    val dir = graft.core.TempDirs.create(name)
     Files.writeString(dir.resolve("part-00000.csv"), lines.mkString("\n") + "\n")
     dir.toString
   }
@@ -74,7 +74,7 @@ class LoadOptionsSpec extends AnyFunSuite {
   }
 
   test("removequotes strips surrounding quotes in tsv; without it quotes are data") {
-    val dir = Files.createTempDirectory("lo-rq")
+    val dir = graft.core.TempDirs.create("lo-rq")
     Files.writeString(dir.resolve("d.tsv"), "1\t\"quoted value\"\n")
     val schema = StructType.fromDDL("id BIGINT, v STRING")
     val stripped = LoadOptions.read(spark, dir.toString, "tsv",

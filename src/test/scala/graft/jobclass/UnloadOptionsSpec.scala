@@ -19,7 +19,7 @@ class UnloadOptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var ctx: JobContext = _
 
   override def beforeAll(): Unit = {
-    home = Files.createTempDirectory("unload-home")
+    home = graft.core.TempDirs.create("unload-home")
     Files.createDirectories(home.resolve("subsys"))
     spark.sql("DROP TABLE IF EXISTS unload_src")
     spark.sql("CREATE TABLE unload_src (id INT, name STRING) USING parquet")

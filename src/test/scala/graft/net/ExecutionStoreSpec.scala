@@ -22,7 +22,7 @@ class ExecutionStoreSpec extends AnyFunSuite {
   private def backends: Seq[(String, () => ExecutionStoreApi)] = Seq(
     "tsv" -> (() => new ExecutionStore()),
     "jdbc" -> (() => JdbcExecutionStore.embedded(
-      Files.createTempDirectory("graft-derby").resolve("db"))))
+      graft.core.TempDirs.create("graft-derby").resolve("db"))))
 
   for ((kind, mk) <- backends) {
 
@@ -114,7 +114,7 @@ class ExecutionStoreSpec extends AnyFunSuite {
   }
 
   test("tsv store persists and reloads across instances") {
-    val p = Files.createTempDirectory("graft-exec").resolve("state.tsv")
+    val p = graft.core.TempDirs.create("graft-exec").resolve("state.tsv")
     val s1 = new ExecutionStore(Some(p))
     val e = s1.enqueueJob("n", ref("a\tweird\nname"), 1)
     s1.transitionToRunning(e.id)
@@ -129,7 +129,7 @@ class ExecutionStoreSpec extends AnyFunSuite {
   }
 
   test("jdbc store persists and reloads across connections") {
-    val db = Files.createTempDirectory("graft-derby-p").resolve("db")
+    val db = graft.core.TempDirs.create("graft-derby-p").resolve("db")
     val s1 = JdbcExecutionStore.embedded(db)
     val e = s1.enqueueJob("n", ref("a"), 1)
     s1.transitionToRunning(e.id)
@@ -143,7 +143,7 @@ class ExecutionStoreSpec extends AnyFunSuite {
 
   test("jdbc enqueue race: concurrent stores cannot double-insert an execution") {
     import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
-    val db = Files.createTempDirectory("graft-derby-race").resolve("db")
+    val db = graft.core.TempDirs.create("graft-derby-race").resolve("db")
     val s1 = JdbcExecutionStore.embedded(db)
     val s2 = new JdbcExecutionStore(s"jdbc:derby:$db") // second connection, same DB
     val pool = Executors.newFixedThreadPool(2)
@@ -171,7 +171,7 @@ class ExecutionStoreSpec extends AnyFunSuite {
   }
 
   test("jdbc store migrates a pre-active_key schema in place") {
-    val db = Files.createTempDirectory("graft-derby-mig").resolve("db")
+    val db = graft.core.TempDirs.create("graft-derby-mig").resolve("db")
     JdbcExecutionStore.quietDerby()
     // hand-build the old schema (no active_key column) with one live row
     val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
@@ -217,7 +217,7 @@ class ExecutionStoreSpec extends AnyFunSuite {
   }
 
   test("jdbc lock survives reconnection (durable executor_id row)") {
-    val db = Files.createTempDirectory("graft-derby-l").resolve("db")
+    val db = graft.core.TempDirs.create("graft-derby-l").resolve("db")
     val s1 = JdbcExecutionStore.embedded(db)
     s1.lock("net9", "host:1")
     s1.close()

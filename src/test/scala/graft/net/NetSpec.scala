@@ -83,7 +83,7 @@ class TaskQueueSpec extends AnyFunSuite {
   }
 
   test("file queue persists, restores, resumes after failure") {
-    val dir = Files.createTempDirectory("q")
+    val dir = graft.core.TempDirs.create("q")
     val path = dir.resolve("net.queue")
     val q = new FileTaskQueue(path)
     Seq("a", "b", "c").foreach(n => q.enqueue(ref(n)))
@@ -97,7 +97,7 @@ class TaskQueueSpec extends AnyFunSuite {
   }
 
   test("double lock raises DoubleLockError") {
-    val dir = Files.createTempDirectory("q")
+    val dir = graft.core.TempDirs.create("q")
     val q = new FileTaskQueue(dir.resolve("net.queue"))
     q.lock()
     intercept[graft.core.DoubleLockError] { q.lock() }

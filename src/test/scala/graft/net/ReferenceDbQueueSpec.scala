@@ -30,7 +30,7 @@ class ReferenceDbQueueSpec extends AnyFunSuite {
   // fresh store per test = the reference's teardown delete_all
   private def mkStore(): JdbcExecutionStore =
     JdbcExecutionStore.embedded(
-      Files.createTempDirectory("graft-dbq").resolve("db"))
+      graft.core.TempDirs.create("graft-dbq").resolve("db"))
 
   private def enqueue(store: ExecutionStoreApi, jobnetId: String,
       executorId: String, refs: Seq[JobRef],

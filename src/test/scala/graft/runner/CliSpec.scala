@@ -31,7 +31,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("loadVariables: subsystem overrides global; ERB date helpers expand") {
-    val home = Files.createTempDirectory("cli-home")
+    val home = graft.core.TempDirs.create("cli-home")
     Files.createDirectories(home.resolve("ss"))
     Files.writeString(home.resolve("variable.yml"),
       "data_date: <%= today - 1 %>\nwho: global\n")
@@ -42,7 +42,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("loadVariables: builtin < bricolage.yml < variable.yml layering") {
-    val home = Files.createTempDirectory("cli-home3")
+    val home = graft.core.TempDirs.create("cli-home3")
     Files.writeString(home.resolve("bricolage.yml"),
       "log_dir: /var/log/graft\nwho: system\n")
     Files.writeString(home.resolve("variable.yml"), "who: user\n")
@@ -77,7 +77,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("LogLocator.redirect captures println and System.out, then restores") {
-    val f = Files.createTempDirectory("log-loc").resolve("a/b/job.log")
+    val f = graft.core.TempDirs.create("log-loc").resolve("a/b/job.log")
     val before = System.out
     LogLocator.redirect(f) {
       println("via console")
@@ -89,7 +89,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("LogLocator upload hook ships the log after the job; failure only warns") {
-    val dir = Files.createTempDirectory("log-up")
+    val dir = graft.core.TempDirs.create("log-up")
     val f = dir.resolve("job.log")
     var shipped: Option[java.nio.file.Path] = None
     LogLocator.redirect(f, Some(p => shipped = Some(p))) { println("x") }
@@ -104,7 +104,7 @@ class CliSpec extends AnyFunSuite {
     val spark = graft.SparkTestBase.spark
     spark.sql("CREATE DATABASE IF NOT EXISTS cli_e2e")
     spark.sql("DROP TABLE IF EXISTS cli_e2e.t")
-    val home = Files.createTempDirectory("cli-e2e")
+    val home = graft.core.TempDirs.create("cli-e2e")
     Files.createDirectories(home.resolve("etl"))
     Files.writeString(home.resolve("datasource.yml"),
       "sql:\n  type: spark\n  schema: cli_e2e\n")
@@ -135,7 +135,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("loadContext builds registry from datasource.yml") {
-    val home = Files.createTempDirectory("cli-home2")
+    val home = graft.core.TempDirs.create("cli-home2")
     Files.writeString(home.resolve("datasource.yml"),
       """sql:
         |  type: spark
@@ -151,7 +151,7 @@ class CliSpec extends AnyFunSuite {
 
   test("loadContext falls back to database.yml and merges password.yml") {
     // reference: datasource.rb:10-22 (file fallback) + :32-39 (passwords)
-    val home = Files.createTempDirectory("cli-home3")
+    val home = graft.core.TempDirs.create("cli-home3")
     Files.writeString(home.resolve("database.yml"),
       """db:
         |  type: generic
@@ -164,7 +164,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--enable-queue derives a file-queue path under the local state dir") {
-    val home = Files.createTempDirectory("cli-eq")
+    val home = graft.core.TempDirs.create("cli-eq")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/b.job"), "class: noop\nfailure: true\n")
@@ -186,7 +186,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("config/ and config/<env>/ variable layering (reference config_pathes)") {
-    val home = Files.createTempDirectory("cli-cfg")
+    val home = graft.core.TempDirs.create("cli-cfg")
     Files.createDirectories(home.resolve("config/development"))
     Files.createDirectories(home.resolve("sub"))
     Files.writeString(home.resolve("config/variable.yml"),
@@ -202,7 +202,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("JobNetMain --db-queue: Derby-backed queue resumes after a failure") {
-    val home = Files.createTempDirectory("cli-dbq")
+    val home = graft.core.TempDirs.create("cli-dbq")
     val db = home.resolve("queue-db")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/ok1.job"), "class: noop\n")
@@ -248,7 +248,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-e/--environment selects config/<env>/ (reference application.rb:325-327)") {
-    val home = Files.createTempDirectory("cli-env")
+    val home = graft.core.TempDirs.create("cli-env")
     Files.createDirectories(home.resolve("config/production"))
     Files.writeString(home.resolve("config/variable.yml"), "x: base\n")
     Files.writeString(home.resolve("config/production/variable.yml"), "x: prod\n")
@@ -270,7 +270,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--dump-options shows values with provenance (reference application.rb:45-50)") {
-    val home = Files.createTempDirectory("cli-dump")
+    val home = graft.core.TempDirs.create("cli-dump")
     Files.writeString(home.resolve("bricolage.yml"), "log-dir: /var/log/graft\n")
     val out = captureOut {
       assert(BricolageMain.run(Seq(s"--home=$home", "--log-path=/x/%{std}.log",
@@ -293,7 +293,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-l/--list-jobs lists target jobs without executing (reference jobnetrunner.rb:74-77,144-148)") {
-    val home = Files.createTempDirectory("cli-lj")
+    val home = graft.core.TempDirs.create("cli-lj")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
@@ -308,7 +308,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-l on a resumed queue lists only the persisted remainder (reference jobnetrunner.rb:69-77)") {
-    val home = Files.createTempDirectory("cli-lr")
+    val home = graft.core.TempDirs.create("cli-lr")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
@@ -331,7 +331,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-c/--check-only compiles all jobs and quits (reference jobnetrunner.rb:78-83,150-154)") {
-    val home = Files.createTempDirectory("cli-co")
+    val home = graft.core.TempDirs.create("cli-co")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
@@ -355,7 +355,7 @@ class CliSpec extends AnyFunSuite {
     spark.sql("CREATE DATABASE IF NOT EXISTS cli_exp")
     spark.sql("DROP TABLE IF EXISTS cli_exp.t")
     spark.sql("CREATE TABLE cli_exp.t (v INT) USING parquet")
-    val home = Files.createTempDirectory("cli-exp")
+    val home = graft.core.TempDirs.create("cli-exp")
     Files.createDirectories(home.resolve("etl"))
     Files.writeString(home.resolve("datasource.yml"),
       "sql:\n  type: spark\n  schema: cli_exp\n")
@@ -373,7 +373,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--list-variables and --list-declarations (reference application.rb:56-66)") {
-    val home = Files.createTempDirectory("cli-lv")
+    val home = graft.core.TempDirs.create("cli-lv")
     Files.writeString(home.resolve("variable.yml"), "who: world\n")
     Files.writeString(home.resolve("nop.job"), "class: noop\ngreet: $who\n")
     val decls = captureOut {
@@ -390,7 +390,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-L/--log-dir writes per-job logs and --s3-log ships them (reference application.rb:222-234)") {
-    val home = Files.createTempDirectory("cli-log")
+    val home = graft.core.TempDirs.create("cli-log")
     val logDir = home.resolve("logs")
     val shipped = home.resolve("shipped")
     Files.createDirectories(home.resolve("net"))
@@ -411,7 +411,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("BricolageMain -L/--log-dir writes the single job's log too (reference application.rb:77-80)") {
-    val home = Files.createTempDirectory("cli-jlog")
+    val home = graft.core.TempDirs.create("cli-jlog")
     val logDir = home.resolve("logs")
     Files.writeString(home.resolve("a.job"), "class: noop\n")
     assert(BricolageMain.run(Seq(s"--home=$home", s"--log-dir=$logDir",
@@ -423,8 +423,8 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--local-state-dir overrides the derived queue path (reference jobnetrunner.rb:277-279)") {
-    val home = Files.createTempDirectory("cli-lsd")
-    val state = Files.createTempDirectory("cli-lsd-state")
+    val home = graft.core.TempDirs.create("cli-lsd")
+    val state = graft.core.TempDirs.create("cli-lsd-state")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
@@ -437,7 +437,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--db-name resolves a jdbc datasource for the DB queue (reference jobnetrunner.rb:100-105,292-294)") {
-    val home = Files.createTempDirectory("cli-dbn")
+    val home = graft.core.TempDirs.create("cli-dbn")
     val db = home.resolve("named-db")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("datasource.yml"),
@@ -463,7 +463,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("a stale queue lock refuses the run with unlock guidance (reference jobnetrunner.rb:61-63)") {
-    val home = Files.createTempDirectory("cli-lk")
+    val home = graft.core.TempDirs.create("cli-lk")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/q.jobnet"), "a\n")
@@ -489,7 +489,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("cmdline --queue beats a saved higher-priority db-queue (group layering)") {
-    val home = Files.createTempDirectory("cli-gl")
+    val home = graft.core.TempDirs.create("cli-gl")
     Files.writeString(home.resolve("bricolage.yml"),
       s"db-queue: ${home.resolve("saved-db")}\n")
     Files.createDirectories(home.resolve("net"))
@@ -512,7 +512,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("bricolage.yml saved enable-queue turns on the derived file queue") {
-    val home = Files.createTempDirectory("cli-seq")
+    val home = graft.core.TempDirs.create("cli-seq")
     Files.writeString(home.resolve("bricolage.yml"), "enable-queue: true\n")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
@@ -528,7 +528,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("bricolage.yml saved queue-path takes effect; --disable-queue vetoes it (reference merge_saved_options)") {
-    val home = Files.createTempDirectory("cli-sq")
+    val home = graft.core.TempDirs.create("cli-sq")
     val qf = home.resolve("saved.queue")
     Files.writeString(home.resolve("bricolage.yml"), s"queue-path: $qf\n")
     Files.createDirectories(home.resolve("net"))
@@ -552,7 +552,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--clear-queue clears persisted progress and quits without running (reference jobnetrunner.rb:64-68)") {
-    val home = Files.createTempDirectory("cli-cq")
+    val home = graft.core.TempDirs.create("cli-cq")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/a.job"), "class: noop\n")
     Files.writeString(home.resolve("net/boom.job"), "class: noop\nfailure: true\n")
@@ -574,7 +574,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-r/--require loads a plugin object and fires its register() (reference application.rb:352-354)") {
-    val home = Files.createTempDirectory("cli-req")
+    val home = graft.core.TempDirs.create("cli-req")
     // the redis plugin registers the redis-export class on require; loading
     // it through -r must make the class visible to --list-job-class
     val out = captureOut {
@@ -588,7 +588,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("positional job class runs in class mode (reference application.rb:103-112)") {
-    val home = Files.createTempDirectory("cli-cm")
+    val home = graft.core.TempDirs.create("cli-cm")
     // no job file on disk: the positional names a registered job class and
     // parameters come entirely from --option job options
     assert(BricolageMain.run(Seq(s"--home=$home", "noop"),
@@ -604,7 +604,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-l with a DB queue lists the restored remainder after a failure") {
-    val home = Files.createTempDirectory("cli-dbl")
+    val home = graft.core.TempDirs.create("cli-dbl")
     val db = home.resolve("dbq")
     Files.createDirectories(home.resolve("net"))
     Files.writeString(home.resolve("net/ok.job"), "class: noop\n")
@@ -638,7 +638,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("--dump-options reflects effective queue layering (saved enable-queue, disable veto)") {
-    val home = Files.createTempDirectory("cli-dq")
+    val home = graft.core.TempDirs.create("cli-dq")
     Files.writeString(home.resolve("bricolage.yml"),
       "enable-queue: true\nqueue-path: /var/q/net.queue\n")
     Files.createDirectories(home.resolve("net"))
@@ -662,7 +662,7 @@ class CliSpec extends AnyFunSuite {
   test("Cli.executorId: host:pid default, ECS TaskARN:pid (reference jobnetrunner.rb:113-124)") {
     val pid = ProcessHandle.current().pid()
     assert(Cli.executorId(None).endsWith(s":$pid"))
-    val meta = Files.createTempDirectory("ecs-meta")
+    val meta = graft.core.TempDirs.create("ecs-meta")
     Files.writeString(meta.resolve("task"),
       """{"Cluster":"c","TaskARN":"arn:aws:ecs:us-east-1:123:task/cluster/abc123def"}""")
     assert(Cli.executorId(Some(s"file://$meta")) == s"abc123def:$pid")
@@ -670,7 +670,7 @@ class CliSpec extends AnyFunSuite {
 
   test("before_option_parsing hook fires before argv parsing and can inject options") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-    val home = Files.createTempDirectory("cli-home4")
+    val home = graft.core.TempDirs.create("cli-home4")
     JobListener.register(new JobListener {
       override def beforeOptionParsing(args: Seq[String]): Seq[String] = {
         seen += args
@@ -689,7 +689,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("prelude.conf auto-requires features at context creation (reference context.rb:55)") {
-    val home = Files.createTempDirectory("cli-prelude")
+    val home = graft.core.TempDirs.create("cli-prelude")
     Files.createDirectories(home.resolve("config/staging"))
     Files.writeString(home.resolve("config/prelude.conf"),
       "# global prelude\ngraft.runner.PreludeProbe\n\n")
@@ -706,7 +706,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("a Ruby prelude.rb is loudly skipped, never silently ignored") {
-    val home = Files.createTempDirectory("cli-preluderb")
+    val home = graft.core.TempDirs.create("cli-preluderb")
     Files.createDirectories(home.resolve("config"))
     Files.writeString(home.resolve("config/prelude.rb"), "require 'foo'\n")
     val bos = new java.io.ByteArrayOutputStream()

@@ -31,7 +31,7 @@ class FixtureHomeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def beforeAll(): Unit = {
-    home = Files.createTempDirectory("fixture-home")
+    home = graft.core.TempDirs.create("fixture-home")
     copyTree(Paths.get("src/test/resources/fixture-home"), home)
     // datasource config (reference keeps this in config/<env>/database.yml;
     // paths are machine-local so the spec writes it)

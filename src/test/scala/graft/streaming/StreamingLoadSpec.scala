@@ -22,8 +22,8 @@ class StreamingLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var ctx: JobContext = _
 
   override def beforeAll(): Unit = {
-    home = Files.createTempDirectory("sl-home")
-    fsBase = Files.createTempDirectory("sl-fs")
+    home = graft.core.TempDirs.create("sl-home")
+    fsBase = graft.core.TempDirs.create("sl-fs")
     Files.createDirectories(home.resolve("subsys"))
     Files.createDirectories(fsBase.resolve("queue"))
     spark.sql("CREATE DATABASE IF NOT EXISTS sl")

@@ -17,7 +17,7 @@ class StructuredStreamsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
-  private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
+  private def tmp(prefix: String): Path = graft.core.TempDirs.create(prefix)
 
   test("q_stream_hourly: the streaming window agg equals the batch plan") {
     import org.apache.spark.sql.functions._
@@ -33,6 +33,39 @@ class StructuredStreamsSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSeq
     assert(streamed.nonEmpty && streamed == batch,
       "stream(events) must equal batch(events) row for row")
+  }
+
+  test("q_stream_hourly reads the directory-of-part-files layout (sf1 audit regression)") {
+    // GenScale (and any production writer) lays a table out as
+    // `<dir>/events.parquet/part-*.parquet`. The pre-fix streamTable
+    // globbed `events.parquet` against the PART file names and silently
+    // streamed zero rows — this run's committed sf1 streaming numbers
+    // measured empty streams because of it. This pins the fix: the
+    // directory layout must produce the same answer as the driver's
+    // single-file layout.
+    val srcDir = "/root/testdata/sf0.001"
+    val dirLayout = tmp("dirlayout")
+    graft.Tables.t(spark, srcDir, "events")
+      .write.mode("overwrite").parquet(dirLayout.resolve("events.parquet").toString)
+    val fromDir = graft.operators.StreamOps.qStreamHourly(spark, dirLayout.toString)
+      .collect().map(_.mkString("|")).toSeq
+    val fromFile = graft.operators.StreamOps.qStreamHourly(spark, srcDir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(fromDir.nonEmpty && fromDir == fromFile,
+      "directory layout must stream the same rows as the single-file layout")
+  }
+
+  test("streaming an empty table fails loudly instead of returning zero rows") {
+    // The zero-row failure mode must never again be silent: if the chosen
+    // layout branch matches no rows, streamTable refuses up front.
+    val dir = tmp("emptylayout")
+    graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(lit(false))
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.StreamOps.qStreamHourly(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("0 rows"), s"unexpected message: ${e.getMessage}")
   }
 
   test("checkpoint resume is exactly-once: a restarted query reads only new files and still matches batch") {
@@ -413,7 +446,7 @@ class StructuredStreamsSpec extends AnyFunSuite {
         col("doc_id"))
     // two shards, REVERSED order: the second half of the corpus arrives
     // in the first micro-batch (file listing order is name order)
-    val shardDir = java.nio.file.Files.createTempDirectory("graft_res_shards")
+    val shardDir = graft.core.TempDirs.create("graft_res_shards")
     docs.filter(col("doc_id") % 2 === 1).coalesce(1)
       .write.parquet(shardDir.resolve("a_late_half").toString)
     docs.filter(col("doc_id") % 2 === 0).coalesce(1)
@@ -426,7 +459,7 @@ class StructuredStreamsSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1") // force one shard per micro-batch
       .parquet(shardDir.toString + "/*")
       .groupBy("lang").agg(mink(col("priority"), col("doc_id")).as("keep"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_res_ckpt").toString
+    val ckpt = graft.core.TempDirs.create("graft_res_ckpt").toString
     val q = streamed.writeStream.format("memory").queryName("res_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt).start()

@@ -29,6 +29,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
+    # Bound DuckDB's scratch space explicitly: the sf1 audit once died of
+    # ENOSPC inside a relative ".tmp" spill dir while evaluating the
+    # q_allpairs_jaccard oracle. Spill to a dedicated dir on the big
+    # volume (overridable) and cap memory so spilling engages early
+    # instead of OOMing the driver box.
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/graft_duckdb_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # the driver testdata is one file per table; GenScale output (the
         # sf1+ scaling-audit datasets) is a Spark-style directory of parts
@@ -44,15 +54,35 @@ def main(sf_dir: str, out_dir: str) -> None:
     # and they stay hash-gated at sf0.01.
     skip = set(filter(None,
                       os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
+    # Skips weaken the gate, so they are only legal when the caller ALSO
+    # sets GRAFT_ORACLE_ALLOW_SKIP=1 (the scaling-audit scripts do, with
+    # the reason documented next to the skip list). Without the allow
+    # flag a skip request is itself a failure — no silent de-gating.
+    allow_skip = os.environ.get("GRAFT_ORACLE_ALLOW_SKIP") == "1"
+    if skip and not allow_skip:
+        print("ERROR: GRAFT_ORACLE_SKIP set without GRAFT_ORACLE_ALLOW_SKIP=1 "
+              "— refusing to weaken the gate silently")
+        sys.exit(2)
     # GRAFT_ORACLE_RESUME: path to a previous run's output — queries with
     # a PASS line there are not re-executed (long sf1 runs interrupted by
-    # one pathological oracle keep their finished work)
+    # one pathological oracle keep their finished work). Cached PASSes
+    # are only honored when the prior run's STAMP line matches this run's
+    # inputs (same sf_dir + out_dir) — a resume file from a different
+    # dataset or dump dir proves nothing about this one.
     done = set()
     resume = os.environ.get("GRAFT_ORACLE_RESUME")
     if resume and os.path.exists(resume):
-        for line in open(resume):
-            if line.startswith("PASS"):
-                done.add(line.split()[1])
+        lines = list(open(resume))
+        stamped = any(l.strip() == f"STAMP    sf_dir={sf_dir} out_dir={out_dir}"
+                      for l in lines)
+        if not stamped:
+            print(f"WARNING: resume file {resume} has no matching STAMP for "
+                  f"(sf_dir={sf_dir}, out_dir={out_dir}) — ignoring its PASS lines")
+        else:
+            for line in lines:
+                if line.startswith("PASS"):
+                    done.add(line.split()[1])
+    print(f"STAMP    sf_dir={sf_dir} out_dir={out_dir}")
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in done:
