@@ -70,14 +70,28 @@ object Bench {
       // estimator. The cache is cleared INSIDE each run's setup so the
       // second run re-reads parquet like the first — min-of-2 removes
       // noise, never data work.
+      // A run that THROWS must never be published as a time: the
+      // time-to-throw of a fast failure (dead context, OOM, bad path)
+      // looks like a spectacular speedup — the sf10 audit once recorded
+      // a 30-query sweep of ~0.1 s "times" that were all failures.
+      // Failed runs return NaN (poisoning min), print a loud marker,
+      // and publish as -1 so downstream gates can refuse them.
       def timedRun(): Double = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] BENCHFAIL $name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+          Double.NaN
+        }
       }
-      val sec = (1 to 2).map(_ => timedRun()).min
+      val samples = (1 to 2).map(_ => timedRun())
+      val ok = samples.filterNot(_.isNaN)
+      val sec = if (ok.isEmpty) -1.0 else ok.min
       // outside the timed window: queries whose plans read persisted
       // signature/hash tables (the reusable-index idiom) hand cache
       // lifetime to the caller — release between queries so one query's

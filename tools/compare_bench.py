@@ -89,6 +89,14 @@ def main():
         raise SystemExit("usage: compare_bench.py BASELINE.json NEW.json [--threshold X]")
     base, new = load_bench(args[0]), load_bench(args[1])
     failures = []
+    # a negative time is Bench's explicit failed-run marker — never a
+    # speedup; gate on it before any ratio math
+    for q, t in sorted(new["queries"].items()):
+        if t < 0:
+            print(f"FAIL     {q:32s} BENCHFAIL (run threw; see bench stderr)")
+            failures.append(q)
+    new = dict(new, queries={q: t for q, t in new["queries"].items() if t >= 0})
+    base = dict(base, queries={q: t for q, t in base["queries"].items() if t >= 0})
     for q, t_new in sorted(new["queries"].items()):
         t_base = base["queries"].get(q)
         if t_base is None:

@@ -40,9 +40,17 @@ def main() -> None:
     data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     flag_at = 1.5 * data_ratio
     rows = []
+    n_benchfail = 0
     for name in sorted(set(small) & set(big)):
         s, b = small[name], big[name]
-        if s <= 0:
+        # -1 is Bench's explicit failed-run marker: surface it loudly —
+        # a failed big-SF run otherwise vanishes from the audit as if
+        # the query scaled perfectly
+        if s < 0 or b < 0:
+            print(f"BENCHFAIL  {name}: small={s} big={b} (run threw)")
+            n_benchfail += 1
+            continue
+        if s == 0:
             continue
         rows.append((b / s, name, s, b))
     rows.sort(reverse=True)
@@ -59,8 +67,9 @@ def main() -> None:
     ts, tb = sum(s for _, _, s, _ in rows), sum(b for _, _, _, b in rows)
     print(f"\ntotals: {ts:.1f}s -> {tb:.1f}s ({tb / ts:.2f}x) on "
           f"{len(rows)} common queries; data grew {data_ratio:.0f}x; "
-          f"{n_flag} flagged")
-    sys.exit(1 if n_flag else 0)
+          f"{n_flag} flagged"
+          + (f"; {n_benchfail} BENCHFAIL" if n_benchfail else ""))
+    sys.exit(1 if n_flag or n_benchfail else 0)
 
 
 if __name__ == "__main__":
