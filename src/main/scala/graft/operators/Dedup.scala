@@ -222,11 +222,31 @@ object Dedup {
     * minus two materialized arrays per pair in the hottest loop of the
     * LSH family.
     */
-  private[operators] def verifyPairs(cand: DataFrame, grams: DataFrame, minJ: Double): DataFrame = {
+  private[operators] def verifyPairs(cand: DataFrame, grams: DataFrame, minJ: Double,
+      bcastGrams: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(cand.sparkSession)
+    // Default shape: two doc-keyed shuffle joins — right for the LSH
+    // family, whose banded candidate sets are small multiples of the
+    // true-dup count while the gram index is corpus-sized (at 100 TB the
+    // index can never broadcast, the candidates stay cheap to shuffle).
+    // `bcastGrams` inverts that trade for the exact all-pairs arm: its
+    // candidate stream is quadratic-shaped (measured 23.5M pairs at sf1,
+    // ~2.5B at sf10) and shuffling it through two joins that attach a
+    // ~1 KB gram array per side spilled ~TB at sf10 (the audit's ENOSPC).
+    // Broadcasting the doc→grams index instead keeps the pair stream
+    // PIPELINED — candidates flow from the prefix join through two
+    // broadcast hash joins and the jaccard filter in one stage, and only
+    // the tiny τ-surviving set ever materializes. The broadcast is bounded
+    // by the corpus's per-doc gram index (not the pair count); past the
+    // broadcast ceiling the exact arm's documented scale path is
+    // partitioned PPJoin (replicate index shards by prefix-gram range).
+    def side(n: String, g: String) = {
+      val s = grams.select(col("doc_id").as(n), col("grams").as(g))
+      if (bcastGrams) broadcast(s) else s
+    }
     cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .join(side("doc_a", "grams_a"), "doc_a")
+      .join(side("doc_b", "grams_b"), "doc_b")
       .withColumn("jaccard", expr("jaccard4(grams_a, grams_b)"))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
@@ -1187,13 +1207,31 @@ object Dedup {
     *
     * Scale shape: grams explode once (persisted for the two consumers);
     * df and prefix are gram-keyed / doc-windowed aggregates of that
-    * surface; candidates shuffle on prefix grams only; verify joins are
-    * doc-keyed equi-joins. At 100 TB this is the expensive-but-exact
-    * path — the df-ordered prefix is what keeps it feasible at all, and
-    * τ controls the cost knob directly.
+    * surface; the candidate join shuffles NARROW prefix rows (doc_id,
+    * gram hash, n, rn, block ids — no arrays) on (gram hash, block pair)
+    * — the per-gram grid decomposition that keeps a hot gram from
+    * serializing its df² pair surface in one task — and the resulting
+    * pair stream is never shuffled again: it pipelines through the
+    * broadcast gram-index verify (see [[verifyPairs]] `bcastGrams`)
+    * and only τ-survivors materialize. At 100 TB this is the
+    * expensive-but-exact path — the df-ordered prefix is what keeps it
+    * feasible at all, and τ controls the cost knob directly.
     */
-  def qAllpairsJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = gramsOf(t(s, dir, "documents")).persist()
+  def qAllpairsJaccard(s: SparkSession, dir: String): DataFrame =
+    allpairsJaccard(t(s, dir, "documents"), AllPairsBlockRows)
+
+  /** Rows-per-block knob for the candidate join's per-gram grid
+    * decomposition: a gram with df ≤ blockRows keeps one block (zero
+    * replication — the sf0.01/sf0.1 gate path is plan-identical to the
+    * undecomposed join); a hotter gram splits into ceil(df/blockRows)
+    * blocks per side, bounding any task's raw-pair surface near
+    * blockRows² (~17M at 4096) regardless of how hot the gram is. The
+    * spec exercises the multi-block path with a tiny override.
+    */
+  private[operators] val AllPairsBlockRows = 4096L
+
+  private[operators] def allpairsJaccard(docs: DataFrame, blockRows: Long): DataFrame = {
+    val grams = gramsOf(docs).persist()
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val gdf = gramRows.groupBy("g").agg(count(lit(1)).as("df"))
     val sized = gramRows.join(gdf, Seq("g"))
@@ -1212,12 +1250,38 @@ object Dedup {
       .filter(col("rn") <=
         expr(s"n - ((n * $TauNum + ${TauDen - 1}) div $TauDen) + 1"))
       .select(col("doc_id"), expr(shingleHashScalar("g")).as("gh"),
-        col("n"), col("rn"))
+        col("n"), col("rn"), col("df"))
+    // Per-gram GRID decomposition of the self-join — the skew defense.
+    // Keying on gh alone serializes a hot gram's entire df² pair surface
+    // in ONE task (AQE's skew split can't help: it judges skew by INPUT
+    // partition bytes, and a hot gram's input is kilobytes while its join
+    // OUTPUT is billions of pairs — the sf10 audit watched exactly that
+    // 8-core straggler tail). Instead, each gram's docs are hashed into
+    // nblk = ceil(df/blockRows) blocks; the left side replicates each row
+    // across peer block ids gj, the right across gi, and the join keys on
+    // (gh, gi, gj) — so a pair (x, y) sharing gram g meets EXACTLY at
+    // (gh, blk(x), blk(y)), once, and a hot gram becomes nblk² bounded
+    // tasks instead of one straggler. Replication multiplies only the
+    // NARROW prefix rows (×nblk, i.e. ×df/blockRows), never pair rows.
+    // nblk is a function of df — a per-GRAM quantity both sides compute
+    // identically — so the meet is deterministic; gh collisions between
+    // distinct grams can as ever only add stray candidates (different
+    // nblk per side changes only where those strays meet), which the
+    // exact verify rejects. Same triangle-block idea as
+    // [[Similarity.nearDupPairs]], but derived distributively from the
+    // df column already in the plan — no driver-side cell census.
+    val pfx = prefix
+      .withColumn("nblk",
+        greatest(lit(1L), expr(s"(df + ${blockRows - 1}) div $blockRows")))
+      .withColumn("blk", pmod(hash(col("doc_id")).cast("long"), col("nblk")))
     val alphaDen = TauNum + TauDen
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("gh"),
-        col("n").as("n_a"), col("rn").as("r_a"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("gh"),
-        col("n").as("n_b"), col("rn").as("r_b")), Seq("gh"))
+    val cand = pfx.select(col("doc_id").as("doc_a"), col("gh"),
+        col("n").as("n_a"), col("rn").as("r_a"), col("blk").as("gi"),
+        explode(sequence(lit(0L), col("nblk") - 1)).as("gj"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("gh"),
+        col("n").as("n_b"), col("rn").as("r_b"), col("blk").as("gj"),
+        explode(sequence(lit(0L), col("nblk") - 1)).as("gi")),
+        Seq("gh", "gi", "gj"))
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|)
       .filter(least(col("n_a"), col("n_b")) * TauDen >=
@@ -1227,8 +1291,19 @@ object Dedup {
       // first common gram inside both prefixes, so ≥ 1 row passes)
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >=
         expr(s"((n_a + n_b) * $TauNum + ${alphaDen - 1}) div $alphaDen"))
-      .select("doc_a", "doc_b").distinct()
-    verifyPairs(cand, grams, AllPairsTau)
+      .select("doc_a", "doc_b")
+    // NO pre-verify distinct: deduplicating the full candidate stream is
+    // a pair-count-sized shuffle (the sf10 audit's disk killer), and the
+    // measured duplication factor — pairs sharing >1 prefix gram — is
+    // only 1.09× at sf1, so re-verifying dups costs 9% extra codegen'd
+    // jaccard4 calls instead of a ~40 GB+ exchange. Candidates flow
+    // straight into the broadcast verify (one pipelined stage) and only
+    // the τ-survivors — bounded by the true near-dup count — are
+    // deduplicated, where distinct() touches thousands of rows, not
+    // billions. Dup rows are bit-identical (jaccard is deterministic),
+    // so distinct-after-verify preserves the exact output contract.
+    verifyPairs(cand, grams, AllPairsTau, bcastGrams = true)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -311,6 +311,15 @@ class DedupSpec extends AnyFunSuite {
     } yield (a, b) -> j).toMap
     assert(got == want, "exact all-pairs join must equal unpruned brute force")
     assert(got.nonEmpty, "corpus must exercise real near-dup pairs")
+
+    // the grid decomposition must be invisible to the answer: force the
+    // multi-block path (blockRows=4 puts every real gram's df over the
+    // block size, so candidate pairs meet at non-trivial (gi, gj) keys)
+    // and require the identical pair set
+    val gridded = Dedup.allpairsJaccard(
+        graft.Tables.t(spark, dir, "documents"), blockRows = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gridded == want, "multi-block grid join must equal brute force")
   }
 
   test("simhash hot-bucket subdivision: cold buckets untouched, hot buckets bounded, candidates only shrink") {

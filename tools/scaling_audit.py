@@ -20,6 +20,18 @@ itself saved to a file).
 import json
 import sys
 
+# Queries whose OUTPUT CONTRACT is quadratic in the data: their oracle
+# is an exact pair join, so the work (and the answer itself) grows with
+# data_ratio^2 by definition — a linear threshold would flag them for
+# honoring their own semantics. They get flag_at = 1.5 * data_ratio^2;
+# staying UNDER that (e.g. q_stress_hot_near_dup measured 34x on 10x
+# data = 100x pairs) is the blocked decomposition doing its job.
+QUADRATIC_CONTRACT = {
+    # exact within-label cos-sim pairs; hot cell holds 50% of rows, so
+    # pair count grows (data_ratio)^2 (StressOps.qStressHotNearDup)
+    "q_stress_hot_near_dup",
+}
+
 
 def load(path: str) -> dict:
     with open(path) as f:
@@ -57,7 +69,8 @@ def main() -> None:
     n_flag = 0
     print(f"{'ratio':>7}  {'small':>7}  {'big':>7}  query")
     for r, name, s, b in rows:
-        flag = "SUPERLINEAR" if (r > flag_at and b >= 0.2 and s >= 0.05) else ""
+        limit = 1.5 * data_ratio ** 2 if name in QUADRATIC_CONTRACT else flag_at
+        flag = "SUPERLINEAR" if (r > limit and b >= 0.2 and s >= 0.05) else ""
         if flag:
             n_flag += 1
         if flag or r > data_ratio / 2:
