@@ -30,6 +30,12 @@ QUADRATIC_CONTRACT = {
     # exact within-label cos-sim pairs; hot cell holds 50% of rows, so
     # pair count grows (data_ratio)^2 (StressOps.qStressHotNearDup)
     "q_stress_hot_near_dup",
+    # exact PPJoin audit arm: the corpus vocabulary is fixed, so every
+    # gram's df grows with the data and the prefix-candidate surface
+    # grows df^2 (measured 23.5M pairs at sf1 -> ~2.5B at sf10 = 106x
+    # for 10x docs); the gridded candidate join (Dedup.allpairsJaccard)
+    # bounds per-task surface but total work follows the pair count
+    "q_allpairs_jaccard",
 }
 
 
