@@ -9,12 +9,16 @@ object Bench {
     // re-measurement of specific queries (the driver passes no args)
     val only: Option[Set[String]] =
       args.lift(0).map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     // Untimed per-query warmup immediately before each timed slot:
     // whole-stage codegen caches at most 100 generated classes, so with
     // this many queries any earlier warm pass is long evicted by the time
@@ -86,6 +90,16 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] BENCHFAIL $name: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(200))
+          // A fatal task error (executor OOM in local mode) stops the
+          // SparkContext itself, and every later query then fails
+          // instantly with "stopped SparkContext" — the sf10 audit lost
+          // 11 queries' worth of valid measurements to one such cascade.
+          // Rebuild the session so one query's fatality stays one
+          // query's BENCHFAIL.
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext died during $name — rebuilding session")
+            spark = newSession()
+          }
           Double.NaN
         }
       }
@@ -110,14 +124,24 @@ object Bench {
     // recompile and the min discards it (the same argument the sweep-1
     // comment makes for sf-only codegen paths). Net cost ≈ +3 min on a
     // ~9 min run.
+    // ...plus any query whose sweep-1 runs ALL failed (-1): the second
+    // sweep is its retry slot — a transient fatality (e.g. a task OOM
+    // that killed the context mid-sweep) shouldn't void the query for
+    // the whole run.
     val second =
       if (ordered.size == 1) Map.empty[String, Double]
       else sweep(
         ordered.reverse.filter { case (n, _) =>
-          first.exists { case (fn2, s) => fn2 == n && s >= 0.4 } },
+          first.exists { case (fn2, s) => fn2 == n && (s >= 0.4 || s < 0) } },
         prewarm = false).toMap
+    // Combine sweeps over VALID samples only: -1 is the failed-run
+    // marker, and min() would let a sweep-2 failure clobber a perfectly
+    // good sweep-1 time (the first sf10 audit published -1 for 11
+    // queries that had already measured fine in sweep 1). A query is -1
+    // only when every sample of every sweep failed.
     val results = first.map { case (n, s) =>
-      n -> math.min(s, second.getOrElse(n, Double.MaxValue))
+      val valid = Seq(Some(s), second.get(n)).flatten.filter(_ >= 0)
+      n -> (if (valid.isEmpty) -1.0 else valid.min)
     }
     // Tear down EVERYTHING noisy before printing: stateful streaming
     // queries leave StateStore maintenance threads whose shutdown stack
@@ -135,7 +159,10 @@ object Bench {
     // per-query entries inside the driver's bounded tail capture
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    // total over valid times only: -1 failure markers must not subtract
+    // from the headline number (failures are already loud via BENCHFAIL
+    // lines and the -1 entries in the map)
+    val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Durable copy of the COMPLETE per-query map: the driver snapshots

@@ -101,8 +101,23 @@ object ClusterOps {
       .toDF("src", "dst")
       .persist()
     val nEdges = edgesRaw.count()
-    val p = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    // cap 4096, not the executor-thread count: a heavy-duplication graph
+    // (the sf10 ER audit hit 600M undirected edges from 200-member
+    // name-replica blocks) needs the per-round joins and aggregations to
+    // run hundreds of tasks wide or a single task's aggregation map
+    // exhausts execution memory — the "scales back up to wide plans"
+    // half of this formula was previously capped at 32 and OOM'd there.
+    val p = math.max(1, math.min(4096, (nEdges / 100000L).toInt + 1))
     val edges = edgesRaw.repartition(p, col("src")).persist()
+    // the per-round groupBy/join shuffles plan at
+    // spark.sql.shuffle.partitions regardless of the edge frame's own
+    // partitioning — widen it to the edge-derived width for the loop's
+    // duration (AQE coalesces stages that turn out small), restore after
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (p > prevShuffle.toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
 
     // persist (not an eager checkpoint — saves one job): round 0's two
     // reads share the cached blocks, and the first agg checkpoint cuts
@@ -113,6 +128,11 @@ object ClusterOps {
     val labels0 = labels
     var it = 0
     var converged = false
+    // the round that supersedes a checkpoint frees it: Dataset.unpersist
+    // never sees checkpoint RDDs (they're not in the CacheManager), so
+    // without this every round's node-frame blocks pile up in storage
+    // for the whole query
+    var prevAgg: DataFrame = null
     while (!converged && it < maxIter) {
       // one aggregation computes BOTH the new labels and the convergence
       // signal: self rows carry the previous label, neighbor rows carry
@@ -127,6 +147,12 @@ object ClusterOps {
         .union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
         .localCheckpoint(true)
+      // this round's checkpoint is materialized — the previous round's
+      // blocks (its only remaining reader was the frame just computed)
+      // are now dead weight
+      if (prevAgg != null)
+        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevAgg)
+      prevAgg = agg
       // convergence is probed on the checkpointed aggregate, BEFORE the
       // pointer jumps: if propagation improved no label, then for every
       // edge (u,v) lbl(u) = lbl(v), i.e. labels are constant per
@@ -166,6 +192,12 @@ object ClusterOps {
     // labels is checkpointed — safe to release upstream
     edges.unpersist(blocking = true)
     (labels, it)
+    } finally {
+      // restore the caller's shuffle width: only the edge-sized loop
+      // shuffles need the wide setting; the label frame any caller
+      // consumes next is node-count-sized
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   val qDedupClustersOracle: String =
@@ -607,6 +639,7 @@ object ClusterOps {
     val nodes = e.select(col("vec_id").as("id")).persist()
     val n = nodes.count()
     var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var prevPr: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = edges.join(pr, col("src") === col("id"))
         .select(col("dst").as("id"), (col("pr") / k.toDouble).as("c"))
@@ -615,6 +648,11 @@ object ClusterOps {
         .select(col("id"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      // superseded round's checkpoint blocks are dead once the new one
+      // is materialized (see connectedComponentsWithRounds)
+      if (prevPr != null)
+        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevPr)
+      prevPr = pr
     }
     val out = pr.select(col("id").as("vec_id"),
       round(col("pr") * n, 6).as("pr_scaled6")).orderBy("vec_id")
@@ -709,6 +747,7 @@ object ClusterOps {
       .persist()
     var cur = nodes.select(col("id"),
       when(col("id") < 50, col("true_lbl")).as("lbl"))
+    var prevCur: DataFrame = null
     for (_ <- 1 to rounds) {
       val votes = edges
         .join(cur.filter(col("lbl").isNotNull), col("dst") === col("id"))
@@ -723,6 +762,9 @@ object ClusterOps {
       cur = cur.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("vlbl")).as("lbl"))
         .localCheckpoint(true)
+      if (prevCur != null)
+        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevCur)
+      prevCur = cur
     }
     val out = nodes.join(cur, "id")
       .groupBy(col("true_lbl"))

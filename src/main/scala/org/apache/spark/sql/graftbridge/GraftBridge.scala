@@ -14,4 +14,22 @@ import org.apache.spark.sql.classic
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the storage blocks behind a `localCheckpoint`ed DataFrame.
+    *
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * sees checkpoint RDDs — so an iterative kernel that checkpoints per
+    * round (connected components, PageRank, label propagation) leaks
+    * every superseded round's blocks until the whole job ends. On a
+    * big-graph run that debt is real memory pressure (each round's
+    * frame is node-count-sized). This reaches through the plan to the
+    * checkpointed RDD and unpersists it directly; silently a no-op for
+    * any other plan shape, so callers can use it unconditionally.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }
