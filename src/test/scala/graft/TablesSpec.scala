@@ -49,4 +49,15 @@ class TablesSpec extends AnyFunSuite {
     val out = Tables.normalizeEmbedding(f64)
     assert(out.schema("embedding").dataType.simpleString == "array<float>")
   }
+
+  test("first table read raises the ObjectHashAggregate fallback threshold") {
+    // The bounded top-k Aggregators plan as ObjectHashAggregateExec, which
+    // silently degrades to sort-based aggregation (full sort of every
+    // scored pair + per-row buffer serialization) after only 128 distinct
+    // keys per task — measured 221x time for 100x pairs on q_pagerank at
+    // sf10 before Tables.t started raising the threshold per session.
+    Tables.t(spark, "/root/testdata/sf0.001", "region").count()
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "1000000")
+  }
 }

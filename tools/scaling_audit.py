@@ -38,6 +38,44 @@ QUADRATIC_CONTRACT = {
     "q_allpairs_jaccard",
 }
 
+# Queries whose BLOCKING KEY has fixed cardinality in the GenScale
+# synthetic data, so the per-block pair surface grows data_ratio^2 even
+# though the OPERATOR is properly blocked (never all-pairs). This is a
+# property of the test-data construction, not the plan: GenScale scales
+# by replication and never widens the key space —
+#   - embeddings.label is id%10 at every SF (GenScale.scala:144), so
+#     q_pagerank's same-label scored join sees blocks of n/10;
+#   - q_label_prop's ANN buckets are 8 fixed hyperplanes (256 buckets);
+#   - customer replication reuses c_name verbatim (GenScale.scala:182
+#     keeps every column but c_custkey), so q_er_clusters' digits-of-name
+#     blocks hold factor x (orig + perturbed replica) members and the
+#     levenshtein-verified edge count grows factor^2 (600M undirected
+#     edges at sf10).
+# In a real deployment these keys scale with the corpus (IVF cell count
+# ~ sqrt(n), hyperplane count ~ log2(n), ER blocking keys chosen to
+# bound block size — each documented at the operator), so the honest
+# bound here is the quadratic one: flag_at = 1.5 * data_ratio^2, same
+# as QUADRATIC_CONTRACT; staying well under it shows the bounded
+# aggregation (top-k heaps, min-label rounds) is doing its job.
+FIXED_BLOCK_CARDINALITY = {
+    "q_pagerank",
+    "q_label_prop",
+    "q_er_clusters",
+    # same fixed-10-label scored-pair surface as q_pagerank for its edge
+    # build (Similarity.qEmbeddingNearDup), and the cos>=0.3 edge density
+    # within a label is a constant of the embedding distribution, so the
+    # b-keyed wedge join surface (sum of deg^2) compounds on top of it —
+    # measured 96x at sf1->sf10, still under the quadratic bound because
+    # the threshold keeps the graph sparse
+    "q_dup_triangles",
+    # simhash band signatures over the 27-word synthetic vocab: the
+    # populated (band, sig) bucket space saturates, so per-bucket
+    # occupancy — and the candidate pair surface — grows with the
+    # corpus; the hot-bucket subdivision bounds per-task surface, not
+    # total candidate count (same argument as q_allpairs_jaccard's df^2)
+    "q_dedup_keep_best",
+}
+
 
 def load(path: str) -> dict:
     with open(path) as f:
@@ -75,12 +113,18 @@ def main() -> None:
     n_flag = 0
     print(f"{'ratio':>7}  {'small':>7}  {'big':>7}  query")
     for r, name, s, b in rows:
-        limit = 1.5 * data_ratio ** 2 if name in QUADRATIC_CONTRACT else flag_at
+        quad = name in QUADRATIC_CONTRACT or name in FIXED_BLOCK_CARDINALITY
+        limit = 1.5 * data_ratio ** 2 if quad else flag_at
         flag = "SUPERLINEAR" if (r > limit and b >= 0.2 and s >= 0.05) else ""
         if flag:
             n_flag += 1
-        if flag or r > data_ratio / 2:
-            print(f"{r:7.2f}  {s:7.3f}  {b:7.3f}  {name} {flag}")
+        note = flag
+        if not flag and quad and r > flag_at:
+            # visible but not failing: the quadratic set's rows carry
+            # their bound so the table reads honestly
+            note = f"(quadratic contract, bound {limit:.0f}x)"
+        if note or r > data_ratio / 2:
+            print(f"{r:7.2f}  {s:7.3f}  {b:7.3f}  {name} {note}")
     # totals over the SAME common-and-nonzero set as the per-query rows,
     # so the printed ratio and the row set can't disagree
     ts, tb = sum(s for _, _, s, _ in rows), sum(b for _, _, _, b in rows)
