@@ -45,6 +45,21 @@ object TopKAggregator {
   /** Typed column for `KeyValueGroupedDataset.agg`. */
   def topK(k: Int): TypedColumn[(Double, Long), Seq[(Double, Long)]] =
     new TopKAggregator(k).toColumn
+
+  /** The same aggregator as a DataFrame UDAF: `groupBy(col).agg(topKUdaf
+    * (k)(scoreCol, idCol))`. Identical semantics and output shape
+    * (array<struct<_1,_2>>), but the key stays a native column — the
+    * `groupByKey(_._1)` form plans an AppendColumns step that
+    * deserializes EVERY input row into a Scala tuple to run the key
+    * lambda, which at a 10^10-row scored-pair stream (the sf10
+    * pagerank edge build) is the dominant per-row cost, not the
+    * bounded heap itself. Only the aggregator's (score, id) input pays
+    * the encoder here; scan → aggregate stays whole-stage codegen.
+    */
+  def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
 }
 
 /** Bounded SMALLEST-k by a string key — the ascending sibling of

@@ -617,22 +617,31 @@ object ClusterOps {
     */
   def qPagerank(s: SparkSession, dir: String, iters: Int = 3, k: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    import s.implicits._
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         expr(Similarity.normExpr).as("nrm"))
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("qv"),
-      col("label"), col("nrm").as("qnrm"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding"),
-      col("label"), col("nrm"))
-    val scored = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(expr(Similarity.dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos"))
-    val edges = scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._3, r._2))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("src", "top")
+    // Edge build through the triangle-blocked kernel
+    // ([[Similarity.scoredAllPairs]]): each unordered same-label pair is
+    // scored ONCE (half the dot products of the naive directed join) and
+    // emitted in both directions — IEEE multiplication commutes, so the
+    // reverse row carries the bit-identical cosine. The block grid also
+    // keeps the quadratic loop wide: the naive join hashed on the
+    // 10-value label column and ran ≤10 tasks at any corpus size.
+    // symmetrize with a row-local explode (NOT a self-union, which would
+    // run the quadratic join twice): each scored row expands to its two
+    // directions inside the same codegen stage
+    val scored = Similarity.scoredAllPairs(e, 4096L)
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim").as("cos")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim").as("cos"))))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.cos").as("cos"))
+    // native-key UDAF form: the blocked scored-pair stream is the
+    // quadratic surface here, so the per-row cost of reaching the
+    // bounded heap is what scales — see TopKAggregator.topKUdaf
+    val edges = scored
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(col("cos"), col("dst")).as("top"))
       .select(col("src"), explode(col("top")).as("item"))
       .select(col("src"), col("item._2").as("dst"))
       .persist()
@@ -735,11 +744,12 @@ object ClusterOps {
     val scored = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(expr(Similarity.dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos"))
-    val edges = scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._3, r._2))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("src", "top")
+    // native-key UDAF form: the blocked scored-pair stream is the
+    // quadratic surface here, so the per-row cost of reaching the
+    // bounded heap is what scales — see TopKAggregator.topKUdaf
+    val edges = scored
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(col("cos"), col("dst")).as("top"))
       .select(col("src"), explode(col("top")).as("item"))
       .select(col("src"), col("item._2").as("dst"))
       .persist()

@@ -109,7 +109,25 @@ object Similarity {
     * nrm) frame — shared by the standard query and the hot-label bench
     * stress (which remaps labels to manufacture a pathological cell).
     */
-  private[graft] def nearDupPairs(base: DataFrame, blockTarget: Long): DataFrame = {
+  private[graft] def nearDupPairs(base: DataFrame, blockTarget: Long): DataFrame =
+    scoredAllPairs(base, blockTarget)
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** The same triangle-blocked kernel WITHOUT the near-dup threshold or
+    * ordering: every unordered same-label pair (id_a < id_b) scored
+    * exactly once. Consumers that need a directed pair stream (the kNN
+    * edge builds) symmetrize the output — dot products commute
+    * bit-exactly in IEEE, so emitting (b, a, cos) from the scored
+    * (a, b, cos) row is identical to scoring the reverse pair, at half
+    * the arithmetic. Crucially this also keeps the quadratic loop WIDE:
+    * a plain same-label self-join hashes on the label column alone, and
+    * with a model-sized label space (10 cells in the synthetic data)
+    * that plan collapses to as many active tasks as there are labels —
+    * the block grid re-keys the join on (label, lo, hi) so a hot cell
+    * spreads over B(B+1)/2 tasks regardless of label cardinality.
+    */
+  private[graft] def scoredAllPairs(base: DataFrame, blockTarget: Long): DataFrame = {
     // Block counts adapt to the OBSERVED cells. The per-label count
     // surface is bounded by label cardinality — the IVF-cell count, a
     // model-sized quantity like the driver-held centroids, never
@@ -160,8 +178,6 @@ object Similarity {
     scored
       .select(col("label"), col("id_a"), col("id_b"),
         round(expr(dotExpr) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.3)
-      .orderBy("id_a", "id_b")
   }
 
   val qEmbeddingNearDupOracle: String =
