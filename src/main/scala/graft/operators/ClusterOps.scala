@@ -396,8 +396,15 @@ object ClusterOps {
     * wedges.
     */
   def qDupTriangles(s: SparkSession, dir: String): DataFrame = {
+    // persist the VERIFIED edge list (the sparse survivor of the cos
+    // threshold, orders of magnitude smaller than the scored-pair
+    // stream): the plan references it six times (degree pass, three
+    // legs of the wedge/closing join, edge count), and without an
+    // explicit materialization each reference re-runs the quadratic
+    // scoring kernel that produced it
     val edges = Similarity.qEmbeddingNearDup(s, dir)
       .select(col("label"), col("id_a").as("a"), col("id_b").as("b"))
+      .persist()
     val deg = edges.select(col("label"), col("a").as("id"))
       .union(edges.select(col("label"), col("b").as("id")))
       .groupBy("label", "id").agg(count(lit(1)).as("deg"))
