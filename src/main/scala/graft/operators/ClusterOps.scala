@@ -111,19 +111,34 @@ object ClusterOps {
     val edges = edgesRaw.repartition(p, col("src")).persist()
     // the per-round groupBy/join shuffles plan at
     // spark.sql.shuffle.partitions regardless of the edge frame's own
-    // partitioning — widen it to the edge-derived width for the loop's
-    // duration (AQE coalesces stages that turn out small), restore after
+    // partitioning — match it to the edge-derived width for the loop's
+    // duration (AQE coalesces stages that turn out small), restore after.
+    // Matching goes BOTH directions: a heavy graph needs hundreds of
+    // tasks per round (see the 4096 note above), while a tiny dup graph
+    // under the session default pays the session's full task count per
+    // round-stage for kilobyte partitions — across ~6 rounds × 4 stages
+    // that scheduling overhead was most of the loop's wall-clock at the
+    // bench SF. Floor 8 keeps the loop multi-core without a 1-task
+    // serialization cliff.
+    val loopShuffle = math.max(8, p)
     val spark = pairs.sparkSession
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (p > prevShuffle.toInt)
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", loopShuffle.toString)
     try {
 
     // persist (not an eager checkpoint — saves one job): round 0's two
     // reads share the cached blocks, and the first agg checkpoint cuts
-    // the lineage anyway
-    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // the lineage anyway.
+    // Seeded start: lbl = min(id, min neighbor id). This IS the first
+    // propagation round's fixpoint contribution, computed as ONE
+    // aggregation over the symmetric edge list instead of the loop's
+    // join + union + groupBy + probe machinery — on every non-trivial
+    // graph round 1 improves some label, so the un-seeded loop always
+    // paid a full round to learn what this aggregate already knows.
+    var labels: DataFrame = edges
+      .groupBy(col("dst"))
+      .agg(least(min(col("src")), col("dst")).as("lbl"))
+      .select(col("dst").as("id"), col("lbl"))
       .persist()
     val labels0 = labels
     var it = 0
@@ -165,6 +180,10 @@ object ClusterOps {
       // round skip the jumps entirely.
       val changed = agg.filter(col("lbl") < col("old_lbl"))
         .limit(1).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG")) {
+        val full = agg.filter(col("lbl") < col("old_lbl")).count()
+        println(s"CCDEBUG round=$it changed=$full")
+      }
       converged = changed == 0
       // pointer jumps: relabel through the label's own label, `hops`
       // times per round. Every lbl value is a node id (by induction from
