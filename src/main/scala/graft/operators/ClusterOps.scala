@@ -619,6 +619,89 @@ object ClusterOps {
       |SELECT lbl AS entity_rep, count(*) AS n_records, max(id) AS max_rec
       |FROM lbl GROUP BY lbl ORDER BY entity_rep""".stripMargin
 
+  /** Blocking-quality audit for entity resolution — the measurement step
+    * every ER deployment runs BEFORE trusting a blocking key: reduction
+    * ratio (how much of the n²/2 comparison space the blocking prunes),
+    * pairs completeness (what fraction of TRUE matches survive into the
+    * candidate set — blocking recall), and pairs quality (what fraction
+    * of candidates are true matches — blocking precision). The record
+    * set extends [[qErClusters]]' construction with a fourth,
+    * deliberately block-BREAKING mutation class (drop the name's last
+    * digit for custkey % 4 == 3), so completeness is a real measurement
+    * (≈0.75 by construction), not a tautological 1.0; ground truth is
+    * known exactly — each dirty record (custkey + 1,000,000) matches its
+    * clean twin and nothing else.
+    *
+    * Scale shape: the candidate count is a block-keyed self-join of
+    * narrow (rec_id, blk) rows; the n·(n−1)/2 denominator is arithmetic
+    * on one scalar count, never a materialized pair surface; truth
+    * matching is a filter on the candidate stream (rb − ra = offset),
+    * not a second join. The three metric aggregates ride broadcast
+    * 1-row cross-joins.
+    */
+  def qErBlockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val offset = 1000000L
+    val clean = c.select(col("c_custkey").cast("long").as("rec_id"),
+      col("c_name").as("name"), col("c_nationkey").as("nation"))
+    val dirty = c.select((col("c_custkey") + offset).as("rec_id"),
+      when(col("c_custkey") % 4 === 0, lower(col("c_name")))
+        .when(col("c_custkey") % 4 === 1, regexp_replace(col("c_name"), "#", "-"))
+        .when(col("c_custkey") % 4 === 2,
+          regexp_replace(col("c_name"), "Customer", "Custmer"))
+        .otherwise(expr("substring(c_name, 1, length(c_name) - 1)")).as("name"),
+      col("c_nationkey").as("nation"))
+    val recs = clean.unionByName(dirty)
+      .withColumn("blk", concat_ws(":", col("nation"),
+        regexp_replace(col("name"), "[^0-9]", "")))
+      .select("rec_id", "blk")
+    val nRecs = recs.agg(count(lit(1)).as("n_records"))
+    val nTrue = c.agg(count(lit(1)).as("n_true"))
+    val cand = recs.as("a").join(recs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.rec_id").as("ra"), col("b.rec_id").as("rb"))
+    val candStats = cand.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("rb") - col("ra") === offset, 1L).otherwise(0L))
+        .as("n_blocked_true"))
+    nRecs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(candStats))
+      .select(col("n_records"), col("n_cand"), col("n_true"),
+        col("n_blocked_true"),
+        round(lit(1.0) - col("n_cand") /
+          (col("n_records") * (col("n_records") - 1) / lit(2)).cast("double"),
+          6).as("rr"),
+        round(col("n_blocked_true") / col("n_true").cast("double"), 4).as("pc"),
+        round(col("n_blocked_true") / col("n_cand").cast("double"), 4).as("pq"))
+  }
+
+  val qErBlockingAuditOracle: String =
+    """WITH clean AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+      |    c_nationkey AS nation FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey + 1000000 AS rec_id,
+      |    CASE c_custkey % 4
+      |      WHEN 0 THEN lower(c_name)
+      |      WHEN 1 THEN replace(c_name, '#', '-')
+      |      WHEN 2 THEN replace(c_name, 'Customer', 'Custmer')
+      |      ELSE substring(c_name, 1, len(c_name) - 1) END AS name,
+      |    c_nationkey AS nation FROM customer),
+      |recs AS (
+      |  SELECT rec_id,
+      |    nation::VARCHAR || ':' || regexp_replace(name, '[^0-9]', '', 'g') AS blk
+      |  FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)),
+      |nr AS (SELECT count(*) AS n_records FROM recs),
+      |nt AS (SELECT count(*) AS n_true FROM customer),
+      |cs AS (
+      |  SELECT count(*) AS n_cand,
+      |    CAST(coalesce(sum(CASE WHEN b.rec_id - a.rec_id = 1000000
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked_true
+      |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.rec_id < b.rec_id)
+      |SELECT n_records, n_cand, n_true, n_blocked_true,
+      |  round(1.0 - n_cand / (n_records * (n_records - 1) / 2)::DOUBLE, 6) AS rr,
+      |  round(n_blocked_true / n_true::DOUBLE, 4) AS pc,
+      |  round(n_blocked_true / n_cand::DOUBLE, 4) AS pq
+      |FROM nr CROSS JOIN nt CROSS JOIN cs""".stripMargin
+
   /** PageRank over the similarity kNN graph — the graph-centrality rank
     * retrieval pipelines use to pick representative documents out of a
     * near-dup neighborhood (and the canonical "iterative distributed
@@ -894,6 +977,7 @@ object ClusterOps {
       Some(qStressChainClustersOracle)),
     QueryDef("q_dup_triangles", qDupTriangles, Some(qDupTrianglesOracle)),
     QueryDef("q_er_clusters", qErClusters, Some(qErClustersOracle)),
+    QueryDef("q_er_blocking_audit", qErBlockingAudit, Some(qErBlockingAuditOracle)),
     QueryDef("q_pagerank", (s, d) => qPagerank(s, d), Some(qPagerankOracle)),
     QueryDef("q_label_prop", (s, d) => qLabelProp(s, d), Some(qLabelPropOracle)),
   )

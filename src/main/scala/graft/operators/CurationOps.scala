@@ -186,6 +186,111 @@ object CurationOps {
       |  CAST(sum(w4) AS BIGINT) AS sum_w4
       |FROM dw GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------- bigram cross-entropy
+
+  /** Interpolated BIGRAM cross-entropy quality scoring — the full
+    * CCNet/KenLM shape that [[qUnigramCe]] proxies: fit a bigram LM with
+    * Jelinek–Mercer interpolation on a TRAIN slice (doc_id % 10 ≠ 0),
+    * then score every document's word transitions under it, held-out
+    * docs included. p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·p₁(w₂) with
+    * λ = 0.9 and an add-one unigram floor p₁(w) = (c(w)+1)/(N+V+1), so
+    * OOV transitions score finitely instead of −∞. The held-out rows
+    * surface the generalization gap every perplexity-filter deployment
+    * has to calibrate against (train-slice CE is biased low — the model
+    * has seen those very transitions).
+    *
+    * Scale shape: the model is two gram-keyed aggregates (bigram and
+    * context counts) over the train slice — map-side-combined, never
+    * doc-paired — and scoring is three key-equality joins of the doc's
+    * transition rows against those model tables. All three joins are
+    * deliberately unhinted: a web-scale bigram vocabulary scales with
+    * the corpus, so AQE must be free to degrade broadcast→shuffle (the
+    * same contract as [[qUnigramCe]]'s vocab join). The scalar (N, V)
+    * row rides a broadcast cross-join like every 1-row aggregate here.
+    */
+  def qBigramCe(s: SparkSession, dir: String): DataFrame = {
+    val lambda = 0.9
+    val bg = Dedup.withWords(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+            | (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = bg.filter(col("doc_id") % 10 =!= 0)
+    val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // unigram floor over the train slice's words (all positions, so the
+    // doc-final word still counts), with add-one mass for OOV
+    val uni = wordOcc(t(s, dir, "documents"))
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val nv = uni.agg(sum("cu").cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val scored = bg
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu")), Seq("w2"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), col("lang"),
+        log(lit(lambda) *
+            coalesce(col("c12") / col("c1").cast("double"), lit(0.0)) +
+          lit(1.0 - lambda) *
+            ((coalesce(col("cu"), lit(0L)) + lit(1.0)) /
+             (col("n") + col("v") + lit(1.0)))).as("logp"))
+    val docCe = scored.groupBy("doc_id", "lang")
+      .agg(round((-sum("logp") / count(lit(1))) * 10000).cast("long").as("ce4"))
+    docCe
+      .withColumn("split",
+        when(col("doc_id") % 10 === 0, lit("held")).otherwise(lit("train")))
+      .groupBy("lang", "split").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ce4") > BigramCeCutoff, 1L).otherwise(0L)).as("n_flagged"),
+        sum("ce4").as("sum_ce4"))
+      .orderBy("lang", "split")
+  }
+
+  /** Flag cutoff in 1e-4 nats: docs whose interpolated bigram CE exceeds
+    * this are the rare-transition tail a perplexity filter down-samples.
+    */
+  private val BigramCeCutoff = 60000L
+
+  val qBigramCeOracle: String =
+    s"""WITH dws AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      |  FROM dws),
+      |tr AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY w1),
+      |uni AS (
+      |  SELECT w, count(*) AS cu FROM $duckOcc
+      |  WHERE doc_id % 10 <> 0 GROUP BY w),
+      |nv AS (SELECT sum(cu)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni),
+      |sc AS (
+      |  SELECT bg.doc_id, bg.lang,
+      |    ln(0.9 * coalesce(c12.c12 / c1.c1::DOUBLE, 0.0) +
+      |       0.1 * ((coalesce(uni.cu, 0) + 1.0) / (nv.n + nv.v + 1.0))) AS logp
+      |  FROM bg
+      |  LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      |  LEFT JOIN c1 ON c1.w1 = bg.w1
+      |  LEFT JOIN uni ON uni.w = bg.w2
+      |  CROSS JOIN nv),
+      |dc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(round((-sum(logp) / count(*)) * 10000) AS BIGINT) AS ce4
+      |  FROM sc GROUP BY doc_id, lang)
+      |SELECT lang,
+      |  CASE WHEN doc_id % 10 = 0 THEN 'held' ELSE 'train' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ce4 > 60000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(sum(ce4) AS BIGINT) AS sum_ce4
+      |FROM dc GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // ---------------------------------------------------- unigram cross-entropy
 
   /** Unigram cross-entropy quality scoring (the CCNet/kenlm-proxy shape):
@@ -439,6 +544,7 @@ object CurationOps {
     QueryDef("q_leakage_split", qLeakageSplit, Some(qLeakageSplitOracle)),
     QueryDef("q_importance_weights", qImportanceWeights, Some(qImportanceWeightsOracle)),
     QueryDef("q_unigram_ce", qUnigramCe, Some(qUnigramCeOracle)),
+    QueryDef("q_bigram_ce", qBigramCe, Some(qBigramCeOracle)),
     QueryDef("q_containment", qContainment, Some(qContainmentOracle)),
   )
 }

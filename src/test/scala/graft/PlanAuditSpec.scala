@@ -55,7 +55,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_jl_projection",
       // q_leakage_split broadcasts its single-row leaky-cluster scalar
       // (the scalar-subquery-without-collect idiom)
-      "q_leakage_split")
+      "q_leakage_split",
+      // q_bigram_ce broadcasts its single-row (N, V) model-size scalar —
+      // the q_unigram_ce corpus-total idiom; q_er_blocking_audit crosses
+      // its three 1-row metric aggregates (record count, truth count,
+      // candidate stats)
+      "q_bigram_ce", "q_er_blocking_audit")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

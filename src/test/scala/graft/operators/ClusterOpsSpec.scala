@@ -168,6 +168,26 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(rows.length == nCustomers, "one resolved entity per customer")
   }
 
+  test("blocking audit: completeness counts exactly the undamaged twins") {
+    val r = ClusterOps.qErBlockingAudit(spark, dir).collect().head
+    val (nRecords, nCand, nTrue, nBlockedTrue) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nCustomers = graft.Tables.t(spark, dir, "customer").count()
+    assert(nRecords == 2 * nCustomers)
+    assert(nTrue == nCustomers)
+    // custkey % 4 == 3 gets the block-BREAKING mutation (last digit
+    // dropped), so exactly the other three classes survive blocking
+    val undamaged = graft.Tables.t(spark, dir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 4 =!= 3).count()
+    assert(nBlockedTrue == undamaged,
+      s"blocked-true $nBlockedTrue != undamaged twin count $undamaged")
+    assert(nCand >= nBlockedTrue, "candidates include all blocked truths")
+    val (rr, pc, pq) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(rr > 0.99, s"reduction ratio $rr — blocking must prune ~all of n²/2")
+    assert(pc > 0.7 && pc < 0.8, s"pairs completeness $pc off the 3/4 design")
+    assert(pq > 0.0 && pq <= 1.0, s"pairs quality $pq outside (0, 1]")
+  }
+
   test("pagerank mass is conserved and ranks stay positive") {
     val rows = ClusterOps.qPagerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

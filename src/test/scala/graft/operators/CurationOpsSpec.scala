@@ -49,6 +49,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram CE covers all docs and the held-out split scores higher") {
+    val rows = CurationOps.qBigramCe(spark, dir).collect()
+    val docTotal = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == docTotal, "splits×langs must cover the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) > 0, s"${r.getString(0)}/${r.getString(1)}: CE must be positive")
+      assert(r.getLong(3) <= r.getLong(2), "flagged docs bounded by doc count")
+    }
+    // the generalization gap: the model trained on doc_id % 10 != 0 must
+    // assign HIGHER average CE to held-out docs than to its own training
+    // slice (it has seen the train transitions verbatim) — aggregated
+    // over langs so per-lang noise at sf0.001 cannot flip the sign
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues { rs =>
+      rs.map(_.getLong(4)).sum.toDouble / rs.map(_.getLong(2)).sum
+    }.toMap
+    assert(bySplit("held") > bySplit("train"),
+      s"held avg CE ${bySplit("held")} not above train ${bySplit("train")}")
+  }
+
   test("containment scores are asymmetric-Jaccard bounded and eval-keyed") {
     // the loan-pattern handle releases ONLY containment's gram table —
     // suites share the session in parallel, so a clearCache() here would
