@@ -62,7 +62,8 @@ object Explain {
       "q_jl_projection", "q_incremental_lsh", "q_dedup_ensemble",
       "q_stress_twophase_agg", "q_sliding_window", "q_orc_roundtrip",
       "q_grid_knn", "q_grid_occupancy", "q_recursive_cte",
-      "q_exists_subquery", "q_lateral_join")
+      "q_exists_subquery", "q_lateral_join", "q_bigram_ce",
+      "q_er_blocking_audit", "q_zipf_slope")
 
     // plan-reading notes where the toy-SF plan alone would mislead a
     // 100 TB audit — emitted under the query's plan block

@@ -135,10 +135,17 @@ object ClusterOps {
     // join + union + groupBy + probe machinery — on every non-trivial
     // graph round 1 improves some label, so the un-seeded loop always
     // paid a full round to learn what this aggregate already knows.
+    // Grouped on SRC, not dst: `edges` is hash-partitioned by src, so
+    // the src-keyed aggregate elides its exchange entirely (the edge
+    // list is symmetric — min(dst) over src=x IS x's neighborhood min),
+    // and the seeded label frame comes out co-partitioned with the
+    // loop's edges("src") === labels("id") join key. The first draft
+    // grouped by dst and silently paid a full edge-list reshuffle —
+    // +50% on the sf10 600M-edge ER graph.
     var labels: DataFrame = edges
-      .groupBy(col("dst"))
-      .agg(least(min(col("src")), col("dst")).as("lbl"))
-      .select(col("dst").as("id"), col("lbl"))
+      .groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
       .persist()
     val labels0 = labels
     var it = 0

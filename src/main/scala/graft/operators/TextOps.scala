@@ -366,6 +366,104 @@ object TextOps {
       |  round(covered / CAST(total AS DOUBLE), 4) AS coverage
       |FROM cov, tot ORDER BY vocab_size""".stripMargin
 
+  /** Zipf-law fit per language — the corpus-quality diagnostic read
+    * before trusting a text source: natural language's rank-frequency
+    * curve is ~power-law with slope ≈ −1 in log-log space, while
+    * template spam, boilerplate explosions, and synthetic text bend it.
+    * The fit is ordinary least squares over the frequency SPECTRUM
+    * (count-of-counts): one point per distinct occurrence count, x =
+    * ln(cumulative type rank at that count), y = ln(count), head-limited
+    * to the top 200 spectrum rows with count ≥ 2 (the Zipf head; the
+    * hapax point is the classic outlier). Fitting on the spectrum
+    * instead of per-word ranks makes the result tie-free by construction
+    * — no dependence on how equal-count words are ordered — and shrinks
+    * the fit input from vocab-sized to O(√tokens) rows.
+    *
+    * Scale shape: word counts are one map-side-combined aggregate
+    * (the shuffle is the distinct-word surface); the spectrum is a
+    * second, O(√tokens)-row aggregate; the rank window partitions by
+    * lang over spectrum rows only — bounded input by construction,
+    * never the vocab, never the corpus. The OLS itself is a 5-sum
+    * closed form per lang.
+    */
+  def qZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Dedup.withWords(t(s, dir, "documents"))
+      .select(col("lang"), explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wcnt = occ.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    val spec = wcnt.groupBy("lang", "cnt").agg(count(lit(1)).as("n_types"))
+    val wnd = Window.partitionBy("lang").orderBy(col("cnt").desc)
+    // cum_rank = rank of the LAST word at this count under any total
+    // order refining count-desc; counts are distinct within the spectrum
+    // so the default RANGE frame equals ROWS in both engines
+    val pts = spec
+      .withColumn("cum_rank", sum("n_types").over(wnd))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("cnt") >= 2 && col("rn") <= 200)
+      .select(col("lang"),
+        log(col("cum_rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val fit = pts.groupBy("lang").agg(
+      count(lit(1)).as("n_points"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    fit.select(col("lang"), col("n_points"),
+        (col("n_points") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n_points") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (col("n_points") * col("syy") - col("sy") * col("sy")).as("var_y"),
+        col("sx"), col("sy"))
+      .select(col("lang"), col("n_points"),
+        when(col("var_x") =!= 0.0,
+          round(col("cov_n") / col("var_x"), 4)).otherwise(-99.0).as("slope"),
+        when(col("var_x") =!= 0.0,
+          round((col("sy") - (col("cov_n") / col("var_x")) * col("sx")) /
+            col("n_points"), 4)).otherwise(-99.0).as("intercept"),
+        when(col("var_x") * col("var_y") =!= 0.0,
+          round(col("cov_n") * col("cov_n") / (col("var_x") * col("var_y")), 4))
+          .otherwise(-99.0).as("r2"))
+      .orderBy("lang")
+  }
+
+  val qZipfSlopeOracle: String =
+    """WITH occ AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wcnt AS (
+      |  SELECT lang, w, count(*) AS cnt FROM occ
+      |  WHERE length(w) > 0 GROUP BY lang, w),
+      |spec AS (SELECT lang, cnt, count(*) AS n_types FROM wcnt GROUP BY lang, cnt),
+      |ranked AS (
+      |  SELECT lang, cnt,
+      |    sum(n_types) OVER (PARTITION BY lang ORDER BY cnt DESC
+      |      ROWS UNBOUNDED PRECEDING) AS cum_rank,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC) AS rn
+      |  FROM spec),
+      |pts AS (
+      |  SELECT lang, ln(cum_rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+      |  FROM ranked WHERE cnt >= 2 AND rn <= 200),
+      |fit AS (
+      |  SELECT lang, count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pts GROUP BY lang),
+      |d AS (
+      |  SELECT lang, n_points,
+      |    n_points * sxy - sx * sy AS cov_n,
+      |    n_points * sxx - sx * sx AS var_x,
+      |    n_points * syy - sy * sy AS var_y, sx, sy
+      |  FROM fit)
+      |SELECT lang, n_points,
+      |  CASE WHEN var_x <> 0 THEN round(cov_n / var_x, 4)
+      |       ELSE -99.0 END AS slope,
+      |  CASE WHEN var_x <> 0
+      |       THEN round((sy - (cov_n / var_x) * sx) / n_points, 4)
+      |       ELSE -99.0 END AS intercept,
+      |  CASE WHEN var_x * var_y <> 0
+      |       THEN round(cov_n * cov_n / (var_x * var_y), 4)
+      |       ELSE -99.0 END AS r2
+      |FROM d ORDER BY lang""".stripMargin
+
   /** Top-3 TF-IDF terms per document (first 50 docs): per-doc term
     * frequency joined against the corpus document-frequency table on the
     * term key, scored with an INTEGER-scaled idf — `floor(nDocs * 1000 /
@@ -688,6 +786,7 @@ object TextOps {
     QueryDef("q_pmi", qPmi, Some(qPmiOracle)),
     QueryDef("q_bpe_merge_step", qBpeMergeStep, Some(qBpeMergeStepOracle)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageOracle)),
+    QueryDef("q_zipf_slope", qZipfSlope, Some(qZipfSlopeOracle)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),
     QueryDef("q_ngram_freq", qNgramFreq, Some(qNgramFreqOracle)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensOracle)),

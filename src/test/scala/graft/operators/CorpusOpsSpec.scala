@@ -33,6 +33,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc in top-k")
   }
 
+  test("zipf fit: negative slope, valid r2, real fit per language") {
+    val rows = TextOps.qZipfSlope(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val langs = graft.Tables.t(spark, dir, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length == langs, "one fit row per language")
+    rows.foreach { r =>
+      val (lang, n, slope, r2) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4))
+      assert(n >= 3, s"$lang: spectrum too small to fit ($n points)")
+      assert(slope != -99.0 && slope < 0.0,
+        s"$lang: rank-frequency slope $slope must be negative (power law)")
+      assert(r2 > 0.0 && r2 <= 1.0, s"$lang: r2 $r2 outside (0, 1]")
+    }
+  }
+
   test("filter attribution outcomes partition the corpus") {
     val rows = TextOps.qFilterAttribution(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
