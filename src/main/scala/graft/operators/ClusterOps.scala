@@ -108,23 +108,31 @@ object ClusterOps {
     // exhausts execution memory — the "scales back up to wide plans"
     // half of this formula was previously capped at 32 and OOM'd there.
     val p = math.max(1, math.min(4096, (nEdges / 100000L).toInt + 1))
-    val edges = edgesRaw.repartition(p, col("src")).persist()
     // the per-round groupBy/join shuffles plan at
     // spark.sql.shuffle.partitions regardless of the edge frame's own
     // partitioning — match it to the edge-derived width for the loop's
-    // duration (AQE coalesces stages that turn out small), restore after.
-    // Matching goes BOTH directions: a heavy graph needs hundreds of
-    // tasks per round (see the 4096 note above), while a tiny dup graph
-    // under the session default pays the session's full task count per
-    // round-stage for kilobyte partitions — across ~6 rounds × 4 stages
-    // that scheduling overhead was most of the loop's wall-clock at the
-    // bench SF. Floor 8 keeps the loop multi-core without a 1-task
+    // duration (AQE coalesces stages that turn out small). Matching goes
+    // BOTH directions: a heavy graph needs hundreds of tasks per round
+    // (see the 4096 note above), while a tiny dup graph under the
+    // session default pays the session's full task count per round-stage
+    // for kilobyte partitions — across ~6 rounds × 4 stages that
+    // scheduling overhead was most of the loop's wall-clock at the bench
+    // SF. Floor 8 keeps the loop multi-core without a 1-task
     // serialization cliff.
+    //
+    // The width lives in a CLONED session (shared SparkContext, caches
+    // and checkpoints included; full runtime conf copied), NOT a
+    // temporary mutation of the caller's conf: suites and concurrent
+    // queries share the session, and anything planning during the loop
+    // would otherwise pick up the narrowed/widened width.
     val loopShuffle = math.max(8, p)
-    val spark = pairs.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopShuffle.toString)
-    try {
+    val callerSpark = pairs.sparkSession
+    val loopSpark = org.apache.spark.sql.graftbridge.GraftBridge
+      .cloneSessionWithConf(callerSpark,
+        "spark.sql.shuffle.partitions" -> loopShuffle.toString)
+    val edges = org.apache.spark.sql.graftbridge.GraftBridge
+      .ofRows(loopSpark, edgesRaw.repartition(p, col("src")).queryExecution.logical)
+      .persist()
 
     // persist (not an eager checkpoint — saves one job): round 0's two
     // reads share the cached blocks, and the first agg checkpoint cuts
@@ -217,13 +225,13 @@ object ClusterOps {
     labels0.unpersist(blocking = true)
     // labels is checkpointed — safe to release upstream
     edges.unpersist(blocking = true)
-    (labels, it)
-    } finally {
-      // restore the caller's shuffle width: only the edge-sized loop
-      // shuffles need the wide setting; the label frame any caller
-      // consumes next is node-count-sized
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
+    // re-root the result into the CALLER's session: only the edge-sized
+    // loop shuffles need the loop width; the label frame any caller
+    // consumes next is node-count-sized and should plan at the caller's
+    // own shuffle setting. The plan bottoms out in the checkpointed
+    // LogicalRDD, so re-analysis is free.
+    (org.apache.spark.sql.graftbridge.GraftBridge
+      .ofRows(callerSpark, labels.queryExecution.logical), it)
   }
 
   val qDedupClustersOracle: String =
@@ -571,11 +579,29 @@ object ClusterOps {
     * simhash bands. The closure iterates over the MATCH graph, which is
     * duplicate-surface-sized, not corpus-sized.
     */
+  /** Dirty-replica rec_id offset, derived from the data: the smallest
+    * power of ten above max(c_custkey) (10^decimal-digits — pure integer
+    * and string logic, so Spark and DuckDB agree bit-for-bit where a
+    * float log10 could round either way). A fixed 1,000,000 collides
+    * with clean custkeys once customer passes 1M rows (sf≈7; sf10 has
+    * 1.5M), silently merging unrelated records. One-row broadcast
+    * scalar, the q_above_avg idiom — never a driver constant.
+    */
+  private def custKeyOffset(c: DataFrame): DataFrame =
+    c.agg(pow(lit(10.0), length(max(col("c_custkey")).cast("string")))
+      .cast("long").as("off"))
+
+  private val custKeyOffsetDuck: String =
+    """off AS (
+      |  SELECT CAST(power(10, len(CAST(max(c_custkey) AS VARCHAR))) AS BIGINT)
+      |    AS off FROM customer)""".stripMargin
+
   def qErClusters(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val clean = c.select(col("c_custkey").cast("long").as("rec_id"),
       col("c_name").as("name"), col("c_nationkey").as("nation"))
-    val dirty = c.select((col("c_custkey") + 1000000L).as("rec_id"),
+    val dirty = c.crossJoin(broadcast(custKeyOffset(c)))
+      .select((col("c_custkey") + col("off")).as("rec_id"),
       when(col("c_custkey") % 3 === 0, lower(col("c_name")))
         .when(col("c_custkey") % 3 === 1, regexp_replace(col("c_name"), "#", "-"))
         .otherwise(regexp_replace(col("c_name"), "Customer", "Custmer")).as("name"),
@@ -594,11 +620,12 @@ object ClusterOps {
   }
 
   val qErClustersOracle: String =
-    """WITH recs AS (
+    s"""WITH $custKeyOffsetDuck,
+      |recs AS (
       |  SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nation
       |  FROM customer
       |  UNION ALL
-      |  SELECT c_custkey + 1000000,
+      |  SELECT c_custkey + (SELECT off FROM off),
       |    CASE c_custkey % 3
       |      WHEN 0 THEN lower(c_name)
       |      WHEN 1 THEN replace(c_name, '#', '-')
@@ -636,8 +663,8 @@ object ClusterOps {
     * deliberately block-BREAKING mutation class (drop the name's last
     * digit for custkey % 4 == 3), so completeness is a real measurement
     * (≈0.75 by construction), not a tautological 1.0; ground truth is
-    * known exactly — each dirty record (custkey + 1,000,000) matches its
-    * clean twin and nothing else.
+    * known exactly — each dirty record (custkey + the data-derived
+    * [[custKeyOffset]]) matches its clean twin and nothing else.
     *
     * Scale shape: the candidate count is a block-keyed self-join of
     * narrow (rec_id, blk) rows; the n·(n−1)/2 denominator is arithmetic
@@ -648,10 +675,12 @@ object ClusterOps {
     */
   def qErBlockingAudit(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val offset = 1000000L
+    // data-derived rec-id offset (see [[custKeyOffset]]) — a fixed
+    // constant collides with clean custkeys at sf≳7
+    val off = broadcast(custKeyOffset(c))
     val clean = c.select(col("c_custkey").cast("long").as("rec_id"),
       col("c_name").as("name"), col("c_nationkey").as("nation"))
-    val dirty = c.select((col("c_custkey") + offset).as("rec_id"),
+    val dirty = c.crossJoin(off).select((col("c_custkey") + col("off")).as("rec_id"),
       when(col("c_custkey") % 4 === 0, lower(col("c_name")))
         .when(col("c_custkey") % 4 === 1, regexp_replace(col("c_name"), "#", "-"))
         .when(col("c_custkey") % 4 === 2,
@@ -667,8 +696,8 @@ object ClusterOps {
     val cand = recs.as("a").join(recs.as("b"),
         col("a.blk") === col("b.blk") && col("a.rec_id") < col("b.rec_id"))
       .select(col("a.rec_id").as("ra"), col("b.rec_id").as("rb"))
-    val candStats = cand.agg(count(lit(1)).as("n_cand"),
-      sum(when(col("rb") - col("ra") === offset, 1L).otherwise(0L))
+    val candStats = cand.crossJoin(off).agg(count(lit(1)).as("n_cand"),
+      sum(when(col("rb") - col("ra") === col("off"), 1L).otherwise(0L))
         .as("n_blocked_true"))
     nRecs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(candStats))
       .select(col("n_records"), col("n_cand"), col("n_true"),
@@ -681,11 +710,12 @@ object ClusterOps {
   }
 
   val qErBlockingAuditOracle: String =
-    """WITH clean AS (
+    s"""WITH $custKeyOffsetDuck,
+      |clean AS (
       |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
       |    c_nationkey AS nation FROM customer),
       |dirty AS (
-      |  SELECT c_custkey + 1000000 AS rec_id,
+      |  SELECT c_custkey + (SELECT off FROM off) AS rec_id,
       |    CASE c_custkey % 4
       |      WHEN 0 THEN lower(c_name)
       |      WHEN 1 THEN replace(c_name, '#', '-')
@@ -700,7 +730,7 @@ object ClusterOps {
       |nt AS (SELECT count(*) AS n_true FROM customer),
       |cs AS (
       |  SELECT count(*) AS n_cand,
-      |    CAST(coalesce(sum(CASE WHEN b.rec_id - a.rec_id = 1000000
+      |    CAST(coalesce(sum(CASE WHEN b.rec_id - a.rec_id = (SELECT off FROM off)
       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked_true
       |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.rec_id < b.rec_id)
       |SELECT n_records, n_cand, n_true, n_blocked_true,

@@ -217,6 +217,16 @@ object CurationOps {
             | (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("lang"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // docs with fewer than two words have no transitions (empty zip_with
+    // drops them at the explode) and would silently vanish from the
+    // per-(lang, split) coverage. Score their single word under the pure
+    // unigram floor: a NULL w1 never matches a join key, so c12/c1
+    // coalesce to 0 and the scoring expression reduces to the (1-λ)
+    // interpolation arm — no special-case branch in the hot path.
+    val shortDocs = Dedup.withWords(t(s, dir, "documents"))
+      .filter(size(col("ws")) < 2)
+      .select(col("doc_id"), col("lang"),
+        lit(null).cast("string").as("w1"), col("ws").getItem(0).as("w2"))
     val train = bg.filter(col("doc_id") % 10 =!= 0)
     val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -227,7 +237,7 @@ object CurationOps {
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val nv = uni.agg(sum("cu").cast("double").as("n"),
       count(lit(1)).cast("double").as("v"))
-    val scored = bg
+    val scored = bg.unionByName(shortDocs)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .join(uni.select(col("w").as("w2"), col("cu")), Seq("w2"), "left")
@@ -270,11 +280,16 @@ object CurationOps {
       |  SELECT w, count(*) AS cu FROM $duckOcc
       |  WHERE doc_id % 10 <> 0 GROUP BY w),
       |nv AS (SELECT sum(cu)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni),
+      |-- sub-2-word docs: no transitions, scored under the unigram floor
+      |-- via a NULL w1 (never matches a join key) — mirrors the Spark arm
+      |shortd AS (
+      |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
+      |  FROM dws WHERE len(ws) < 2),
       |sc AS (
       |  SELECT bg.doc_id, bg.lang,
       |    ln(0.9 * coalesce(c12.c12 / c1.c1::DOUBLE, 0.0) +
       |       0.1 * ((coalesce(uni.cu, 0) + 1.0) / (nv.n + nv.v + 1.0))) AS logp
-      |  FROM bg
+      |  FROM (SELECT * FROM bg UNION ALL SELECT * FROM shortd) bg
       |  LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
       |  LEFT JOIN c1 ON c1.w1 = bg.w1
       |  LEFT JOIN uni ON uni.w = bg.w2

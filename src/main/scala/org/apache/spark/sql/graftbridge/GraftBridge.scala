@@ -26,6 +26,20 @@ object GraftBridge {
     * checkpointed RDD and unpersists it directly; silently a no-op for
     * any other plan shape, so callers can use it unconditionally.
     */
+  /** Clone the session (shared SparkContext + SharedState, so caches and
+    * checkpoints stay visible) with a copy of the caller's ENTIRE runtime
+    * SQL conf — `newSession()` would silently drop session tuning like
+    * the ObjectHashAggregate fallback threshold — then apply per-scope
+    * overrides. This is how an iterative kernel gets its own shuffle
+    * width without mutating the shared session's conf out from under
+    * concurrently-planning queries (test suites share one session).
+    */
+  def cloneSessionWithConf(spark: SparkSession, overrides: (String, String)*): SparkSession = {
+    val cloned = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    overrides.foreach { case (k, v) => cloned.conf.set(k, v) }
+    cloned
+  }
+
   def unpersistLocalCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collectLeaves().foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>

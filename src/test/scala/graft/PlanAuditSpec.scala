@@ -59,8 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // q_bigram_ce broadcasts its single-row (N, V) model-size scalar —
       // the q_unigram_ce corpus-total idiom; q_er_blocking_audit crosses
       // its three 1-row metric aggregates (record count, truth count,
-      // candidate stats)
-      "q_bigram_ce", "q_er_blocking_audit")
+      // candidate stats) plus the 1-row data-derived rec-id offset, which
+      // q_er_clusters now shares
+      "q_bigram_ce", "q_er_blocking_audit", "q_er_clusters")
 
   // queries that run their own writes/side effects before returning a
   // frame; they execute real IO so the audit just compiles their plan

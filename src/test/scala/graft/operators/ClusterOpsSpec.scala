@@ -159,10 +159,16 @@ class ClusterOpsSpec extends AnyFunSuite {
     val rows = ClusterOps.qErClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
+    // the dirty-replica offset is data-derived (smallest power of ten
+    // above max custkey) — recompute it the same way the query does
+    val maxKey = graft.Tables.t(spark, dir, "customer")
+      .agg(org.apache.spark.sql.functions.max("c_custkey"))
+      .head.getAs[Number](0).longValue
+    val offset = math.pow(10, maxKey.toString.length).toLong
     rows.foreach { case (rep, n, maxRec) =>
       assert(n == 2, s"entity $rep: expected exactly clean+dirty, got $n")
-      assert(maxRec == rep + 1000000L,
-        s"entity $rep: dirty twin id should be rep + 1000000, got $maxRec")
+      assert(maxRec == rep + offset,
+        s"entity $rep: dirty twin id should be rep + $offset, got $maxRec")
     }
     val nCustomers = graft.Tables.t(spark, dir, "customer").count()
     assert(rows.length == nCustomers, "one resolved entity per customer")

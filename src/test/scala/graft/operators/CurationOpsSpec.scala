@@ -68,6 +68,27 @@ class CurationOpsSpec extends AnyFunSuite {
       s"held avg CE ${bySplit("held")} not above train ${bySplit("train")}")
   }
 
+  test("bigram CE keeps sub-2-word docs in coverage via the unigram floor") {
+    // a fixture with single-word docs in BOTH splits: before the
+    // unigram-floor arm these had no transition rows and silently
+    // vanished from the per-(lang, split) n_docs
+    import spark.implicits._
+    val fixDir = graft.core.TempDirs.create("bigram_fix_").toString
+    Seq(
+      (0L, "alpha beta gamma", "en"),
+      (1L, "alpha", "en"), // train split, no transitions
+      (2L, "beta gamma alpha beta", "en"),
+      (10L, "gamma", "en"), // held split, no transitions
+      (11L, "alpha beta alpha", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val rows = CurationOps.qBigramCe(spark, fixDir).collect()
+    assert(rows.map(_.getLong(2)).sum == 5,
+      "single-word docs must not vanish from the coverage counts")
+    rows.foreach(r => assert(r.getLong(4) > 0,
+      s"${r.getString(0)}/${r.getString(1)}: CE must stay positive"))
+  }
+
   test("containment scores are asymmetric-Jaccard bounded and eval-keyed") {
     // the loan-pattern handle releases ONLY containment's gram table —
     // suites share the session in parallel, so a clearCache() here would
