@@ -11,8 +11,14 @@ BENCH_r{N}.json wrappers: it carries the COMPLETE per-query map, while
 the wrapper's tail capture truncates to the slowest ~30 entries.
 Exits 1 if any query regresses more than THRESHOLD x against the
 baseline, or if the total does. New queries (absent from the baseline)
-are reported but never fail the gate. Sub-100ms baselines are noise:
-they gate on an absolute +200ms budget instead of the ratio.
+are reported but never fail the gate. Sub-500ms baselines sit at or
+below the min-of-2 methodology's reproducibility floor (a lucky pair of
+sweeps can print 0.13 s for a query whose steady state is ~0.3 s, and
+that flattering number then becomes the next round's baseline — the
+round-11 q1 2.31x false flag): they pass if the new time is within
+EITHER the ratio threshold OR an absolute +300ms budget, whichever is
+looser. The baseline a round gates against must be a COMMITTED artifact
+(bench_detail_r{N}.json), never a /tmp re-run.
 """
 import json
 import re
@@ -102,8 +108,10 @@ def main():
         if t_base is None:
             print(f"NEW      {q:32s} {t_new:8.3f}s (no baseline)")
             continue
-        if t_base < 0.1:
-            ok = t_new <= t_base + 0.2
+        if t_base < 0.5:
+            # sub-reproducibility-floor baseline: ratio OR absolute
+            # budget, whichever is looser
+            ok = t_new <= max(t_base * threshold, t_base + 0.3)
             verdict = "PASS" if ok else "FAIL"
             print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s (abs gate)")
         else:

@@ -126,10 +126,62 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         print(f"PASS     {name} ({len(a)} rows)")
         n_pass += 1
-    # queries with no oracle: rows-only check
+    # Tolerance-gated queries: sketch outputs whose values can't hash-match
+    # any other engine bit-for-bit (HLL register layouts differ), but whose
+    # estimates carry a published error contract vs the exact answer. The
+    # listed columns compare within relative tolerance against the EXACT
+    # oracle of the named twin query; every other column must match
+    # exactly. Spark's approx_count_distinct(rsd=0.02) quotes a 1-sigma
+    # relative error of 2% — the gate bounds at 2.5 sigma (5%), and the
+    # estimate is DETERMINISTIC for a given dataset, so a pass here is
+    # stable, not a coin flip (measured max 2.09% at sf0.01). The driver
+    # still records this query rows-only — hash equality is impossible by
+    # design — but locally this proves the whole row.
+    tolerance = {
+        "q_dq_profile_approx": ("q_dq_profile", {"n_distinct": 0.05}),
+    }
+    # queries with no oracle: tolerance gate if declared, else rows-only
     for d in sorted(os.listdir(out_dir)):
         if d not in oracle and os.path.isdir(os.path.join(out_dir, d)):
             files = glob.glob(os.path.join(out_dir, d, "*.parquet"))
+            if d in tolerance and files:
+                twin, tols = tolerance[d]
+                if twin in oracle:
+                    try:
+                        expected = con.execute(oracle[twin]).fetchdf()
+                    except Exception as exc:
+                        print(f"ORAFAIL  {d}: twin {twin}: {str(exc)[:160]}")
+                        n_fail += 1
+                        continue
+                    actual = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+                    a, e = norm(actual), norm(expected)
+                    ok = list(a.columns) == list(e.columns) and len(a) == len(e)
+                    detail = ""
+                    if ok:
+                        for c in a.columns:
+                            tol = tols.get(c)
+                            if tol is None:
+                                if not a[c].equals(e[c]):
+                                    ok, detail = False, f" exact col {c} differs"
+                                    break
+                            else:
+                                rel = ((a[c].astype(float) - e[c].astype(float))
+                                       .abs() / e[c].astype(float).clip(lower=1))
+                                if not bool((rel <= tol).all()):
+                                    ok = False
+                                    detail = (f" {c} rel err {rel.max():.4f}"
+                                              f" > {tol}")
+                                    break
+                    else:
+                        detail = " schema/rowcount mismatch"
+                    if ok:
+                        print(f"PASS     {d} ({len(a)} rows, tolerance-gated "
+                              f"vs {twin} oracle)")
+                        n_pass += 1
+                    else:
+                        print(f"TOLFAIL  {d}:{detail}")
+                        n_fail += 1
+                    continue
             rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"ROWSONLY {d}: {rows} rows")
     print(f"\n{n_pass} passed, {n_fail} failed"
