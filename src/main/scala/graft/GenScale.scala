@@ -9,14 +9,22 @@ import org.apache.spark.sql.functions._
   *
   * The driver's testdata tops out at sf0.1 and is read-only, so bigger
   * scale factors are synthesized here, OUTSIDE /root/testdata, matched to
-  * the driver data's measured shape (same vocabulary, same ~4% planted
-  * near-duplicate pair rate, same 'dup'-token rate, same 30-day event
-  * window with constant per-user density, unit-norm label-clustered
-  * embeddings, and ×N replicas of the TPC-H-ish tables with offset keys).
-  * Matching the SHAPE is what makes the audit honest: dedup/LSH costs are
-  * governed by the duplicate-pair rate and bucket occupancy, stream/asof
-  * costs by per-key density — scaling corpus size while holding those
-  * constant is exactly how production corpora grow.
+  * the driver data's measured shape (same ~4% planted near-duplicate pair
+  * rate, same 'dup'-token rate, same 30-day event window with constant
+  * per-user density, unit-norm label-clustered embeddings, and ×N
+  * replicas of the TPC-H-ish tables with offset keys). Matching the
+  * SHAPE is what makes the audit honest: dedup/LSH costs are governed by
+  * the duplicate-pair rate and bucket occupancy, stream/asof costs by
+  * per-key density — scaling corpus size while holding those constant is
+  * exactly how production corpora grow.
+  *
+  * KEY CARDINALITY also scales the way production data does (round-11
+  * verdict #1 — previously every blocking key space was frozen at its
+  * sf0.1 size, which manufactured quadratic candidate growth no real
+  * corpus shows): the vocabulary grows by Heaps' law with Zipf-sampled
+  * words ([[vocabFor]]/[[zipfWord]]), embedding label count grows as √n
+  * (the IVF coarse-cell convention), and replicated customer names
+  * follow their offset keys so ER blocks stay bounded.
   *
   * Everything is hash-derived from the row id (splitmix64 finalizer — the
   * round-7 lesson: low bits of odd-multiplier hashes are
@@ -41,36 +49,66 @@ object GenScale {
   def u01(x: Long, salt: Long): Double =
     (h(x, salt) >>> 11).toDouble / (1L << 53).toDouble
 
-  // the driver corpus vocabulary, measured at sf0.1 (30 uniform words;
-  // 'dup' is the planted-duplicate marker appearing in ~5% of docs)
+  // the driver corpus vocabulary, measured at sf0.1 (30 words; 'dup' is
+  // the planted-duplicate marker appearing in ~5% of docs). At factor 1
+  // this is the whole vocabulary; bigger factors EXTEND it (below).
   private val Vocab: Array[String] = Array(
     "spark", "window", "merge", "table", "column", "vector", "stream",
     "value", "data", "small", "join", "filter", "big", "group", "hash",
     "customer", "sort", "order", "slow", "line", "part", "fast", "row",
     "the", "agg", "key", "query", "a", "scan", "batch")
 
-  /** Word sequence for one document: length ~ U[8, 110] words (matches
-    * the measured 44..577-char range, mean ≈ 297), words uniform over the
-    * vocab. `seed` decouples content from doc_id so near-dup pairs can
-    * share content with independent perturbations.
+  /** Vocabulary for a scale factor, grown by Heaps' law: distinct-word
+    * count on real text follows V ∝ tokens^β with β ≈ 0.5, so a ×factor
+    * corpus carries √factor × the vocabulary. Replicating the 30-word
+    * base at every SF instead (rounds ≤ 11) froze every content-derived
+    * key space — shingle grams, simhash band signatures, bigram keys —
+    * so band-bucket occupancy and gram document frequency grew with the
+    * corpus and the candidate surfaces of the banded dedup operators
+    * grew quadratically BY DATA CONSTRUCTION, a growth law no real web
+    * corpus shows (round-11 verdict #1). Ranks 1..30 stay the driver
+    * words; synthetic tail words are "w<i>".
     */
-  private def baseWords(seed: Long): Array[String] = {
-    val n = 8 + (h(seed, 1) >>> 33).toInt % 103 // >>>33 leaves 31 bits: non-negative
-    Array.tabulate(n)(i => Vocab((h(seed * 131 + i, 2) >>> 33).toInt % Vocab.length))
+  def vocabFor(factor: Int): Array[String] = {
+    val v = math.max(Vocab.length,
+      math.ceil(Vocab.length * math.sqrt(factor.toDouble)).toInt)
+    Vocab ++ (Vocab.length until v).map(i => s"w$i")
   }
 
-  def docText(id: Long): String = {
+  /** Zipf-distributed word draw: rank r with P(r) ∝ 1/r via the inverse-
+    * CDF r = ⌊V^u⌋ (u uniform; P(r ≤ x) = ln x / ln V, the s=1 Zipf CDF).
+    * Zipf sampling is what makes Heaps' law EMERGE in the generated text
+    * (the two are duals), and it reproduces the head-heavy df spectrum
+    * the PPJoin prefix pruning and band subdivision are designed for —
+    * uniform draws over a grown vocab would instead make every gram
+    * uniformly rare and flatter the operators' selectivity profile.
+    */
+  private def zipfWord(vocab: Array[String], x: Long, salt: Long): String = {
+    val r = math.pow(vocab.length.toDouble, u01(x, salt)).toInt
+    vocab(math.min(vocab.length - 1, math.max(1, r) - 1))
+  }
+
+  /** Word sequence for one document: length ~ U[8, 110] words (matches
+    * the measured 44..577-char range, mean ≈ 297), words Zipf over the
+    * factor-scaled vocab. `seed` decouples content from doc_id so
+    * near-dup pairs can share content with independent perturbations.
+    */
+  private def baseWords(seed: Long, vocab: Array[String]): Array[String] = {
+    val n = 8 + (h(seed, 1) >>> 33).toInt % 103 // >>>33 leaves 31 bits: non-negative
+    Array.tabulate(n)(i => zipfWord(vocab, seed * 131 + i, 2))
+  }
+
+  def docText(id: Long, vocab: Array[String]): String = {
     // ~4% of docs form near-dup pairs: doc 25k+1 is a perturbed copy of
     // doc 25k (same base seed, ~5% of positions mutated, matching the
     // measured 206-pairs-per-5000-docs prefix-dup structure)
     val isDupCopy = id % 25 == 1
     val seed = if (isDupCopy) id - 1 else id
-    val words = baseWords(seed)
+    val words = baseWords(seed, vocab)
     val perturbed =
       if (!isDupCopy) words
       else words.zipWithIndex.map { case (w, i) =>
-        if (u01(id * 131 + i, 3) < 0.05)
-          Vocab((h(id * 131 + i, 4) >>> 33).toInt.abs % Vocab.length)
+        if (u01(id * 131 + i, 3) < 0.05) zipfWord(vocab, id * 131 + i, 4)
         else w
       }
     // 'dup' marker token in ~5% of docs (measured 250/5000)
@@ -100,10 +138,11 @@ object GenScale {
 
     // ---- documents: 5000 * factor fresh docs, driver-measured shape ----
     val nDocs = 5000L * factor
+    val vocab = vocabFor(factor)
     write(
       spark.range(nDocs).select(col("id").as("doc_id")).map { r =>
         val id = r.getLong(0)
-        val text = docText(id)
+        val text = docText(id, vocab)
         val lang = { // measured: en 41%, others ~15% each
           val u = u01(id, 6)
           if (u < 0.41) "en" else if (u < 0.56) "zh"
@@ -137,11 +176,19 @@ object GenScale {
           lit("}")).as("props")),
       "events")
 
-    // ---- embeddings: unit-norm, 10 weak label clusters, 64 dims --------
+    // ---- embeddings: unit-norm, ~√n weak label clusters, 64 dims -------
+    // Label count follows the IVF convention the operators document
+    // (coarse cells ~ √n, so per-cell occupancy also grows as √n instead
+    // of linearly): a fixed 10 labels at every SF made every same-label
+    // scored join's block surface grow quadratically by construction —
+    // the round-11 verdict's FIXED_BLOCK_CARDINALITY artifact. The
+    // driver's sf0.1 data keeps its 10 labels; generated SFs get
+    // max(10, ⌈√n⌉): sf1 → 142, sf10 → 448.
     val nVecs = 2000L * factor
+    val nLabels = math.max(10, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
     write(
       spark.range(nVecs).map { id =>
-        val label = (h(id, 21) >>> 33).toInt % 10
+        val label = (h(id, 21) >>> 33).toInt % nLabels
         val raw = Array.tabulate(64) { d =>
           // box-muller-lite: sum of 2 uniforms centered — close enough to
           // gaussian for timing work; small label-dependent centroid shift
@@ -180,6 +227,14 @@ object GenScale {
     write(
       rep(cust)
         .withColumn("c_custkey", col("c_custkey") + col("__r") * maxCust)
+        // production names follow keys: regenerate the TPC-H digit tail
+        // to match the offset custkey. Replicating c_name verbatim made
+        // every ER blocking key (nation + digit-string of name) collect
+        // `factor` copies per block, so the levenshtein-verified edge
+        // count grew factor² (600M undirected edges at sf10) — a growth
+        // law real customer tables don't have (round-11 verdict #1).
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
         .drop("__r"),
       "customer")
     // dimension tables: fixed cardinality at every SF (copy unchanged)

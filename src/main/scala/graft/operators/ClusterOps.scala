@@ -558,6 +558,138 @@ object ClusterOps {
       |SELECT lbl AS cluster_rep, id AS keep_doc_id, n_members, ttr AS best_ttr
       |FROM rk WHERE rk = 1 ORDER BY cluster_rep""".stripMargin
 
+  /** Down-sampled exact audit of [[qDedupKeepBest]]'s heavy stages — the
+    * scale-checkable twin the full query can't have: keep_best's oracle
+    * is a banded self-join that DuckDB evaluates quadratically (no LSH
+    * pruning), impractical past sf0.1, so without this the suite's most
+    * expensive query was only oracle-proven at sf0.01 (round-11 verdict
+    * #5). A DETERMINISTIC ~1% stratum of simhash band buckets
+    * ((band_idx·31 + band_sig) mod 97 = 0 — arithmetic on the key, no
+    * RNG, identical in both engines) is carried through the exact same
+    * machinery the full query runs: band/bucket-count/subdivide
+    * ([[Dedup.simhashKeyedBands]]), the banded candidate self-join, the
+    * hamming ≤ 8 verify, and the TTR keep rule applied pairwise. Output
+    * is one row per band: bucket/row counts of the stratum, candidate
+    * and verified pair counts, how often the LEFT doc wins the keep rule
+    * (higher TTR, ties to the smaller doc_id), and the verified hamming
+    * mass.
+    *
+    * Scale shape: the stratum filter lands on the banded frame BEFORE
+    * the self-join in both engines, so the oracle's quadratic surface is
+    * 1/97² per bucket-set × the bucket count — minutes at sf1 where the
+    * full oracle is hours. The Spark side is the full query's own plan
+    * shapes restricted to 1% of buckets.
+    */
+  def qKeepBestAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val sigs = docs.select(col("doc_id"), expr("simhash48(text)").as("sig"))
+    // filter AFTER the bucket-count join: bucket_n (and with it the
+    // hot-bucket subdivision) must be computed on the FULL corpus, like
+    // the query under audit — sampling first would undercount buckets
+    // past the cap and silently skip the subdivision path
+    val keyed = Dedup.simhashKeyedBands(sigs, Dedup.SimhashBucketCap)
+      .filter((col("band_idx") * 31 + col("band_sig")) % 97 === 0)
+      .persist()
+    val perBand = keyed.groupBy("band_idx")
+      .agg(countDistinct("band_sig").as("n_buckets"),
+        count(lit(1)).as("n_rows"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.sub") === col("b.sub") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.band_idx").as("band_idx"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
+    val ttr = docs.select(col("doc_id"),
+      round(size(array_distinct(split(col("text"), " "))) /
+        size(split(col("text"), " ")).cast("double"), 4).as("ttr"))
+    val scored = cand
+      .join(ttr.select(col("doc_id").as("doc_a"), col("ttr").as("ttr_a")), Seq("doc_a"))
+      .join(ttr.select(col("doc_id").as("doc_b"), col("ttr").as("ttr_b")), Seq("doc_b"))
+    val candAgg = scored.groupBy("band_idx").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("dist") <= 8, 1L).otherwise(0L)).as("n_verified"),
+      sum(when(col("dist") <= 8 &&
+          (col("ttr_a") > col("ttr_b") ||
+           (col("ttr_a") === col("ttr_b") && col("doc_a") < col("doc_b"))), 1L)
+        .otherwise(0L)).as("n_keep_a"),
+      sum(when(col("dist") <= 8, col("dist").cast("long")).otherwise(0L))
+        .as("sum_dist"))
+    val out = perBand.join(candAgg, Seq("band_idx"), "left")
+      .select(col("band_idx").cast("long").as("band_idx"), col("n_buckets"),
+        col("n_rows"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        coalesce(col("n_keep_a"), lit(0L)).as("n_keep_a"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"))
+      .orderBy("band_idx")
+    keyed.unpersist()
+    out
+  }
+
+  val qKeepBestAuditOracle: String =
+    s"""WITH ${graft.operators.Dedup.simhash48SigsDuck},
+      |sigs AS (SELECT doc_id, sig FROM base_sigs),
+      |${graft.operators.Dedup.simhashCandDuck},
+      |skeyed AS (
+      |  SELECT * FROM keyed WHERE (band_idx * 31 + band_sig) % 97 = 0),
+      |bp AS (
+      |  SELECT band_idx, count(DISTINCT band_sig) AS n_buckets,
+      |    count(*) AS n_rows
+      |  FROM skeyed GROUP BY 1),
+      |scand AS (
+      |  SELECT a.band_idx, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.sig, b.sig)) AS dist
+      |  FROM skeyed a JOIN skeyed b
+      |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+      |    AND a.sub = b.sub AND a.doc_id < b.doc_id),
+      |ttr AS (
+      |  SELECT doc_id, round(len(list_distinct(string_split(text, ' ')))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr
+      |  FROM documents),
+      |vk AS (
+      |  SELECT v.band_idx, v.dist,
+      |    CASE WHEN ta.ttr > tb.ttr OR (ta.ttr = tb.ttr AND v.doc_a < v.doc_b)
+      |      THEN 1 ELSE 0 END AS keep_a
+      |  FROM scand v
+      |  JOIN ttr ta ON ta.doc_id = v.doc_a
+      |  JOIN ttr tb ON tb.doc_id = v.doc_b),
+      |ca AS (
+      |  SELECT band_idx, count(*) AS n_cand,
+      |    CAST(coalesce(sum(CASE WHEN dist <= 8 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_verified,
+      |    CAST(coalesce(sum(CASE WHEN dist <= 8 THEN keep_a ELSE 0 END), 0)
+      |      AS BIGINT) AS n_keep_a,
+      |    CAST(coalesce(sum(CASE WHEN dist <= 8 THEN dist ELSE 0 END), 0)
+      |      AS BIGINT) AS sum_dist
+      |  FROM vk GROUP BY 1)
+      |SELECT bp.band_idx, bp.n_buckets, bp.n_rows,
+      |  coalesce(ca.n_cand, 0) AS n_cand,
+      |  coalesce(ca.n_verified, 0) AS n_verified,
+      |  coalesce(ca.n_keep_a, 0) AS n_keep_a,
+      |  coalesce(ca.sum_dist, 0) AS sum_dist
+      |FROM bp LEFT JOIN ca USING (band_idx)
+      |ORDER BY band_idx""".stripMargin
+
+  /** Dirty-replica rec_id offset, derived from the data: the smallest
+    * power of ten above max(c_custkey) (10^decimal-digits — pure integer
+    * and string logic, so Spark and DuckDB agree bit-for-bit where a
+    * float log10 could round either way). A fixed 1,000,000 collides
+    * with clean custkeys once customer passes 1M rows (sf≈7; sf10 has
+    * 1.5M), silently merging unrelated records. One-row broadcast
+    * scalar, the q_above_avg idiom — never a driver constant.
+    */
+  private def custKeyOffset(c: DataFrame): DataFrame =
+    c.agg(pow(lit(10.0), length(max(col("c_custkey")).cast("string")))
+      .cast("long").as("off"))
+
+  private val custKeyOffsetDuck: String =
+    """off AS (
+      |  SELECT CAST(power(10, len(CAST(max(c_custkey) AS VARCHAR))) AS BIGINT)
+      |    AS off FROM customer)""".stripMargin
+
   /** Entity resolution end-to-end — the record-linkage pipeline shape
     * (Fellegi–Sunter by way of modern blocking): normalize → block →
     * pairwise verify (edit distance) → transitive closure → canonical
@@ -579,23 +711,6 @@ object ClusterOps {
     * simhash bands. The closure iterates over the MATCH graph, which is
     * duplicate-surface-sized, not corpus-sized.
     */
-  /** Dirty-replica rec_id offset, derived from the data: the smallest
-    * power of ten above max(c_custkey) (10^decimal-digits — pure integer
-    * and string logic, so Spark and DuckDB agree bit-for-bit where a
-    * float log10 could round either way). A fixed 1,000,000 collides
-    * with clean custkeys once customer passes 1M rows (sf≈7; sf10 has
-    * 1.5M), silently merging unrelated records. One-row broadcast
-    * scalar, the q_above_avg idiom — never a driver constant.
-    */
-  private def custKeyOffset(c: DataFrame): DataFrame =
-    c.agg(pow(lit(10.0), length(max(col("c_custkey")).cast("string")))
-      .cast("long").as("off"))
-
-  private val custKeyOffsetDuck: String =
-    """off AS (
-      |  SELECT CAST(power(10, len(CAST(max(c_custkey) AS VARCHAR))) AS BIGINT)
-      |    AS off FROM customer)""".stripMargin
-
   def qErClusters(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val clean = c.select(col("c_custkey").cast("long").as("rec_id"),
@@ -859,7 +974,7 @@ object ClusterOps {
     * their true class; every other node adopts, round by round, the
     * MAJORITY label among its labeled graph neighbors (vote ties break
     * to the smaller label — the deterministic convention). The graph is
-    * an honest ANN kNN graph: candidates from the 8-bit hyperplane
+    * an honest ANN kNN graph: candidates from the data-sized hyperplane
     * bucket (NOT the true label — that is the quantity being predicted),
     * top-5 by rounded cosine per node via the bounded
     * [[graft.functions.TopKAggregator]]. Two propagation rounds, then
@@ -870,19 +985,27 @@ object ClusterOps {
     * discipline (bucket-equality join, bounded top-k); each round is one
     * keyed shuffle of (node, vote) pairs over the kN-edge frame plus a
     * struct-max aggregate (no window); seeds and predictions never leave
-    * the node frame. The 8-plane bucket count is a corpus-size knob: at
-    * 100 TB the plane count grows with log₂(n) (16–32 planes) so expected
-    * bucket occupancy — and with it the scored join's per-bucket pair
-    * surface — stays constant, exactly the multi-table discipline the
-    * simhash/phash band caps apply.
+    * the node frame. The plane count is sized to the corpus
+    * ([[Similarity.planesFor]]: log₂(n/8), floor 8 — 8 planes at driver
+    * SFs, 12 at sf1, 15 at sf10, 16–32 at 100 TB) so expected bucket
+    * occupancy — and with it the scored join's per-bucket pair surface —
+    * stays constant as the corpus grows, exactly the multi-table
+    * discipline the simhash/phash band caps apply; the oracle computes
+    * the same count from the data in SQL.
     */
   def qLabelProp(s: SparkSession, dir: String, rounds: Int = 2, k: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import s.implicits._
+    // plane count sized to the corpus (log₂(n/8), floor 8 — see
+    // Similarity.planesFor): the candidate bucket space must grow with n
+    // or bucket occupancy — and the bucket-blocked scored join's pair
+    // surface — grows linearly-per-bucket, quadratically in total. The
+    // count() is a parquet-metadata action (row-group stats, no scan).
+    val nPlanes = Similarity.planesFor(t(s, dir, "embeddings").count())
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         expr(Similarity.normExpr).as("nrm"),
-        Similarity.hyperplaneBucket.as("bucket"))
+        Similarity.hyperplaneBucket(nPlanes).as("bucket"))
     val a = e.select(col("vec_id").as("src"), col("embedding").as("qv"),
       col("nrm").as("qnrm"), col("bucket"))
     val b = e.select(col("vec_id").as("dst"), col("embedding"),
@@ -940,10 +1063,19 @@ object ClusterOps {
   }
 
   val qLabelPropOracle: String =
-    """WITH comp AS (
+    """WITH np AS (
+      |  -- data-sized plane count, same integer-exact rule as
+      |  -- Similarity.planesFor: ceil(log2(ceil(n / 8))), floor 8
+      |  SELECT greatest(8, CAST(ceil(log2((count(*) + 7) // 8)) AS INT)) AS np
+      |  FROM embeddings),
+      |-- DuckDB's range() table function only takes constants, so the
+      |-- dynamic plane list is a filtered constant range (64 planes is
+      |-- enough for n up to 8 * 2^64)
+      |planes AS (SELECT r.r AS p FROM range(64) r(r), np WHERE r.r < np.np),
+      |comp AS (
       |  SELECT vec_id, p.p AS p,
       |    sum((e.embedding[j.j + 1])::DOUBLE * ((p.p * 131 + j.j * 37) % 19 - 9)) AS dot
-      |  FROM embeddings e, range(8) AS p(p), range(64) AS j(j)
+      |  FROM embeddings e, planes AS p, range(64) AS j(j)
       |  GROUP BY vec_id, p.p),
       |buckets AS (
       |  SELECT vec_id,
@@ -1007,6 +1139,7 @@ object ClusterOps {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersOracle)),
     QueryDef("q_dedup_keep_best", qDedupKeepBest, Some(qDedupKeepBestOracle)),
+    QueryDef("q_keep_best_audit", qKeepBestAudit, Some(qKeepBestAuditOracle)),
     QueryDef("q_cluster_size_hist", (s, d) => qClusterSizeHist(s, d),
       Some(qClusterSizeHistOracle)),
     QueryDef("q_cross_dedup", qCrossDedup, Some(qCrossDedupOracle)),

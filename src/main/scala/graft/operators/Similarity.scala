@@ -205,14 +205,39 @@ object Similarity {
   // accumulation, so bucket assignment is reproducible in the DuckDB
   // oracle's CASE-sum form. Shared by qLshBuckets (occupancy report) and
   // qAnnNearDup (candidate generation).
-  private[operators] def hyperplaneBucket: Column = {
+  private[operators] def hyperplaneBucket: Column = hyperplaneBucket(8)
+
+  /** [[hyperplaneBucket]] with an explicit plane count — for callers that
+    * size the bucket space to the data (see [[planesFor]]).
+    */
+  private[operators] def hyperplaneBucket(nPlanes: Int): Column = {
     def planeSql(p: Int): String =
       (0 until 64).map(j => s"CAST(${(p * 131 + j * 37) % 19 - 9} AS FLOAT)")
         .mkString("array(", ", ", ")")
-    (0 until 8).map { p =>
+    (0 until nPlanes).map { p =>
       expr(s"CASE WHEN vec_dot(embedding, ${planeSql(p)}) > 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     }.reduce(_ + _)
+  }
+
+  /** Data-sized hyperplane count: ⌈log₂⌈n / targetOcc⌉⌉ with an 8-plane
+    * floor, i.e. enough planes that EXPECTED bucket occupancy stays
+    * ~targetOcc as the corpus grows — the standard LSH sizing rule (a
+    * fixed plane count saturates: at 100× the data every bucket holds
+    * 100× the vectors and the bucket-blocked pair join grows
+    * quadratically). Integer-exact (numberOfLeadingZeros, no float log):
+    * DuckDB's `ceil(log2((n + 7) // 8))` lands on the same value at
+    * every n because binary log of a power of two is exact in IEEE and
+    * ceil can't cross an integer elsewhere. 8 planes at n ≤ 2048 keeps
+    * the driver-SF bucket space (and every committed sf0.01/sf0.1
+    * result) unchanged; sf1 gets 12 planes, sf10 gets 15.
+    */
+  private[operators] def planesFor(n: Long, targetOcc: Long = 8L): Int = {
+    val cells = (n + targetOcc - 1) / targetOcc
+    val np =
+      if (cells <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1L)
+    math.max(8, np.toInt)
   }
 
   def qLshBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -1311,7 +1336,16 @@ object Similarity {
     val scored = e.filter(pmod(col("vec_id"), lit(25)) =!= 0)
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("true_label"),
-        (col("vec_id") * 100 + col("label")).as("packed"),
+        // label rides along packed into the id slot of the bounded top-k
+        // aggregate. Multiplier 100000, NOT 100: label cardinality scales
+        // with the corpus (IVF convention ~√n — 142 at sf1 already), and
+        // a multiplier below the label count silently wraps the decode
+        // (pmod) onto the wrong label — caught by the sf1 oracle the
+        // round the test data's label space started growing. Packed
+        // ordering still equals vec_id ordering (multiplier > label), so
+        // the heap's smaller-id tie-break keeps matching the oracle's
+        // `ORDER BY cos_sim DESC, vec_id`.
+        (col("vec_id") * 100000L + col("label")).as("packed"),
         round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
     scored.as[(Long, Int, Long, Double)]
       .groupByKey(r => (r._1, r._2))
@@ -1321,7 +1355,7 @@ object Similarity {
       .select(col("qk._1").as("query_id"), col("qk._2").as("true_label"),
         explode(col("top")).as("item"))
       .select(col("query_id"), col("true_label").cast("long").as("true_label"),
-        pmod(col("item._2"), lit(100)).cast("long").as("nbr_label"))
+        pmod(col("item._2"), lit(100000L)).cast("long").as("nbr_label"))
       .groupBy("query_id", "true_label", "nbr_label")
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vr", row_number().over(

@@ -174,6 +174,27 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(rows.length == nCustomers, "one resolved entity per customer")
   }
 
+  test("keep-best audit: deterministic stratum, internally consistent counts") {
+    val rows = ClusterOps.qKeepBestAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty, "the 1% band stratum must be non-empty even at sf0.001")
+    rows.foreach { case (band, nBuckets, nRows, nCand, nVerified, nKeepA, sumDist) =>
+      assert(band >= 0 && band < 3)
+      assert(nBuckets > 0 && nRows >= nBuckets,
+        s"band $band: rows $nRows must cover buckets $nBuckets")
+      assert(nVerified <= nCand, s"band $band: verified beyond candidates")
+      assert(nKeepA <= nVerified, s"band $band: keep-a beyond verified")
+      assert(sumDist <= nVerified * 8, s"band $band: hamming mass beyond cap")
+    }
+    // the stratum is arithmetic on the band key — re-running must give
+    // the identical report (no RNG anywhere in the path)
+    val again = ClusterOps.qKeepBestAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("blocking audit: completeness counts exactly the undamaged twins") {
     val r = ClusterOps.qErBlockingAudit(spark, dir).collect().head
     val (nRecords, nCand, nTrue, nBlockedTrue) =
