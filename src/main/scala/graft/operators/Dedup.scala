@@ -388,15 +388,23 @@ object Dedup {
   }
 
   val qSimhashOracle: String =
-    """SELECT doc_id,
+    """WITH ths0 AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |    w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
+      |  FROM documents),
+      |-- word-bigram features, one-word docs fall back to the unigram
+      |-- (mirrors SimHashHelper)
+      |feats AS (
+      |  SELECT doc_id, CASE WHEN len(ths) < 2 THEN ths
+      |    ELSE list_transform(range(1, len(ths)), i -> ths[i] * 131 + ths[i + 1]) END AS ths
+      |  FROM ths0)
+      |SELECT doc_id,
       | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), b ->
       |   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
       |     list_transform(ths, h -> CASE WHEN (h // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
       |     (a, x) -> a + x) > 0
       |   THEN CAST(2 ** b AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS simhash
-      |FROM (SELECT doc_id, list_transform(string_split(text, ' '),
-      |  w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
-      |  FROM documents) sub
+      |FROM feats
       |ORDER BY doc_id""".stripMargin
 
   /** SimHash near-duplicate detection END-TO-END — the second of the two
@@ -506,10 +514,17 @@ object Dedup {
     * defines `ths` and `base_sigs(doc_id, sig)` over `documents`.
     */
   val simhash48SigsDuck: String =
-    """ths AS (
+    """ths0 AS (
       |  SELECT doc_id, list_transform(string_split(text, ' '),
       |    w -> CAST(length(w) * 97 + ascii(substr(w, 1, 1)) * 13 + ascii(substr(w, length(w), 1)) AS BIGINT)) AS ths
       |  FROM documents),
+      |-- word-BIGRAM features (one-word docs fall back to the unigram):
+      |-- mirrors SimHash48Helper — unigram features degenerate on Zipf
+      |-- text and saturate the band buckets
+      |ths AS (
+      |  SELECT doc_id, CASE WHEN len(ths) < 2 THEN ths
+      |    ELSE list_transform(range(1, len(ths)), i -> ths[i] * 131 + ths[i + 1]) END AS ths
+      |  FROM ths0),
       |base_sigs AS (
       |  SELECT doc_id,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(list_transform(range(0, 3), m ->

@@ -85,14 +85,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("simhash16 matches the per-bit majority-vote reference and split semantics") {
     import spark.implicits._
     VectorFunctions.register(spark)
-    // reference implementation over split(text, ' ') with unlimited limit
+    // reference implementation over split(text, ' ') with unlimited
+    // limit, word-bigram features (one-word texts fall back to the
+    // unigram) — the SimHashHelper contract
     def ref(text: String): Long = {
       val counts = new Array[Int](16)
-      text.split(" ", -1).foreach { w =>
-        val th = w.length.toLong * 97 +
+      val ths = text.split(" ", -1).map { w =>
+        w.length.toLong * 97 +
           (if (w.nonEmpty) w.head.toInt * 13 + w.last.toInt else 0)
+      }
+      val feats =
+        if (ths.length < 2) ths
+        else ths.sliding(2).map(p => p(0) * 131 + p(1)).toArray
+      feats.foreach { f =>
         (0 until 16).foreach { b =>
-          if (((th >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((f >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         }
       }
       (0 until 16).map(b => if (counts(b) > 0) 1L << b else 0L).sum

@@ -104,9 +104,14 @@ class DedupSpec extends AnyFunSuite {
         val last = if (w.nonEmpty) w.last.toLong else 0L
         w.length.toLong * 97 + first * 13 + last
       }
+      // word-bigram features (one-word docs fall back to the unigram) —
+      // the SimHash48Helper contract
+      val feats =
+        if (ths.length < 2) ths
+        else ths.sliding(2).map(p => p(0) * 131 + p(1)).toArray
       var expected = 0L
       for (m <- 0 until 3; b <- 0 until 16) {
-        val vote = ths.map(th => if ((((th * mults(m)) & 0xffffL) >> b & 1L) == 1L) 1 else -1).sum
+        val vote = feats.map(f => if ((((f * mults(m)) & 0xffffL) >> b & 1L) == 1L) 1 else -1).sum
         if (vote > 0) expected |= 1L << (m * 16 + b)
       }
       assert(sig == expected, s"doc $id: simhash48 mismatch")
