@@ -38,43 +38,18 @@ QUADRATIC_CONTRACT = {
     "q_allpairs_jaccard",
 }
 
-# Queries whose BLOCKING KEY has fixed cardinality in the GenScale
-# synthetic data, so the per-block pair surface grows data_ratio^2 even
-# though the OPERATOR is properly blocked (never all-pairs). This is a
-# property of the test-data construction, not the plan: GenScale scales
-# by replication and never widens the key space —
-#   - embeddings.label is id%10 at every SF (GenScale.scala:144), so
-#     q_pagerank's same-label scored join sees blocks of n/10;
-#   - q_label_prop's ANN buckets are 8 fixed hyperplanes (256 buckets);
-#   - customer replication reuses c_name verbatim (GenScale.scala:182
-#     keeps every column but c_custkey), so q_er_clusters' digits-of-name
-#     blocks hold factor x (orig + perturbed replica) members and the
-#     levenshtein-verified edge count grows factor^2 (600M undirected
-#     edges at sf10).
-# In a real deployment these keys scale with the corpus (IVF cell count
-# ~ sqrt(n), hyperplane count ~ log2(n), ER blocking keys chosen to
-# bound block size — each documented at the operator), so the honest
-# bound here is the quadratic one: flag_at = 1.5 * data_ratio^2, same
-# as QUADRATIC_CONTRACT; staying well under it shows the bounded
-# aggregation (top-k heaps, min-label rounds) is doing its job.
-FIXED_BLOCK_CARDINALITY = {
-    "q_pagerank",
-    "q_label_prop",
-    "q_er_clusters",
-    # same fixed-10-label scored-pair surface as q_pagerank for its edge
-    # build (Similarity.qEmbeddingNearDup), and the cos>=0.3 edge density
-    # within a label is a constant of the embedding distribution, so the
-    # b-keyed wedge join surface (sum of deg^2) compounds on top of it —
-    # measured 96x at sf1->sf10, still under the quadratic bound because
-    # the threshold keeps the graph sparse
-    "q_dup_triangles",
-    # simhash band signatures over the 27-word synthetic vocab: the
-    # populated (band, sig) bucket space saturates, so per-bucket
-    # occupancy — and the candidate pair surface — grows with the
-    # corpus; the hot-bucket subdivision bounds per-task surface, not
-    # total candidate count (same argument as q_allpairs_jaccard's df^2)
-    "q_dedup_keep_best",
-}
+# RETIRED in round 12 (was FIXED_BLOCK_CARDINALITY, 5 queries): rounds
+# <= 11 exempted q_pagerank / q_label_prop / q_er_clusters /
+# q_dup_triangles / q_dedup_keep_best to the quadratic bound because the
+# GenScale data froze every blocking-key space at its sf0.1 cardinality
+# (10 embedding labels, 8 hyperplanes, verbatim c_name replicas, 27-word
+# vocab) — a growth law no real corpus shows. Round 12 made the
+# generator scale keys the way production data does (labels ~ sqrt(n),
+# Heaps'-law Zipf vocab, names follow keys, log2(n) hyperplanes in the
+# query itself, bigram simhash features), so these five are now held to
+# the LINEAR threshold like everything else; their measured sf1->sf10
+# ratios are the evidence the 100 TB claim previously only documented.
+FIXED_BLOCK_CARDINALITY = set()
 
 
 def load(path: str) -> dict:
