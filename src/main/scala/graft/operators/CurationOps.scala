@@ -360,19 +360,23 @@ object CurationOps {
 
   /** Containment attribution: for eval docs (doc_id % 10 = 0), WHICH
     * training document contains them — asymmetric Jaccard
-    * |grams(eval) ∩ grams(train)| / |grams(eval)| ≥ 0.3 over word-bigram
-    * shingle sets. The pair-level follow-up to the
+    * |grams(eval) ∩ grams(train)| / |grams(eval)| ≥ 0.3 over 4-WORD
+    * shingle sets (the decontamination-standard long-gram regime — see
+    * [[Dedup.grams4Spark]] for why bigram-keyed joins melt on Zipf
+    * text). The pair-level follow-up to the
     * [[CorpusOps.qContamination]] screen: containment (not symmetric
     * Jaccard) is the right measure when a long train doc quotes a short
     * eval doc wholesale.
     *
     * Scale shape: candidate pairs materialize ONLY through shared grams
     * (gram-keyed equi-join; pair surface = Σ_g df_eval·df_train, bounded
-    * by gram document frequency — never eval×train). Hot grams are capped
-    * BEFORE the join: any gram appearing in more than [[GramDfCap]]
-    * documents is dropped from both join sides (the production
-    * decontamination idiom — stopword grams carry no attribution signal
-    * and are exactly the df² blowup terms). Eval-set sizes `n_a` are
+    * by gram document frequency — never eval×train, and 4-gram df is
+    * Zipf⁴-tailed so posting lists stay short at every corpus size). Hot
+    * grams are additionally capped BEFORE the join: any gram appearing
+    * in more than 5% of documents is dropped from both join sides (the
+    * production decontamination idiom — stopword grams carry no
+    * attribution signal and are exactly the df² blowup terms). Eval-set
+    * sizes `n_a` are
     * computed on the UNCAPPED gram sets so the containment denominator
     * stays true; capping can only lower a score, never inflate it. Both
     * joins are unhinted — eval docs scale with the corpus, so AQE picks
@@ -398,9 +402,14 @@ object CurationOps {
     // the corpus — the same shared-projection idiom as the LSH signature
     // table; the caller owns the cache lifetime (Bench/Verify clear
     // between queries, specs clear after collect)
+    // 4-word shingles, NOT the bigrams the signature passes use: this is
+    // an inverted-index join keyed on the gram, and bigram posting lists
+    // grow linearly with a natural-text corpus (see Dedup.grams4Spark for
+    // the measured sf10 blowup) — the decontamination-standard long-gram
+    // regime keeps per-gram df bounded at every scale
     val grams = t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
+      .select(col("doc_id"), explode(expr(Dedup.grams4Spark)).as("gram"))
       .persist()
     val keep = grams.groupBy("gram").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= dfCap).select("gram")
@@ -424,7 +433,7 @@ object CurationOps {
 
   val qContainmentOracle: String =
     s"""WITH g AS (
-      |  SELECT doc_id, unnest(${Dedup.gramsDuck}) AS gram FROM ${Dedup.duckWords}),
+      |  SELECT doc_id, unnest(${Dedup.grams4Duck}) AS gram FROM ${Dedup.duckWords}),
       |cap AS (SELECT greatest(1, count(*) // 20) AS dfcap FROM documents),
       |keep AS (
       |  SELECT gram FROM (

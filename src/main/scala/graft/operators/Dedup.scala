@@ -122,6 +122,35 @@ object Dedup {
       | slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
       | (a, b) -> concat(a, '_', b)))""".stripMargin
 
+  /** 4-word shingles for the CONTAINMENT/decontamination surface. Word
+    * BIGRAMS are the right feature for signature passes (minhash simply
+    * hashes them), but an inverted-index JOIN keyed on them melts on
+    * natural text: a bigram's document frequency grows linearly with the
+    * corpus (Zipf head pairs appear in a constant FRACTION of docs), so
+    * the per-gram eval×train pair surface grows df² — measured at sf10
+    * on the Heaps/Zipf test corpus, the bigram-keyed containment join
+    * spilled >60 GB and ran the box out of disk. Production
+    * decontamination runs long n-grams for exactly this reason (GPT-3
+    * appendix C: 13-gram; Llama 2: tokenized ~10-grams); 4 words here
+    * scales to the 8–110-word synthetic docs. The df spectrum of
+    * 4-grams is Zipf⁴-tailed, so posting lists stay short at any corpus
+    * size and the 5%-of-docs stopword cap becomes a safety net instead
+    * of the only thing standing between the join and n².
+    */
+  private[operators] val grams4Spark =
+    """array_distinct(zip_with(
+      | zip_with(slice(ws, 1, greatest(size(ws) - 3, 0)),
+      |          slice(ws, 2, greatest(size(ws) - 3, 0)), (a, b) -> concat(a, '_', b)),
+      | zip_with(slice(ws, 3, greatest(size(ws) - 3, 0)),
+      |          slice(ws, 4, greatest(size(ws) - 3, 0)), (c, d) -> concat(c, '_', d)),
+      | (x, y) -> concat(x, '_', y)))""".stripMargin
+
+  /** [[grams4Spark]] in DuckDB (1-based list indexing; `range(1, n)` is
+    * empty whenever n ≤ 1, covering sub-4-word docs).
+    */
+  private[operators] val grams4Duck =
+    "list_distinct(list_transform(range(1, len(ws) - 2), i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2] || '_' || ws[i + 3]))"
+
   /** Same shingles in DuckDB, over a pre-split `ws` column (list indexing
     * on a bound column, not per-element re-split).
     */

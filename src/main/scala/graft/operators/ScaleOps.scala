@@ -30,7 +30,7 @@ object ScaleOps {
   // Grid neighbor join (epsilon self-join in 2D)
   // ---------------------------------------------------------------------
 
-  private val GridR = 300L // cell edge == epsilon, integer units in [0, 100000)
+  private val GridR = 300L // cell edge == epsilon, integer units in [0, gridSide)
 
   /** All point pairs within euclidean distance `GridR`, banded by
     * distance — the 2D epsilon-self-join every spatial / geo pipeline
@@ -55,25 +55,51 @@ object ScaleOps {
     * the squared-middle-bits spread is measured Poisson-like (pair
     * counts track the density prediction).
     */
-  private def gridPoints(s: SparkSession, dir: String): DataFrame =
+  /** Coordinate-space side, scaled so point DENSITY stays fixed as the
+    * corpus grows: side = 100000 · ⌈√(n / 50000)⌉ (50k points in the
+    * 100000² space is the sf0.1 reference density; floor 1 keeps every
+    * driver-SF result byte-identical). A FIXED side is the spatial twin
+    * of the fixed-cardinality blocking keys round 12 retired: 10× the
+    * points in the same area = 10× per-cell occupancy = 100× the 9-cell
+    * candidate surface (measured 22× wall on q_grid_knn at sf10 before
+    * this), while a real corpus growing 10× covers more area — the
+    * operators' own "survives any scale-up that keeps density fixed"
+    * contract. ⌈√·⌉ on a double is engine-portable: perfect squares are
+    * exact in IEEE and ceil can't cross an integer elsewhere, so the
+    * DuckDB side CTE computes the identical value.
+    */
+  private def gridSide(s: SparkSession, dir: String): Long = {
+    val n = t(s, dir, "events").filter(col("event_id") % 2 === 0).count()
+    100000L * math.max(1L, math.ceil(math.sqrt(n / 50000.0)).toLong)
+  }
+
+  private def gridPoints(s: SparkSession, dir: String): DataFrame = {
+    val side = gridSide(s, dir)
     t(s, dir, "events")
       .filter(col("event_id") % 2 === 0)
       .select(col("event_id").as("id"),
         expr(s"(event_id * $MixA % $M32 % 67108864)" +
-          s" * (event_id * $MixA % $M32 % 67108864) DIV 1024 % 100000").as("xi"),
+          s" * (event_id * $MixA % $M32 % 67108864) DIV 1024 % $side").as("xi"),
         expr(s"(event_id * $MixB % $M32 % 67108864)" +
-          s" * (event_id * $MixB % $M32 % 67108864) DIV 1024 % 100000").as("yi"))
+          s" * (event_id * $MixB % $M32 % 67108864) DIV 1024 % $side").as("yi"))
       .withColumn("cx", expr(s"xi DIV $GridR"))
       .withColumn("cy", expr(s"yi DIV $GridR"))
+  }
 
-  /** The same CTE for DuckDB oracles. */
+  /** The same CTEs for DuckDB oracles (side computed from the data). */
   private def gridPointsDuck: String =
-    s"""p AS (
+    s"""side AS (
+      |  SELECT 100000 * greatest(1,
+      |    CAST(ceil(sqrt(count(*) / 50000.0)) AS BIGINT)) AS side
+      |  FROM events WHERE event_id % 2 = 0),
+      |p AS (
       |  SELECT event_id AS id,
       |    (event_id * $MixA % $M32 % 67108864)
-      |      * (event_id * $MixA % $M32 % 67108864) // 1024 % 100000 AS xi,
+      |      * (event_id * $MixA % $M32 % 67108864) // 1024
+      |      % (SELECT side FROM side) AS xi,
       |    (event_id * $MixB % $M32 % 67108864)
-      |      * (event_id * $MixB % $M32 % 67108864) // 1024 % 100000 AS yi
+      |      * (event_id * $MixB % $M32 % 67108864) // 1024
+      |      % (SELECT side FROM side) AS yi
       |  FROM events WHERE event_id % 2 = 0)""".stripMargin
 
   def qGridJoin(s: SparkSession, dir: String): DataFrame = {

@@ -630,15 +630,36 @@ object TextOps {
     * joins), DuckDB's split_part yields '' (joins every one-word doc
     * into one block) — both sides filter them out explicitly.
     */
+  /** Hot blocks get their join key EXTENDED by the next two words — the
+    * [[graft.operators.Dedup.simhashKeyedBands]] subdivision idiom
+    * applied to record-linkage blocking. On natural (Zipf) text the
+    * two-word-prefix block degenerates at scale: the head block ("the
+    * the"-style) holds a constant FRACTION of the corpus, so its pair
+    * surface grows n² — measured at sf10, the top four blocks alone
+    * carried ~6×10⁸ levenshtein verifies and pinned the suite for >15
+    * minutes. Subdividing only over-cap blocks (cap = 64 docs, i.e.
+    * ≤ ~2k verifies per cold block) bounds per-block work while leaving
+    * every cold block's recall untouched; within a hot block, pairs
+    * differing in words 3–4 are skipped — the standard blocking trade,
+    * documented rather than hidden (production linkage subdivides
+    * recursively; one level matches the simhash precedent).
+    */
   def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val cap = 64
     val k = t(s, dir, "documents").select(
       col("doc_id"),
       substring(col("text"), 1, 40).as("key"),
       split(col("text"), " ").getItem(0).as("w1"),
-      split(col("text"), " ").getItem(1).as("w2"))
+      split(col("text"), " ").getItem(1).as("w2"),
+      concat(coalesce(split(col("text"), " ").getItem(2), lit("")), lit("_"),
+        coalesce(split(col("text"), " ").getItem(3), lit(""))).as("w34"))
       .filter(col("w2").isNotNull && col("w2") =!= "")
-    k.as("a").join(k.as("b"),
+    val counts = k.groupBy("w1", "w2").agg(count(lit(1)).as("block_n"))
+    val keyed = k.join(counts, Seq("w1", "w2"))
+      .withColumn("sub", when(col("block_n") > cap, col("w34")).otherwise(lit("")))
+    keyed.as("a").join(keyed.as("b"),
         col("a.w1") === col("b.w1") && col("a.w2") === col("b.w2") &&
+        col("a.sub") === col("b.sub") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.key"), col("b.key")).cast("long").as("edit_dist"))
@@ -649,13 +670,19 @@ object TextOps {
   val qFuzzyMatchOracle: String =
     """WITH k AS (
       |  SELECT doc_id, substr(text, 1, 40) AS key,
-      |    split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2
+      |    split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2,
+      |    split_part(text, ' ', 3) || '_' || split_part(text, ' ', 4) AS w34
       |  FROM documents
-      |  WHERE split_part(text, ' ', 2) <> '')
+      |  WHERE split_part(text, ' ', 2) <> ''),
+      |counts AS (SELECT w1, w2, count(*) AS block_n FROM k GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT k.*, CASE WHEN c.block_n > 64 THEN k.w34 ELSE '' END AS sub
+      |  FROM k JOIN counts c USING (w1, w2))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
-      |FROM k a JOIN k b
-      |  ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.doc_id < b.doc_id
+      |FROM keyed a JOIN keyed b
+      |  ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.sub = b.sub
+      |  AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.key, b.key) <= 10
       |ORDER BY doc_a, doc_b""".stripMargin
 
