@@ -84,8 +84,15 @@ object GenScale {
     * uniformly rare and flatter the operators' selectivity profile.
     */
   private def zipfWord(vocab: Array[String], x: Long, salt: Long): String = {
+    // r = ⌊V^u⌋ with u ∈ [0,1) lands in [1, V-1], so index r-1 covers
+    // [0, V-2]: the EFFECTIVE vocabulary is V-1 words (the last word
+    // vocabFor appends has zero draw probability). Accepted and
+    // documented rather than fixed — the committed sf1/sf10 corpora were
+    // generated under this law, and changing the draw would regenerate
+    // them and break cross-round bench comparability for a tail word
+    // whose Zipf mass would be ~1/(V ln V) anyway.
     val r = math.pow(vocab.length.toDouble, u01(x, salt)).toInt
-    vocab(math.min(vocab.length - 1, math.max(1, r) - 1))
+    vocab(math.min(vocab.length - 1, r - 1))
   }
 
   /** Word sequence for one document: length ~ U[8, 110] words (matches
@@ -233,8 +240,13 @@ object GenScale {
         // `factor` copies per block, so the levenshtein-verified edge
         // count grew factor² (600M undirected edges at sf10) — a growth
         // law real customer tables don't have (round-11 verdict #1).
+        // format_string %09d zero-pads but NEVER truncates (lpad would
+        // silently truncate once the offset custkey exceeds 9 digits —
+        // custkey >= 1e9, factor ~ 6700 on the sf0.1 base — colliding
+        // regenerated names and re-creating the factor² ER blocks this
+        // change retires); identical output for all committed factors
         .withColumn("c_name",
-          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+          format_string("Customer#%09d", col("c_custkey")))
         .drop("__r"),
       "customer")
     // dimension tables: fixed cardinality at every SF (copy unchanged)

@@ -22,6 +22,13 @@ object TempDirs {
 
   lazy val root: Path = {
     val r = Files.createTempDirectory("graft_run_")
+    // Liveness marker for the audit scripts' stale-scratch sweep: a
+    // long-lived run (sf10 benches exceed 2h) may never refresh the
+    // root's mtime, so mtime alone can't distinguish "stale" from
+    // "owned by a still-running JVM". The sweep skips any root whose
+    // owner.pid names a live process (tools/run_sf*_audit.sh).
+    Files.write(r.resolve("owner.pid"),
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r)))
     r
   }

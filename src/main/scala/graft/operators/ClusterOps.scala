@@ -588,6 +588,11 @@ object ClusterOps {
     // hot-bucket subdivision) must be computed on the FULL corpus, like
     // the query under audit — sampling first would undercount buckets
     // past the cap and silently skip the subdivision path
+    // persisted: perBand plus both self-join sides read this frame; the
+    // caller owns cache lifetime (Bench/Verify/RunOne clear between
+    // queries — same discipline as simhashBandPairs). An unpersist here
+    // would run eagerly while BUILDING the lazy plan, before the
+    // returned DataFrame executes, and the cache would never be used.
     val keyed = Dedup.simhashKeyedBands(sigs, Dedup.SimhashBucketCap)
       .filter((col("band_idx") * 31 + col("band_sig")) % 97 === 0)
       .persist()
@@ -625,7 +630,6 @@ object ClusterOps {
         coalesce(col("n_keep_a"), lit(0L)).as("n_keep_a"),
         coalesce(col("sum_dist"), lit(0L)).as("sum_dist"))
       .orderBy("band_idx")
-    keyed.unpersist()
     out
   }
 

@@ -219,10 +219,16 @@ object StreamOps {
     * stays tiny. Inner-join results emit as they match — append mode
     * never withholds them behind the watermark.
     *
-    * The streaming query materializes raw pairs; the hourly roll-up is a
-    * batch aggregate over the sink (chaining an aggregate after a
-    * stream-stream join is restricted in append mode, and the roll-up is
-    * not the part under streaming test).
+    * The streaming query materializes matched pairs to a PARQUET files
+    * sink (chaining an aggregate after a stream-stream join is
+    * restricted in append mode, and the roll-up is not the part under
+    * streaming test); the hourly roll-up is a batch aggregate reading
+    * that table back. A files sink keeps the unbounded matched-pair set
+    * on executors/disk — the driver never holds it — unlike a memory
+    * sink, which is only safe for the bounded-aggregate sinks the other
+    * streaming queries use. The pairs are projected to the three
+    * roll-up columns (v_ts, v_user, p_value) BEFORE the sink so the
+    * materialized table is as narrow as the downstream aggregate needs.
     */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -234,16 +240,17 @@ object StreamOps {
       .withWatermark(s"${pfx}_ts", "31 days")
     val joined = side("view", "v").join(side("purchase", "p"),
       expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
-    val sink = "stream_join_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      .select(col("v_ts"), col("v_user"), col("p_value"))
+    val sinkDir = graft.core.TempDirs.create("graft_stream_join_sink").toString
     val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = joined.writeStream
-      .format("memory").queryName(sink)
+      .format("parquet").option("path", sinkDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
-    s.table(sink)
+    s.read.parquet(sinkDir)
       .groupBy(date_format(date_trunc("hour", col("v_ts")), "yyyy-MM-dd HH:mm:ss").as("hr"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("v_user")).as("n_users"),
