@@ -7,32 +7,54 @@
 # item 8).
 #
 # Usage: tools/run_pipeline_bench.sh [SF_DIR]   (default /tmp/graft_sf1)
+#        PIPE_RUNS=N   min-of-N (default 3; wall includes ~12 s of
+#                      sbt+JVM startup, so single runs carry +-3 s noise)
+#
+# Emits /tmp/bench_pipeline.json in graft.Bench's one-line format so the
+# framework layer gates through the SAME tools/compare_bench.py rules
+# (1.5x ratio, +300 ms absolute for sub-0.5 s baselines) as the query
+# surface:
+#   python3 tools/compare_bench.py bench_pipeline_r13.json /tmp/bench_pipeline.json
+# Two entries: pipeline_wall (end-to-end incl. JVM startup — what a cron
+# deployment pays) and pipeline_steps (sum of the runner's per-job
+# timings — the framework-overhead number, startup excluded).
 set -e
 cd "$(dirname "$0")/.."
 
 SF_DIR="${1:-/tmp/graft_sf1}"
 OUT=/tmp/graft_pipeline_out
-rm -rf "$OUT" spark-warehouse/pipe.db
+RUNS="${PIPE_RUNS:-3}"
 
-echo "== pipeline jobnet at $SF_DIR =="
-START=$(date +%s.%N)
-SPARK_MASTER="local[${SPARK_GRAFT_CPUS:-32}]" \
-SPARK_SHUFFLE_PARTITIONS="${SPARK_GRAFT_CPUS:-32}" \
-sbt -batch "runMain graft.runner.JobNetMain --home=bench-home \
-  -v sf_dir=$SF_DIR -v unload_dir=$OUT \
-  bench-home/pipeline/pipeline.jobnet" > /tmp/pipeline_bench.log 2>&1 || RC=$?
-RC=${RC:-0}
-END=$(date +%s.%N)
-WALL=$(python3 -c "print(round($END - $START, 1))")
-
-grep -E "\[job|\[net|ERROR|error:" /tmp/pipeline_bench.log | tail -20 || true
+BEST_WALL=""
+BEST_STEPS=""
+for i in $(seq 1 "$RUNS"); do
+  rm -rf "$OUT" spark-warehouse/pipe.db
+  echo "== pipeline jobnet at $SF_DIR (run $i/$RUNS) =="
+  START=$(date +%s.%N)
+  SPARK_MASTER="local[${SPARK_GRAFT_CPUS:-32}]" \
+  SPARK_SHUFFLE_PARTITIONS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "runMain graft.runner.JobNetMain --home=bench-home \
+    -v sf_dir=$SF_DIR -v unload_dir=$OUT \
+    bench-home/pipeline/pipeline.jobnet" > /tmp/pipeline_bench.log 2>&1 || RC=$?
+  RC=${RC:-0}
+  END=$(date +%s.%N)
+  WALL=$(python3 -c "print(round($END - $START, 1))")
+  grep -E "\[job|\[net|ERROR|error:" /tmp/pipeline_bench.log | tail -20 || true
+  [ "$RC" -ne 0 ] && exit "$RC"
+  STEPS=$(grep -oE '\[job [a-z_]+\] [a-z]+: [0-9.]+ s' /tmp/pipeline_bench.log \
+    | grep -oE '[0-9.]+ s' | grep -oE '[0-9.]+' \
+    | python3 -c "import sys; print(round(sum(float(x) for x in sys.stdin), 3))")
+  echo "[pipeline run $i] wall=${WALL}s steps=${STEPS}s"
+  BEST_WALL=$(python3 -c "print(min($WALL, ${BEST_WALL:-$WALL}))")
+  BEST_STEPS=$(python3 -c "print(min($STEPS, ${BEST_STEPS:-$STEPS}))")
+done
 
 # sanity: the unloaded train split must be non-empty and smaller than the
 # raw corpus (dedup + curation filter real rows)
-python3 - "$SF_DIR" "$OUT" "$WALL" <<'EOF'
-import sys, glob
+python3 - "$SF_DIR" "$OUT" "$BEST_WALL" "$BEST_STEPS" <<'EOF'
+import sys, glob, json
 import pandas as pd
-sf_dir, out, wall = sys.argv[1], sys.argv[2], sys.argv[3]
+sf_dir, out, wall, steps = sys.argv[1:5]
 raw_files = glob.glob(f"{sf_dir}/documents.parquet") + \
     glob.glob(f"{sf_dir}/documents.parquet/*.parquet")
 raw = sum(len(pd.read_parquet(f, columns=["doc_id"]))
@@ -41,7 +63,13 @@ train_files = glob.glob(f"{out}/train/*.parquet")
 train = sum(len(pd.read_parquet(f, columns=["doc_id"])) for f in train_files)
 assert train > 0, "pipeline produced an empty train split"
 assert train < raw, f"train {train} not smaller than raw {raw}"
-print(f"[pipeline] raw={raw} train={train} wall={wall}s "
+print(f"[pipeline] raw={raw} train={train} wall={wall}s steps={steps}s "
       f"(jobnet: setup -> load -> dedup -> curate -> split -> unload)")
+doc = {"metric": "pipeline_jobnet", "value": float(wall), "unit": "sec",
+       "sf_dir": sf_dir, "raw_rows": raw, "train_rows": train,
+       "queries": {"pipeline_wall": float(wall),
+                   "pipeline_steps": float(steps)}}
+with open("/tmp/bench_pipeline.json", "w") as f:
+    json.dump(doc, f)
+print("[pipeline] wrote /tmp/bench_pipeline.json")
 EOF
-exit $RC
