@@ -7,8 +7,13 @@
 # item 8).
 #
 # Usage: tools/run_pipeline_bench.sh [SF_DIR]   (default /tmp/graft_sf1)
-#        PIPE_RUNS=N   min-of-N (default 3; wall includes ~12 s of
-#                      sbt+JVM startup, so single runs carry +-3 s noise)
+#        PIPE_RUNS=N   min-of-N (default 3)
+#
+# Round 13: launches through tools/graft_java.sh (plain `java -cp` over
+# the compiled classes) instead of `sbt runMain` — the engine is the
+# JVM process, not sbt, and the ~12 s sbt bootstrap was HALF the r13
+# committed wall. Prereq: `sbt -batch compile` once beforehand. The
+# pre-launcher-change numbers are preserved in BASELINE.md.
 #
 # Emits /tmp/bench_pipeline.json in graft.Bench's one-line format so the
 # framework layer gates through the SAME tools/compare_bench.py rules
@@ -33,9 +38,9 @@ for i in $(seq 1 "$RUNS"); do
   START=$(date +%s.%N)
   SPARK_MASTER="local[${SPARK_GRAFT_CPUS:-32}]" \
   SPARK_SHUFFLE_PARTITIONS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.runner.JobNetMain --home=bench-home \
-    -v sf_dir=$SF_DIR -v unload_dir=$OUT \
-    bench-home/pipeline/pipeline.jobnet" > /tmp/pipeline_bench.log 2>&1 || RC=$?
+  tools/graft_java.sh graft.runner.JobNetMain --home=bench-home \
+    -v sf_dir="$SF_DIR" -v unload_dir="$OUT" \
+    bench-home/pipeline/pipeline.jobnet > /tmp/pipeline_bench.log 2>&1 || RC=$?
   RC=${RC:-0}
   END=$(date +%s.%N)
   WALL=$(python3 -c "print(round($END - $START, 1))")
