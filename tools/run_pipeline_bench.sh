@@ -60,10 +60,13 @@ python3 - "$SF_DIR" "$OUT" "$BEST_WALL" "$BEST_STEPS" <<'EOF'
 import sys, glob, json
 import pandas as pd
 sf_dir, out, wall, steps = sys.argv[1:5]
-raw_files = glob.glob(f"{sf_dir}/documents.parquet") + \
-    glob.glob(f"{sf_dir}/documents.parquet/*.parquet")
-raw = sum(len(pd.read_parquet(f, columns=["doc_id"]))
-          for f in raw_files if not f.endswith("_SUCCESS"))
+# the table is either one file (driver layout) or a directory of parts
+# (GenScale layout) — count ONE of the two, never both (a dir glob plus
+# a part glob double-counts the directory layout)
+import os
+tbl = f"{sf_dir}/documents.parquet"
+raw_files = glob.glob(f"{tbl}/*.parquet") if os.path.isdir(tbl) else [tbl]
+raw = sum(len(pd.read_parquet(f, columns=["doc_id"])) for f in raw_files)
 train_files = glob.glob(f"{out}/train/*.parquet")
 train = sum(len(pd.read_parquet(f, columns=["doc_id"])) for f in train_files)
 assert train > 0, "pipeline produced an empty train split"
