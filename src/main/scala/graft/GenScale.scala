@@ -32,8 +32,13 @@ import org.apache.spark.sql.functions._
   * deterministic, seedable, and generated fully distributed (spark.range,
   * no driver-side loops).
   *
-  * Usage: runMain graft.GenScale <srcSfDir> <outDir> <factor>
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> <factor> [tables]
   *   e.g.  runMain graft.GenScale /root/testdata/sf0.1 /tmp/graft_sf1 10
+  *         runMain graft.GenScale /root/testdata/sf0.1 /tmp/graft_sf30 300 documents,embeddings
+  * [tables] is an optional comma-separated subset to generate (default:
+  * all) — the sf30 dedup-family audit only needs the corpus tables, and
+  * skipping the ×300 lineitem replica keeps generation time and disk
+  * proportional to what the audit reads.
   */
 object GenScale {
 
@@ -128,6 +133,9 @@ object GenScale {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wants(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -138,10 +146,11 @@ object GenScale {
     import spark.implicits._
 
     def out(name: String) = s"$outDir/$name.parquet"
-    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(out(name))
-      println(s"[genscale] wrote $name")
-    }
+    def write(df: => org.apache.spark.sql.DataFrame, name: String): Unit =
+      if (wants(name)) {
+        df.write.mode(SaveMode.Overwrite).parquet(out(name))
+        println(s"[genscale] wrote $name")
+      }
 
     // ---- documents: 5000 * factor fresh docs, driver-measured shape ----
     val nDocs = 5000L * factor
@@ -213,11 +222,11 @@ object GenScale {
     // priority, region...) keep their cardinality while per-group sizes
     // grow ×factor — exactly how these tables grow in production. Key
     // offsets keep join keys unique so join fan-outs stay 1:N, not N:N.
-    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
-    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
-    val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
-    val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    lazy val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    lazy val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    lazy val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    lazy val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    lazy val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
     val rep = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
     write(
