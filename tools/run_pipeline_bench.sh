@@ -81,3 +81,11 @@ with open("/tmp/bench_pipeline.json", "w") as f:
     json.dump(doc, f)
 print("[pipeline] wrote /tmp/bench_pipeline.json")
 EOF
+
+# Gate against the committed baseline automatically when this run used
+# the baseline's SF dir (the committed numbers are sf1; other SFs print
+# the json only — cross-SF ratios are not regressions).
+BASELINE=bench_pipeline_r13.json
+if [ -f "$BASELINE" ] && [ "$SF_DIR" = "$(python3 -c "import json;print(json.load(open('$BASELINE'))['sf_dir'])")" ]; then
+  python3 tools/compare_bench.py "$BASELINE" /tmp/bench_pipeline.json
+fi
