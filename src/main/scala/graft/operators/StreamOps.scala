@@ -300,16 +300,22 @@ object StreamOps {
     try {
       val dec = graft.streaming.StructuredStreams
         .streamingTokenBudget(docs, budget)
-      val sink = "stream_budget_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // files sink, not memory: the emitted set is ONE ROW PER DOCUMENT
+      // (every admission decision), i.e. corpus-proportional — a memory
+      // sink would spool the whole corpus's decisions into driver heap.
+      // The parquet sink keeps them on executors/disk (same pattern as
+      // qStreamJoin's matched-pair sink); the driver holds nothing
+      // corpus-sized — only the bounded per-source Long state in RocksDB.
+      val sinkDir = graft.core.TempDirs.create("graft_stream_budget_sink").toString
       val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
       val q = dec.writeStream
-        .format("memory").queryName(sink)
+        .format("parquet").option("path", sinkDir)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
-      s.table(sink)
+      s.read.parquet(sinkDir)
         .select(col("source"), col("doc_id"), col("admitted"),
           col("spent_after"))
         .orderBy("source", "doc_id")
@@ -415,16 +421,22 @@ object StreamOps {
       .as[graft.streaming.StructuredStreams.Event]
     val sessions = graft.streaming.StructuredStreams
       .sessionize(ev, gapMs = 30L * 60 * 1000)
-    val sink = "stream_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    // files sink, not memory: emitted rows are ONE PER CLOSED SESSION —
+    // corpus-proportional over a replayed history — so a memory sink
+    // would hold the full session log on the driver. Parquet keeps it on
+    // executors/disk (qStreamJoin's pattern); the driver holds only the
+    // bounded per-active-user {start, last, n} state inside the store,
+    // and the per-user roll-up below is a batch aggregate over the files.
+    val sinkDir = graft.core.TempDirs.create("graft_stream_sessions_sink").toString
     val ckpt = graft.core.TempDirs.create("graft_stream_ckpt").toString
     val q = sessions.writeStream
-      .format("memory").queryName(sink)
+      .format("parquet").option("path", sinkDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
-    s.table(sink)
+    s.read.parquet(sinkDir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"),
