@@ -19,10 +19,55 @@ round-11 q1 2.31x false flag): they pass if the new time is within
 EITHER the ratio threshold OR an absolute +300ms budget, whichever is
 looser. The baseline a round gates against must be a COMMITTED artifact
 (bench_detail_r{N}.json), never a /tmp re-run.
+
+Canary drift normalization (round 14): this box is a shared VM whose
+hypervisor serves first-touch page faults at 0.04-1 GiB/s (BASELINE.md
+round-13 section), so whole-sweep times drift 1.1-1.6x between rounds
+with zero code change — rounds 11/12/13 minted 10 false flags this way.
+The gate now measures the CODE, not the neighbor's VM: a fixed set of
+CANARY queries (code-stable since round 9, spread across families,
+cross-round time spread <= 1.26x over r09-r13) estimates the host drift
+as the median new/base ratio over the canaries, and every query's ratio
+is gated NORMALIZED by that factor. Raw ratios stay in the output for
+honesty; a drift far from 1.0 is itself reported. When fewer than
+MIN_CANARIES canaries are present on both sides (e.g. the pipeline
+bench's two-entry map), drift falls back to 1.0 with a note — the gate
+is then exactly the pre-round-14 raw gate. --no-drift forces raw
+gating; --queries a,b,c restricts the compare to the named queries
+(used by run_pipeline_bench.sh to gate pipeline_steps hard while
+reporting pipeline_wall informationally).
 """
 import json
 import re
+import statistics
 import sys
+
+# Code-stable since r09 (per-query cross-round max/min <= 1.26x over the
+# five committed sf0.1 sweeps bench_detail_r{09..13}.json), >= 0.25 s
+# floor so the estimate sits above the min-of-2 reproducibility noise,
+# one per family: dedup, lake, load jobclass, graph, multimodal,
+# sketch, streaming, relational, curation, ANN.
+DEFAULT_CANARIES = [
+    "q_minhash_lsh", "q_compaction", "q_load_maxerror", "q_pagerank",
+    "q_mm_phash", "q_cms_heavy_hitters", "q_stream_hourly",
+    "q5_region_revenue", "q_importance_weights", "q_ivfpq_search",
+]
+MIN_CANARIES = 6
+# drift outside this band means the canaries themselves disagree with a
+# host-noise explanation (or the host is in a pathological state);
+# clamp and say so rather than silently scaling the gate unboundedly
+DRIFT_CLAMP = (0.5, 3.0)
+
+# Per-query threshold overrides for queries whose committed five-round
+# history proves a VARIANCE MECHANISM rather than a regression path —
+# each entry must cite its BASELINE.md adjudication. q_recursive_cte
+# (history 0.60-1.40 s, no code change since r9): Spark 4's UnionLoop
+# materializes ~15 sequential iterations (one per halving of the max
+# user id), so the query's time is ~15x the per-job launch+schedule
+# latency — a quantity the hypervisor doubles on degraded days while
+# scan-bound canaries drift only ~1.2x, putting it outside any
+# whole-suite drift estimate (BASELINE.md round-14 note).
+QUERY_THRESHOLD = {"q_recursive_cte": 2.5}
 
 
 def load_bench(path):
@@ -73,9 +118,31 @@ def load_bench(path):
     raise SystemExit(f"no bench JSON found in {path}")
 
 
+def canary_drift(base_q, new_q):
+    """Median new/base ratio over the canary set, or 1.0 (with a note)
+    when too few canaries are present to estimate host drift."""
+    ratios = []
+    for q in DEFAULT_CANARIES:
+        tb, tn = base_q.get(q), new_q.get(q)
+        if tb is not None and tn is not None and tb >= 0.25 and tn >= 0:
+            ratios.append(tn / tb)
+    if len(ratios) < MIN_CANARIES:
+        print(f"drift    canaries present: {len(ratios)}/{len(DEFAULT_CANARIES)}"
+              f" (< {MIN_CANARIES}) -> no drift estimate, gating raw")
+        return 1.0
+    d = statistics.median(ratios)
+    clamped = min(max(d, DRIFT_CLAMP[0]), DRIFT_CLAMP[1])
+    note = "" if clamped == d else f" (CLAMPED from {d:.2f}x — investigate)"
+    print(f"drift    canary host-drift factor: {clamped:.3f}x "
+          f"(median over {len(ratios)} canaries){note}")
+    return clamped
+
+
 def main():
     argv = sys.argv[1:]
     threshold = 1.5
+    use_drift = True
+    only = None
     args = []
     i = 0
     while i < len(argv):
@@ -88,12 +155,27 @@ def main():
                     raise SystemExit("--threshold requires a value")
                 threshold = float(argv[i + 1])
                 i += 1  # consume the value, don't treat it as a file
+        elif a == "--no-drift":
+            use_drift = False
+        elif a.startswith("--queries"):
+            if "=" in a:
+                only = set(a.split("=", 1)[1].split(","))
+            else:
+                if i + 1 >= len(argv):
+                    raise SystemExit("--queries requires a value")
+                only = set(argv[i + 1].split(","))
+                i += 1
         else:
             args.append(a)
         i += 1
     if len(args) != 2:
-        raise SystemExit("usage: compare_bench.py BASELINE.json NEW.json [--threshold X]")
+        raise SystemExit("usage: compare_bench.py BASELINE.json NEW.json"
+                         " [--threshold X] [--no-drift] [--queries a,b]")
     base, new = load_bench(args[0]), load_bench(args[1])
+    if only is not None:
+        base = dict(base, queries={q: t for q, t in base["queries"].items() if q in only})
+        new = dict(new, queries={q: t for q, t in new["queries"].items() if q in only})
+    drift = canary_drift(base["queries"], new["queries"]) if use_drift else 1.0
     failures = []
     # a negative time is Bench's explicit failed-run marker — never a
     # speedup; gate on it before any ratio math
@@ -109,16 +191,29 @@ def main():
             print(f"NEW      {q:32s} {t_new:8.3f}s (no baseline)")
             continue
         if t_base < 0.5:
-            # sub-reproducibility-floor baseline: ratio OR absolute
-            # budget, whichever is looser
-            ok = t_new <= max(t_base * threshold, t_base + 0.3)
+            # sub-reproducibility-floor baseline: a committed value below
+            # the min-of-2 floor tells you the steady state is <= ~0.5 s,
+            # not what it is (q2_min_cost_supplier's committed history is
+            # 0.214-0.563 s across five rounds with zero code change on
+            # its path — the 0.214 was the lucky draw, not the steady
+            # state). Gate the new time against the FLOOR, not the draw:
+            # bar = 0.5 * threshold * drift. Trade documented in
+            # BASELINE.md round-14: a sub-100 ms query regressing to
+            # ~0.8 s passes this gate — accepted, because such a query is
+            # scheduler-noise-dominated at sf0.1 and a real regression of
+            # that size re-fires at the sf1/sf10 audits where it clears
+            # the floor.
+            ok = t_new <= max(t_base, 0.5) * threshold * drift
             verdict = "PASS" if ok else "FAIL"
-            print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s (abs gate)")
+            print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s (floor gate)")
         else:
             ratio = t_new / t_base
-            ok = ratio <= threshold
+            norm = ratio / drift
+            ok = norm <= max(threshold, QUERY_THRESHOLD.get(q, 0.0))
             verdict = "PASS" if ok else "FAIL"
-            print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s ({ratio:5.2f}x)")
+            tag = f"({ratio:5.2f}x raw" + \
+                  (f", {norm:5.2f}x norm)" if drift != 1.0 else ")")
+            print(f"{verdict}     {q:32s} {t_base:8.3f}s -> {t_new:8.3f}s {tag}")
         if not ok:
             failures.append(q)
     # the total gate compares the COMMON query subset: the raw totals span
@@ -128,10 +223,11 @@ def main():
     if common:
         tb = sum(base["queries"][q] for q in common)
         tn = sum(new["queries"][q] for q in common)
-        tot_ok = tn <= tb * threshold
+        tot_ok = (tn / tb) / drift <= threshold
         print(f"{'PASS' if tot_ok else 'FAIL'}     "
               f"{'TOTAL (%d common)' % len(common):32s} "
-              f"{tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x)")
+              f"{tb:8.3f}s -> {tn:8.3f}s ({tn / tb:5.2f}x raw"
+              + (f", {(tn / tb) / drift:5.2f}x norm)" if drift != 1.0 else ")"))
         if not tot_ok:
             failures.append("TOTAL")
     else:
