@@ -33,6 +33,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// NOTE: tools/graft_java.sh duplicates this forked-JVM flag set by hand
+// (add-opens list, -D properties, heap) for sbt-free launches of the
+// bench/audit mains. If you change anything below, change it THERE too,
+// or the bench JVM silently diverges from the sbt-run JVM.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

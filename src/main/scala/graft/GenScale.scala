@@ -89,14 +89,14 @@ object GenScale {
     * uniformly rare and flatter the operators' selectivity profile.
     */
   private def zipfWord(vocab: Array[String], x: Long, salt: Long): String = {
-    // r = ⌊V^u⌋ with u ∈ [0,1) lands in [1, V-1], so index r-1 covers
-    // [0, V-2]: the EFFECTIVE vocabulary is V-1 words (the last word
-    // vocabFor appends has zero draw probability). Accepted and
-    // documented rather than fixed — the committed sf1/sf10 corpora were
-    // generated under this law, and changing the draw would regenerate
-    // them and break cross-round bench comparability for a tail word
-    // whose Zipf mass would be ~1/(V ln V) anyway.
-    val r = math.pow(vocab.length.toDouble, u01(x, salt)).toInt
+    // r = ⌊(V+1)^u⌋ with u ∈ [0,1) lands in [1, V], so index r-1 covers
+    // the FULL vocabulary [0, V-1]. (Rounds ≤13 drew ⌊V^u⌋, which gave
+    // the last word zero probability — an effective vocabulary of V-1.
+    // Fixed round 14 at the sf60 regeneration boundary; the scale
+    // corpora sf1/sf10/sf30 were regenerated once under the new law, and
+    // the ~1/(V ln V) tail-mass shift is noted in BASELINE.md as a
+    // cross-round comparability break for corpus-dependent timings.)
+    val r = math.pow(vocab.length.toDouble + 1.0, u01(x, salt)).toInt
     vocab(math.min(vocab.length - 1, r - 1))
   }
 
@@ -135,6 +135,29 @@ object GenScale {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val only: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val knownTables = Set("documents", "events", "embeddings", "lineitem",
+      "orders", "customer", "part", "supplier", "nation", "region")
+    only.foreach { sub =>
+      // fail fast on a typo'd table name: a silent no-match would print
+      // "[genscale] done" over a partial corpus and surface only when a
+      // downstream query can't find its input
+      val unknown = sub -- knownTables
+      require(unknown.isEmpty,
+        s"unknown table(s) in subset arg: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${knownTables.toSeq.sorted.mkString(", ")})")
+      // subset mode overwrites only the requested tables; anything else
+      // already in outDir survives from a PRIOR run — possibly at a
+      // different factor. Warn so a mixed-factor corpus can't assemble
+      // silently.
+      val existing = Option(new java.io.File(outDir).list())
+        .getOrElse(Array.empty[String])
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
+      val stale = existing -- sub
+      if (stale.nonEmpty)
+        println(s"[genscale] WARNING: $outDir already holds tables outside " +
+          s"this subset (${stale.toSeq.sorted.mkString(", ")}) — left as-is " +
+          s"from a prior run; verify they were generated at factor $factor")
+    }
     def wants(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
