@@ -250,7 +250,10 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
-    s.read.parquet(sinkDir)
+    // explicit schema: a zero-row sink directory (possible on a filtered
+    // corpus where no view/purchase pair lands in-window) must read back
+    // as an empty frame, not throw "Unable to infer schema"
+    s.read.schema(joined.schema).parquet(sinkDir)
       .groupBy(date_format(date_trunc("hour", col("v_ts")), "yyyy-MM-dd HH:mm:ss").as("hr"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("v_user")).as("n_users"),
@@ -315,7 +318,9 @@ object StreamOps {
         .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
-      s.read.parquet(sinkDir)
+      // explicit schema so an empty queue (zero admission decisions)
+      // reads back as an empty frame rather than failing schema inference
+      s.read.schema(dec.schema).parquet(sinkDir)
         .select(col("source"), col("doc_id"), col("admitted"),
           col("spent_after"))
         .orderBy("source", "doc_id")
@@ -436,7 +441,9 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
-    s.read.parquet(sinkDir)
+    // explicit schema: with a small input no session may close before the
+    // final watermark, leaving a row-less sink — read it back empty
+    s.read.schema(sessions.schema).parquet(sinkDir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"),

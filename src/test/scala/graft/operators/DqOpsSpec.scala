@@ -22,8 +22,8 @@ class DqOpsSpec extends AnyFunSuite {
       s"exact profile must not plan a multi-distinct Expand:\n$plan")
   }
 
-  test("q_dq_profile_approx is one scan, no Expand, and lands within 10% of exact") {
-    val approxDf = DqOps.qDqProfileApprox(spark, dir)
+  test("approx profile raw arm is one scan, no Expand, and lands within 10% of exact") {
+    val approxDf = DqOps.qDqProfileApproxRaw(spark, dir)
     val plan = approxDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"),
       s"HLL aggregates are plain aggregates; no Expand expected:\n$plan")
@@ -47,5 +47,21 @@ class DqOpsSpec extends AnyFunSuite {
     val apFull = approxDf.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(3), r.getString(4))).toMap
     assert(exFull == apFull)
+  }
+
+  test("q_dq_profile_approx self-gates: exact counts emitted, HLL verdict true") {
+    // the registered query joins the HLL arm against the exact twin and
+    // emits a tolerance verdict — fully hash-gated by a deterministic
+    // oracle (round 15; previously the one no_oracle row in CORRECTNESS)
+    val rows = DqOps.qDqProfileApprox(spark, dir).collect()
+    val exact = DqOps.qDqProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) == exact(r.getString(0)),
+        s"${r.getString(0)}: n_distinct_exact must equal the exact twin")
+      assert(r.getBoolean(5),
+        s"${r.getString(0)}: HLL estimate drifted beyond 5% of exact")
+    }
   }
 }

@@ -134,12 +134,13 @@ def main(sf_dir: str, out_dir: str) -> None:
     # exactly. Spark's approx_count_distinct(rsd=0.02) quotes a 1-sigma
     # relative error of 2% — the gate bounds at 2.5 sigma (5%), and the
     # estimate is DETERMINISTIC for a given dataset, so a pass here is
-    # stable, not a coin flip (measured max 2.09% at sf0.01). The driver
-    # still records this query rows-only — hash equality is impossible by
-    # design — but locally this proves the whole row.
-    tolerance = {
-        "q_dq_profile_approx": ("q_dq_profile", {"n_distinct": 0.05}),
-    }
+    # stable, not a coin flip (measured max 2.09% at sf0.01). Round 15:
+    # the map is now EMPTY — q_dq_profile_approx was the sole entry until
+    # it became self-gating (it emits the exact counts plus a ±5% verdict
+    # boolean, so it carries a full deterministic oracle and hash-gates
+    # like every other query). The machinery stays for any future sketch
+    # query that can't take that shape.
+    tolerance = {}
     # queries with no oracle: tolerance gate if declared, else rows-only
     for d in sorted(os.listdir(out_dir)):
         if d not in oracle and os.path.isdir(os.path.join(out_dir, d)):
