@@ -95,6 +95,37 @@ object SqlStatement {
     s.split("\\s+", 2).headOption.filter(_.nonEmpty).map(_.toLowerCase).getOrElse("")
   }
 
+  private val DropIfExistsRe =
+    """(?is)\s*drop\s+table\s+if\s+exists\s+([A-Za-z0-9_.`]+)\s*;?\s*""".r
+
+  /** Match a bare `DROP TABLE IF EXISTS <name>` statement (after comment
+    * stripping) and return the table name — the execScript hook that
+    * routes such drops through `dropForce` for orphan-location cleanup.
+    * A plain `DROP TABLE` (no IF EXISTS) is NOT matched: its reference
+    * semantics are "fail when absent", which orphan cleanup would mask.
+    */
+  def dropIfExistsTable(stmt: String): Option[String] = {
+    // reuse firstKeyword's comment stripping by matching on the raw text:
+    // the regex tolerates leading whitespace; strip comments first
+    var s = stmt
+    var changed = true
+    while (changed) {
+      val t = s.dropWhile(_.isWhitespace)
+      val stripped =
+        if (t.startsWith("--")) t.dropWhile(_ != '\n')
+        else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/")
+          if (end < 0) "" else t.substring(end + 2)
+        } else t
+      changed = stripped != s
+      s = stripped
+    }
+    s match {
+      case DropIfExistsRe(tbl) => Some(tbl.replace("`", ""))
+      case _                   => None
+    }
+  }
+
   /** Drop metadata header comment lines, keep the SQL body. */
   def stripMetadataComments(sql: String): String = {
     val lines = sql.linesIterator.toVector

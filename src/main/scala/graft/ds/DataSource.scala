@@ -73,7 +73,14 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
       // sniffing skips leading comments.
       if (SqlStatement.firstKeyword(stmt) == "vacuum")
         System.err.println(s"[$name] vacuum (no-op on parquet): $stmt")
-      else last = Some(sql(stmt))
+      else SqlStatement.dropIfExistsTable(stmt) match {
+        // DROP TABLE IF EXISTS in a script routes through dropForce so it
+        // also clears an orphaned managed location left by a prior JVM
+        // (see dropForce) — otherwise a setup script's drop/create pair
+        // is only idempotent within one process lifetime
+        case Some(tbl) => dropForce(TableSpec.parse(tbl))
+        case None      => last = Some(sql(stmt))
+      }
     }
     last
   }
@@ -89,6 +96,26 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
     // `drop ... cascade` parity: Spark has no CASCADE for tables; views on
     // the table are session-scoped and dropped separately by callers.
     sql(s"DROP TABLE IF EXISTS ${qualify(t)}")
+    // Persistent-warehouse parity (Redshift's DROP removes storage): the
+    // session catalog is in-memory per JVM while the warehouse directory
+    // persists, so a managed table created by a PRIOR process leaves an
+    // orphaned location the catalog no longer knows about — and the next
+    // CREATE TABLE in a fresh JVM (the cron deployment shape: one JVM per
+    // jobnet run) dies with LOCATION_ALREADY_EXISTS. When the drop found
+    // no catalog entry, clear the orphan location explicitly. Uses the
+    // Hadoop FileSystem API so the same code path works on s3a.
+    if (!spark.catalog.tableExists(qualify(t))) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val db = t.schema.getOrElse(defaultSchema)
+      val rel = if (db == "default") t.name else s"$db.db/${t.name}"
+      val loc = new org.apache.hadoop.fs.Path(wh, rel)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) {
+        System.err.println(s"[$name] drop_force: clearing orphaned managed" +
+          s" location $loc (table absent from this JVM's catalog)")
+        fs.delete(loc, true)
+      }
+    }
     ()
   }
 

@@ -225,6 +225,20 @@ class SqlStatementSpec extends AnyFunSuite {
     assert(SqlStatement.firstKeyword("--only a comment") == "")
   }
 
+  test("dropIfExistsTable matches only the bare IF EXISTS drop form") {
+    import SqlStatement.dropIfExistsTable
+    assert(dropIfExistsTable("DROP TABLE IF EXISTS pipe.docs")
+      .contains("pipe.docs"))
+    assert(dropIfExistsTable("-- note\n drop table if exists `t1`;")
+      .contains("t1"))
+    // plain DROP must fail-when-absent — not routed to dropForce
+    assert(dropIfExistsTable("DROP TABLE pipe.docs").isEmpty)
+    assert(dropIfExistsTable("DROP VIEW IF EXISTS v").isEmpty)
+    assert(dropIfExistsTable("SELECT 1").isEmpty)
+    // anything beyond a single table name is not the bare form
+    assert(dropIfExistsTable("DROP TABLE IF EXISTS a, b").isEmpty)
+  }
+
   test("ERB: all_tables / attribute_tables scan .ct headers") {
     val home = graft.core.TempDirs.create("erb-home")
     val sub = home.resolve("subsys"); java.nio.file.Files.createDirectories(sub)
