@@ -208,11 +208,13 @@ final case class KeyValuePairsParam(name: String, optional: Boolean = true,
         })
       }
     case s: String =>
-      // legacy comma-string: "gzip, maxerror 10" (reference: psqldatasource.rb:478-521)
+      // legacy comma-string: "gzip, maxerror 10" (reference: psqldatasource.rb:478-521).
+      // Values expand variables, same as the map branch — "partitions
+      // $queue_objects" must resolve before the consumer parses it.
       defaultPairs ++ s.split(",").map(_.trim).filter(_.nonEmpty).map { item =>
         item.split("\\s+", 2) match {
           case Array(k)    => k -> (true: Any)
-          case Array(k, v) => k -> (v: Any)
+          case Array(k, v) => k -> (vars.expand(v): Any)
         }
       }.toMap
     case null  => defaultPairs

@@ -334,6 +334,10 @@ object UnloadJobClass extends JobClass("unload") {
     //   gzip → output codec; header → csv/tsv header row;
     //   delimiter X → separator override; addquotes → quote every field;
     //   parallel off → single output file (Redshift writes one slice);
+    //   partitions N → exactly N output files (the object-count knob —
+    //   the role MAXFILESIZE plays in the reference's UNLOAD option bag
+    //   (psqldatasource.rb:441-469): a producer staging a queue for a
+    //   downstream streaming_load controls how many objects it drops);
     //   allowoverwrite / manifest / escape → shims (overwrite is already
     //   the write mode; no manifest; Spark handles escaping natively)
     val opts = p.pairs("options")
@@ -343,6 +347,16 @@ object UnloadJobClass extends JobClass("unload") {
       var df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
       if (has("parallel") && String.valueOf(opts("parallel")).equalsIgnoreCase("off"))
         df = df.coalesce(1)
+      opts.get("partitions").map(String.valueOf).foreach { n =>
+        val k =
+          try n.toInt
+          catch { case _: NumberFormatException =>
+            throw new JobError(s"unload: partitions not an integer: '$n'") }
+        if (k <= 0) throw new JobError(s"unload: partitions must be positive: $k")
+        // round-robin repartition: equal-sized objects regardless of the
+        // query's key distribution (this knob is about file COUNT/size)
+        df = df.repartition(k)
+      }
       var w = df.write.mode(SaveMode.Overwrite)
       if (has("gzip")) w = w.option("compression", "gzip")
       p.string("format") match {

@@ -82,4 +82,26 @@ class UnloadOptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lines = outFiles("out_q").flatMap(f => Files.readAllLines(f).asScala)
     assert(lines.contains("\"1\",\"alpha\""))
   }
+
+  test("partitions N writes exactly N objects (the queue-depth knob)") {
+    // 2 rows into 2 files: round-robin repartition spreads them 1/1
+    unload("u_n.sql.job", "out_n", "parquet", "    partitions: 2")
+    assert(outFiles("out_n").size == 2, outFiles("out_n").mkString(","))
+    val back = spark.read.parquet(home.resolve("out_n").toString)
+    assert(back.count() == 2)
+  }
+
+  test("partitions rejects a non-positive or non-numeric value") {
+    val p = home.resolve("subsys").resolve("u_bad.sql.job")
+    Files.writeString(p,
+      """/* class: unload
+        |dest-file: out_bad
+        |format: parquet
+        |options:
+        |    partitions: zero */
+        |SELECT id, name FROM unload_src;""".stripMargin)
+    val r = Application.runJobFile(p, ctx)
+    assert(!r.success)
+    assert(r.message.contains("partitions"))
+  }
 }

@@ -42,6 +42,19 @@ RUNS="${PIPE_RUNS:-3}"
 SF_TAG=$(basename "$SF_DIR" | sed 's/^graft_//')
 OUT_JSON="/tmp/bench_pipeline_${SF_TAG}.json"
 
+# Queue depth scales with SF (round 15, verdict item 6): real deployments
+# grow object COUNT with data volume, so the producer leg stages
+# 32 x SF objects (32/320/960 at sf1/10/30; min 4 below sf1) instead of
+# the corpus's fixed part-file count. The consumer's batch-size grows to
+# keep the batch count ~bounded (max(8, ceil(objects/12))) — the knob's
+# documented role — while per-object bookkeeping (load-log anti-join,
+# dequeue moves) still pays the full object count. Override with
+# QUEUE_OBJECTS / STREAM_BATCH.
+SF_NUM=$(echo "$SF_TAG" | grep -oE '[0-9.]+' || echo 1)
+QUEUE_OBJECTS="${QUEUE_OBJECTS:-$(python3 -c "print(max(4, int(32 * float('$SF_NUM'))))")}"
+STREAM_BATCH="${STREAM_BATCH:-$(python3 -c "import math; print(max(8, math.ceil($QUEUE_OBJECTS / 12)))")}"
+echo "[pipeline] queue_objects=$QUEUE_OBJECTS stream_batch=$STREAM_BATCH"
+
 BEST_WALL=""
 BEST_STEPS=""
 for i in $(seq 1 "$RUNS"); do
@@ -52,6 +65,7 @@ for i in $(seq 1 "$RUNS"); do
   SPARK_SHUFFLE_PARTITIONS="${SPARK_GRAFT_CPUS:-32}" \
   tools/graft_java.sh graft.runner.JobNetMain --home=bench-home \
     -v sf_dir="$SF_DIR" -v unload_dir="$OUT" \
+    -v queue_objects="$QUEUE_OBJECTS" -v stream_batch="$STREAM_BATCH" \
     bench-home/pipeline/pipeline.jobnet > /tmp/pipeline_bench.log 2>&1 || RC=$?
   RC=${RC:-0}
   END=$(date +%s.%N)
@@ -69,10 +83,10 @@ done
 
 # sanity: the unloaded train split must be non-empty and smaller than the
 # raw corpus (dedup + curation filter real rows)
-python3 - "$SF_DIR" "$OUT" "$BEST_WALL" "$BEST_STEPS" "$OUT_JSON" <<'EOF'
+python3 - "$SF_DIR" "$OUT" "$BEST_WALL" "$BEST_STEPS" "$OUT_JSON" "$QUEUE_OBJECTS" "$STREAM_BATCH" <<'EOF'
 import sys, glob, json
 import pandas as pd
-sf_dir, out, wall, steps, out_json = sys.argv[1:6]
+sf_dir, out, wall, steps, out_json, n_objects, batch = sys.argv[1:8]
 # the table is either one file (driver layout) or a directory of parts
 # (GenScale layout) — count ONE of the two, never both (a dir glob plus
 # a part glob double-counts the directory layout)
@@ -91,11 +105,18 @@ streamed = sum(len(pd.read_parquet(f, columns=["doc_id"])) for f in stream_files
 assert streamed == raw, f"streaming_load ingested {streamed} rows, queue held {raw}"
 qleft = glob.glob("/tmp/graft_pipeline_queue/*")
 assert not qleft, f"streaming_load left {len(qleft)} objects undequeued"
-print(f"[pipeline] raw={raw} train={train} streamed={streamed} wall={wall}s "
-      f"steps={steps}s (jobnet: setup -> [load | stage->wait->stream_load] "
+# the producer must actually have staged the requested object count
+# (and every one of them must have been dequeued to the persistent path)
+saved = glob.glob("/tmp/graft_pipeline_save/*")
+assert len(saved) == int(n_objects), (
+    f"queue held {len(saved)} objects after dequeue, expected {n_objects}")
+print(f"[pipeline] raw={raw} train={train} streamed={streamed} "
+      f"objects={n_objects} batch={batch} wall={wall}s "
+      f"steps={steps}s (jobnet: setup -> [load | stage x3 ->wait->stream_load] "
       f"-> dedup -> curate -> split -> unload)")
 doc = {"metric": "pipeline_jobnet", "value": float(wall), "unit": "sec",
        "sf_dir": sf_dir, "raw_rows": raw, "train_rows": train,
+       "queue_objects": int(n_objects), "stream_batch": int(batch),
        "queries": {"pipeline_wall": float(wall),
                    "pipeline_steps": float(steps)}}
 with open(out_json, "w") as f:
