@@ -390,13 +390,46 @@ object CurationOps {
     * the loan-pattern callers (specs, pipelines embedding this op) use to
     * scope the cache without nuking the whole session's cache
     * (Bench/Verify/RunOne still clearCache between queries).
+    *
+    * Round 15 — the df cap is now min(n/20, 512) (was n/20 alone). The
+    * inverted-index join pays df_eval × df_train pairs per gram, so the
+    * grams near the cap contribute a df² term: measured growth exponent
+    * 1.67 on sf60→sf100 with a 32 g NO-SPILL pinned heap (zero eviction
+    * lines — the round-14 spill hypothesis is refuted; this is the df²
+    * term itself). The measured 4-gram df spectrum (DuckDB pair-work
+    * integral Σ df_eval·df_train by df bucket, BASELINE.md round 15):
+    * grams with df > 512 are 0.002% of gram TYPES but carry 73–77% of
+    * the pair work, and their work grows ×2.65 per 1.67× data while
+    * every ≤512 bucket grows linearly (×1.63–1.71). An ABSOLUTE
+    * boilerplate cap — a 4-gram present in >512 documents carries no
+    * pairwise contamination signal regardless of corpus size, the same
+    * super-common-n-gram exclusion production decontamination pipelines
+    * apply — bounds per-gram pair work at 512·df_train and makes the
+    * measured work integral exactly linear in n (169.1M → 285.1M =
+    * 1.69× for 1.67× data at sf60→sf100). The 5% fraction still governs
+    * small corpora (n/20 < 512 below 10,240 docs, so the sf0.01
+    * correctness gate and sf0.1 bench see IDENTICAL results). The n_a
+    * denominator stays UNCAPPED, so the reported score remains a
+    * documented lower bound and the ≥ threshold never over-reports
+    * (same contract as before). The oracle computes the identical cap,
+    * so the op stays fully hash-gated at every SF.
+    *
+    * Rejected alternatives, both measured this round (BASELINE.md):
+    * (a) PPJoin-style prefix filtering (rarest n_capped−⌈0.3·n_a⌉+1
+    * grams as candidate keys + exact verify) — at threshold 0.3 the
+    * prefix is ~70% of each doc's grams, so it kept the df² term AND
+    * added three shuffles: 57.0 s at sf10 / 313.5 s at sf30 vs the
+    * naive join's 31.8 / 96.6. (b) a relative 8·√n cap — only ~15%
+    * off the join work at sf60–sf100 because the super-linear mass
+    * sits in the mid-df buckets a √n cap keeps (exponent stayed 1.6).
     */
   def containment(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
-    // the df cap is a corpus FRACTION (df > 5% of docs ≈ stopword gram) so
-    // the stopword definition is scale-invariant; count(*) on parquet is a
-    // footer-metadata scalar, not a data scan
+    // the df cap: the scale-invariant stopword FRACTION (df > 5% of docs)
+    // for small corpora, the absolute boilerplate bound 512 at scale (see
+    // scaladoc); count(*) on parquet is a footer-metadata scalar, not a
+    // data scan
     val nDocs = t(s, dir, "documents").count()
-    val dfCap = math.max(1L, nDocs / 20)
+    val dfCap = math.max(1L, math.min(nDocs / 20, 512L))
     // persisted: four consumers (df cap, eval side, train side, eval
     // sizes) would otherwise each re-run the split+shingle explode over
     // the corpus — the same shared-projection idiom as the LSH signature
@@ -434,7 +467,8 @@ object CurationOps {
   val qContainmentOracle: String =
     s"""WITH g AS (
       |  SELECT doc_id, unnest(${Dedup.grams4Duck}) AS gram FROM ${Dedup.duckWords}),
-      |cap AS (SELECT greatest(1, count(*) // 20) AS dfcap FROM documents),
+      |cap AS (SELECT greatest(1, least(count(*) // 20, 512)) AS dfcap
+      |  FROM documents),
       |keep AS (
       |  SELECT gram FROM (
       |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) d, cap
