@@ -113,7 +113,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val ordered = SparkEntry.queries.toSeq
+    // BENCH-ONLY timing surfaces (not in SparkEntry.queries, so no
+    // correctness row): plans whose production entry point differs from
+    // the registered, oracle-gated wrapper. q_dq_profile_approx_raw is
+    // the one-pass HLL profile — its registered wrapper joins an exact
+    // twin to self-gate the estimate (harness cost, round 15), which
+    // means the wrapper's timing no longer measures the sketch path;
+    // this entry does, end to end at every benched SF (round-16 ADVICE).
+    val benchOnly: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q_dq_profile_approx_raw" ->
+        ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          graft.operators.DqOps.qDqProfileApproxRaw(s, d)))
+    val ordered = (SparkEntry.queries.toSeq ++ benchOnly)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
     val first = sweep(ordered, prewarm = true)

@@ -17,6 +17,36 @@ trait DataSource {
   def name: String
 }
 
+object DataSource {
+  /** Kill switch for dropForce's orphan-location purge — deployments that
+    * share one warehouse across CONCURRENT jobnet JVMs (where a purge
+    * keyed on the table name could race a live peer) set
+    * -Dgraft.dropforce.purge_orphans=false and accept that a crashed
+    * prior run's location must be cleaned out of band.
+    */
+  def purgeOrphans: Boolean =
+    sys.props.getOrElse("graft.dropforce.purge_orphans", "true").toBoolean
+
+  /** True when every regular file under `loc` is something a table writer
+    * produces: data files (parquet/orc/csv/tsv/json), Hadoop commit
+    * markers (_SUCCESS, _committed*, _started*), or checksum sidecars
+    * (.crc). Partition subdirectories recurse. Anything else means the
+    * directory is NOT an orphaned managed table and must not be purged.
+    */
+  private[ds] def looksLikeTableData(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(loc, true)
+    var ok = true
+    while (ok && it.hasNext) {
+      val f = it.next().getPath.getName.toLowerCase
+      ok = f.startsWith("_") || f.endsWith(".crc") ||
+        Seq(".parquet", ".orc", ".csv", ".tsv", ".json", ".txt", ".gz")
+          .exists(f.endsWith)
+    }
+    ok
+  }
+}
+
 final class GenericDataSource(val name: String) extends DataSource
 
 /** The warehouse datasource (replaces PSQLDataSource,
@@ -77,8 +107,18 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
         // DROP TABLE IF EXISTS in a script routes through dropForce so it
         // also clears an orphaned managed location left by a prior JVM
         // (see dropForce) — otherwise a setup script's drop/create pair
-        // is only idempotent within one process lifetime
-        case Some(tbl) => dropForce(TableSpec.parse(tbl))
+        // is only idempotent within one process lifetime. A name
+        // TableSpec can't model (3-part `catalog.db.t` — valid Spark
+        // SQL) falls back to the plain statement: orphan cleanup is a
+        // best-effort extra, never a reason to reject a valid script.
+        // Either way the drop's (empty) frame updates `last`, so a
+        // script ENDING in a drop returns the drop's result, not the
+        // prior statement's (round-16 ADVICE).
+        case Some(tbl) =>
+          scala.util.Try(TableSpec.parse(tbl)).toOption match {
+            case Some(t) => last = Some(dropForceReturning(t))
+            case None    => last = Some(sql(stmt))
+          }
         case None      => last = Some(sql(stmt))
       }
     }
@@ -92,10 +132,15 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
 
   def drop(t: TableSpec): Unit = sql(s"DROP TABLE ${qualify(t)}")
 
-  def dropForce(t: TableSpec): Unit = {
+  def dropForce(t: TableSpec): Unit = { dropForceReturning(t); () }
+
+  /** [[dropForce]] returning the DROP's (empty) result frame, so script
+    * execution can report it as the statement result (execScript `last`).
+    */
+  private[graft] def dropForceReturning(t: TableSpec): DataFrame = {
     // `drop ... cascade` parity: Spark has no CASCADE for tables; views on
     // the table are session-scoped and dropped separately by callers.
-    sql(s"DROP TABLE IF EXISTS ${qualify(t)}")
+    val dropped = sql(s"DROP TABLE IF EXISTS ${qualify(t)}")
     // Persistent-warehouse parity (Redshift's DROP removes storage): the
     // session catalog is in-memory per JVM while the warehouse directory
     // persists, so a managed table created by a PRIOR process leaves an
@@ -104,19 +149,38 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
     // jobnet run) dies with LOCATION_ALREADY_EXISTS. When the drop found
     // no catalog entry, clear the orphan location explicitly. Uses the
     // Hadoop FileSystem API so the same code path works on s3a.
-    if (!spark.catalog.tableExists(qualify(t))) {
+    //
+    // Two guards (round-16 ADVICE): (a) the managed-location directory is
+    // Spark's LOWERCASED identifier, while t.name keeps script case —
+    // `DROP TABLE IF EXISTS MyTable` must find `mytable/` on a
+    // case-sensitive FS; (b) the purge deletes only a directory that
+    // LOOKS like an orphaned managed table (data/commit files and
+    // partition subdirs only — nothing a table writer wouldn't produce),
+    // so a same-named unrelated directory in a shared warehouse is
+    // reported, not destroyed. The residual shared-warehouse race (a
+    // concurrent JVM's live same-named table) is inherent to in-memory
+    // catalogs over one warehouse; deployments that share a warehouse
+    // across concurrent jobnets can disable the purge with
+    // -Dgraft.dropforce.purge_orphans=false (catalog-level locking is a
+    // metastore's job, out of scope per SURVEY §7.5).
+    if (DataSource.purgeOrphans && !spark.catalog.tableExists(qualify(t))) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val db = t.schema.getOrElse(defaultSchema)
-      val rel = if (db == "default") t.name else s"$db.db/${t.name}"
+      val db = t.schema.getOrElse(defaultSchema).toLowerCase
+      val nm = t.name.toLowerCase
+      val rel = if (db == "default") nm else s"$db.db/$nm"
       val loc = new org.apache.hadoop.fs.Path(wh, rel)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) {
-        System.err.println(s"[$name] drop_force: clearing orphaned managed" +
-          s" location $loc (table absent from this JVM's catalog)")
-        fs.delete(loc, true)
+        if (DataSource.looksLikeTableData(fs, loc)) {
+          System.err.println(s"[$name] drop_force: clearing orphaned managed" +
+            s" location $loc (table absent from this JVM's catalog)")
+          fs.delete(loc, true)
+        } else
+          System.err.println(s"[$name] drop_force: NOT clearing $loc — " +
+            "contents do not look like table data (non-data files present)")
       }
     }
-    ()
+    dropped
   }
 
   def dropViewForce(t: TableSpec): Unit = { sql(s"DROP VIEW IF EXISTS ${qualify(t)}"); () }

@@ -28,6 +28,19 @@ import graft.Tables.t
   */
 object CurationOps {
 
+  /** The containment screen's ABSOLUTE boilerplate df cap (round 15:
+    * min(n/20, THIS) — the 5% fraction governs below `20 × cap` docs, the
+    * absolute bound above). Production decontamination pipelines tune the
+    * super-common-n-gram threshold per corpus (license headers vs forum
+    * boilerplate have very different df floors), so the bound is a
+    * documented knob, -Dgraft.containment.dfCap=N (default 512), not a
+    * constant buried in the operator. Read ONCE at class init so the
+    * Spark plan and [[qContainmentOracle]] — which interpolates the same
+    * value — can never disagree within one JVM.
+    */
+  val containmentDfCap: Long =
+    sys.props.getOrElse("graft.containment.dfCap", "512").toLong
+
   private val NumBuckets = 128 // hashed-feature dimensionality (DSIR uses
   // 10k buckets at production scale; the bucket table stays model-sized
   // either way — it never scales with the corpus)
@@ -423,13 +436,15 @@ object CurationOps {
     * off the join work at sf60–sf100 because the super-linear mass
     * sits in the mid-df buckets a √n cap keeps (exponent stayed 1.6).
     */
-  def containment(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+  def containment(s: SparkSession, dir: String,
+      dfCapAbs: Long = CurationOps.containmentDfCap): (DataFrame, () => Unit) = {
     // the df cap: the scale-invariant stopword FRACTION (df > 5% of docs)
-    // for small corpora, the absolute boilerplate bound 512 at scale (see
+    // for small corpora, the absolute boilerplate bound (default 512,
+    // tunable — see [[CurationOps.containmentDfCap]]) at scale (see
     // scaladoc); count(*) on parquet is a footer-metadata scalar, not a
     // data scan
     val nDocs = t(s, dir, "documents").count()
-    val dfCap = math.max(1L, math.min(nDocs / 20, 512L))
+    val dfCap = math.max(1L, math.min(nDocs / 20, dfCapAbs))
     // persisted: four consumers (df cap, eval side, train side, eval
     // sizes) would otherwise each re-run the split+shingle explode over
     // the corpus — the same shared-projection idiom as the LSH signature
@@ -467,7 +482,7 @@ object CurationOps {
   val qContainmentOracle: String =
     s"""WITH g AS (
       |  SELECT doc_id, unnest(${Dedup.grams4Duck}) AS gram FROM ${Dedup.duckWords}),
-      |cap AS (SELECT greatest(1, least(count(*) // 20, 512)) AS dfcap
+      |cap AS (SELECT greatest(1, least(count(*) // 20, ${CurationOps.containmentDfCap})) AS dfcap
       |  FROM documents),
       |keep AS (
       |  SELECT gram FROM (

@@ -84,10 +84,20 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     val queuePath = vars.expand(p.string("queue-path"))
     val pattern = p.stringOpt("file-name").map(FileNamePattern.compile)
 
-    // base-relative candidate paths (works over local FS or s3a the same)
+    // base-relative candidate paths (works over local FS or s3a the same).
+    // Hidden basenames (leading '.' or '_') are never queue objects: a
+    // producer staging via a Spark/Hadoop writer leaves commit metadata
+    // (_SUCCESS, .part-*.crc) beside the data files, and Spark's own
+    // hidden-file convention skips them only for DIRECTORY reads — an
+    // explicitly-listed .crc path bypasses that filter and would be fed
+    // to the loader, logged as a data file, and dequeued (round-16
+    // ADVICE: /tmp/graft_pipeline_save held dequeued .crc files, so the
+    // pipeline's per-object counts measured ~2N+1 instead of N).
     def listCandidates(): Seq[String] =
       fs.listRelative(queuePath).filter { rel =>
-        pattern.forall(_.matches(rel.split('/').last))
+        val base = rel.split('/').last
+        !base.startsWith(".") && !base.startsWith("_") &&
+          pattern.forall(_.matches(base))
       }
 
     // Partition a queue snapshot against the load log on data_file

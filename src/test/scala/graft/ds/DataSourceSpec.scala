@@ -57,4 +57,61 @@ class DataSourceSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE live_t (x INT) USING parquet")
     spark.sql("DROP TABLE live_t")
   }
+
+  test("dropForce finds the LOWERCASED orphan directory of a mixed-case name") {
+    // Spark lowercases managed-table directories while scripts keep their
+    // case: `DROP TABLE IF EXISTS MyTable` must clear `mytable/` on a
+    // case-sensitive filesystem (round-16 ADVICE).
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "orphan_mixed")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS Orphan_Mixed")
+    fs.mkdirs(wh)
+    val f = new org.apache.hadoop.fs.Path(wh, "part-00000.parquet")
+    fs.create(f).close()
+    ds.dropForce(TableSpec.parse("Orphan_Mixed"))
+    assert(!fs.exists(wh), "lowercased orphan location must be cleared")
+  }
+
+  test("dropForce refuses to purge a same-named directory that is not table data") {
+    // Shared-warehouse safety: the purge is keyed on the name alone, so a
+    // directory holding anything a table writer would NOT produce must be
+    // reported and left intact, never destroyed (round-16 ADVICE).
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "not_a_table")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS not_a_table")
+    fs.mkdirs(wh)
+    val f = new org.apache.hadoop.fs.Path(wh, "notes.docx")
+    fs.create(f).close()
+    ds.dropForce(TableSpec.parse("not_a_table"))
+    assert(fs.exists(f), "non-table-data directory must survive dropForce")
+    fs.delete(wh, true)
+  }
+
+  test("a script ENDING in a drop returns the drop's frame, not the prior one's") {
+    spark.sql("DROP TABLE IF EXISTS tail_drop_t")
+    val script = new SqlStatement(
+      "CREATE TABLE tail_drop_t (x INT) USING parquet;\n" +
+      "SELECT 42 AS n;\n" +
+      "DROP TABLE IF EXISTS tail_drop_t;").bind(Variables.empty)
+    val out = ds.execScript(script)
+    // a DROP command frame is empty — returning 42 here would mean the
+    // drop never updated `last` (round-16 ADVICE)
+    assert(out.exists(_.collect().isEmpty),
+      "last statement's (empty) drop frame must win")
+    assert(!spark.catalog.tableExists("tail_drop_t"))
+  }
+
+  test("a 3-part DROP TABLE IF EXISTS falls back to plain SQL, not ParameterError") {
+    // `spark_catalog.default.t3` is valid Spark SQL that TableSpec cannot
+    // model; the orphan-cleanup routing must step aside (round-16 ADVICE)
+    spark.sql("CREATE TABLE IF NOT EXISTS three_part_t (x INT) USING parquet")
+    val script = new SqlStatement(
+      "DROP TABLE IF EXISTS spark_catalog.default.three_part_t;")
+      .bind(Variables.empty)
+    val out = ds.execScript(script)
+    assert(out.nonEmpty)
+    assert(!spark.catalog.tableExists("three_part_t"))
+  }
 }

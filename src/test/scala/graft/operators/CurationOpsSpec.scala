@@ -103,6 +103,55 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment df cap pins min(n/20, 512): the 512 branch binds above 10,240 docs") {
+    // The round-15 cap law's ABSOLUTE branch activates only when
+    // n/20 > dfCap (n > 10,240 at the default 512) — below that, the
+    // sf0.01 gate and sf0.1 bench exercise only the 5%-fraction branch,
+    // so this corpus is built to make the two branches produce DIFFERENT
+    // answers and asserts both against hand-derived expectations
+    // (round-16 verdict item 1c).
+    //
+    // 12,000 docs (n/20 = 600 > 512): one boilerplate 4-gram shared by
+    // eval doc 0 and 559 train docs (df = 560 — above 512, below 600),
+    // one true contamination pair (eval 20 / train 3, df = 2), and
+    // 11,438 unique-gram fillers.
+    import spark.implicits._
+    val boilTrain = (1 to 559).map(k => 10 * k + 1) // ≡1 mod 10 → all train
+    val taken = boilTrain.map(_.toLong).toSet ++ Set(0L, 20L, 3L)
+    val docs =
+      Seq((0L, "b1 b2 b3 b4"), (20L, "c1 c2 c3 c4"), (3L, "c1 c2 c3 c4")) ++
+        boilTrain.map(i => (i.toLong, "b1 b2 b3 b4")) ++
+        (0 until 12000).map(_.toLong).filterNot(taken)
+          .map(i => (i, s"u${i}a u${i}b u${i}c u${i}d"))
+    assert(docs.size == 12000)
+    val tmp = graft.core.TempDirs.create("graft-containment-cap")
+    docs.toDF("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // default cap (512): the df-560 boilerplate gram is excluded, so the
+    // ONLY surviving pair is the true contamination pair
+    val (capped, rel1) = CurationOps.containment(spark, tmp.toString)
+    val gotCapped = try capped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq finally rel1()
+    assert(gotCapped == Seq((20L, 3L, 1.0)),
+      s"512 branch must drop the df-560 boilerplate pairs, got: $gotCapped")
+
+    // same corpus at dfCapAbs=600 (the pre-cap n/20 law): the boilerplate
+    // gram survives and manufactures 559 spurious pairs — the df² surface
+    // the absolute cap exists to bound
+    val (uncapped, rel2) = CurationOps.containment(spark, tmp.toString, dfCapAbs = 600L)
+    val gotUncapped = try uncapped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq finally rel2()
+    assert(gotUncapped.size == 560, s"n/20 law must keep df-560 gram: ${gotUncapped.size}")
+    assert(gotUncapped.contains((20L, 3L, 1.0)))
+    boilTrain.foreach(t => assert(gotUncapped.contains((0L, t.toLong, 1.0))))
+
+    // the knob and the mirrored oracle can never disagree: the oracle SQL
+    // interpolates the same class-init value the Spark plan defaults to
+    assert(CurationOps.qContainmentOracle.contains(
+      s"least(count(*) // 20, ${CurationOps.containmentDfCap})"))
+  }
+
   test("leakage split covers the corpus, proves zero split-crossing clusters") {
     val rows = CurationOps.qLeakageSplit(spark, dir).collect()
     val total = graft.Tables.t(spark, dir, "documents").count()

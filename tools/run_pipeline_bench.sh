@@ -50,7 +50,10 @@ OUT_JSON="/tmp/bench_pipeline_${SF_TAG}.json"
 # documented role — while per-object bookkeeping (load-log anti-join,
 # dequeue moves) still pays the full object count. Override with
 # QUEUE_OBJECTS / STREAM_BATCH.
-SF_NUM=$(echo "$SF_TAG" | grep -oE '[0-9.]+' || echo 1)
+# head -1: a tag with two numeric runs (graft_sf1_v2) must yield ONE
+# number, not a multiline string that crashes float() under set -e
+SF_NUM=$(echo "$SF_TAG" | grep -oE '[0-9.]+' | head -1)
+SF_NUM="${SF_NUM:-1}"
 QUEUE_OBJECTS="${QUEUE_OBJECTS:-$(python3 -c "print(max(4, int(32 * float('$SF_NUM'))))")}"
 STREAM_BATCH="${STREAM_BATCH:-$(python3 -c "import math; print(max(8, math.ceil($QUEUE_OBJECTS / 12)))")}"
 echo "[pipeline] queue_objects=$QUEUE_OBJECTS stream_batch=$STREAM_BATCH"
