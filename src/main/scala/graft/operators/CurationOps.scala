@@ -410,7 +410,9 @@ object CurationOps {
     * 1.67 on sf60→sf100 with a 32 g NO-SPILL pinned heap (zero eviction
     * lines — the round-14 spill hypothesis is refuted; this is the df²
     * term itself). The measured 4-gram df spectrum (DuckDB pair-work
-    * integral Σ df_eval·df_train by df bucket, BASELINE.md round 15):
+    * integral Σ df_eval·df_train by df bucket — reproducible via
+    * tools/pairwork_spectrum.py; committed in BASELINE.md "Round-16:
+    * the containment df-cap evidence trail"):
     * grams with df > 512 are 0.002% of gram TYPES but carry 73–77% of
     * the pair work, and their work grows ×2.65 per 1.67× data while
     * every ≤512 bucket grows linearly (×1.63–1.71). An ABSOLUTE
@@ -427,7 +429,8 @@ object CurationOps {
     * (same contract as before). The oracle computes the identical cap,
     * so the op stays fully hash-gated at every SF.
     *
-    * Rejected alternatives, both measured this round (BASELINE.md):
+    * Rejected alternatives, both measured round 15 (committed in the
+    * same BASELINE.md round-16 section):
     * (a) PPJoin-style prefix filtering (rarest n_capped−⌈0.3·n_a⌉+1
     * grams as candidate keys + exact verify) — at threshold 0.3 the
     * prefix is ~70% of each doc's grams, so it kept the df² term AND

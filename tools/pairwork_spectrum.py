@@ -41,9 +41,9 @@ rows = con.execute("""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (
-  SELECT DISTINCT doc_id,
-    ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] AS gram
-  FROM words, range(1, greatest(len(ws) - 2, 1)) r(i)),
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+    i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]))) AS gram
+  FROM words),
 per_gram AS (
   SELECT gram,
     count(*) AS df,
@@ -75,9 +75,9 @@ for label, bound in (("n/20 law", frac_cap), (f"min(n/20,{cap})", min(frac_cap, 
       WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       g AS (
-        SELECT DISTINCT doc_id,
-          ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] AS gram
-        FROM words, range(1, greatest(len(ws) - 2, 1)) r(i)),
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+          i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]))) AS gram
+        FROM words),
       per_gram AS (
         SELECT gram, count(*) AS df,
           sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS df_eval,
