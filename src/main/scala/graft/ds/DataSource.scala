@@ -32,13 +32,23 @@ object DataSource {
     * markers (_SUCCESS, _committed*, _started*), or checksum sidecars
     * (.crc). Partition subdirectories recurse. Anything else means the
     * directory is NOT an orphaned managed table and must not be purged.
+    *
+    * Vacuously true for an EMPTY directory — deliberately: a
+    * create-then-crash orphan is often an empty dir and must be purged
+    * to clear LOCATION_ALREADY_EXISTS, while a concurrent peer whose
+    * just-created empty location we race is unharmed (Hadoop writers
+    * recreate parent dirs on the first part-file write). The remaining
+    * window — a peer's IN-FLIGHT non-empty table, whose part files are
+    * indistinguishable from an orphan's — is the documented inherent
+    * race of in-memory catalogs over one warehouse; shared-warehouse
+    * concurrent deployments disable the purge (see [[purgeOrphans]]).
     */
   private[ds] def looksLikeTableData(fs: org.apache.hadoop.fs.FileSystem,
       loc: org.apache.hadoop.fs.Path): Boolean = {
     val it = fs.listFiles(loc, true)
     var ok = true
     while (ok && it.hasNext) {
-      val f = it.next().getPath.getName.toLowerCase
+      val f = it.next().getPath.getName.toLowerCase(java.util.Locale.ROOT)
       ok = f.startsWith("_") || f.endsWith(".crc") ||
         Seq(".parquet", ".orc", ".csv", ".tsv", ".json", ".txt", ".gz")
           .exists(f.endsWith)
@@ -165,8 +175,12 @@ final class SparkDataSource(val name: String, val spark: SparkSession,
     // metastore's job, out of scope per SURVEY §7.5).
     if (DataSource.purgeOrphans && !spark.catalog.tableExists(qualify(t))) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val db = t.schema.getOrElse(defaultSchema).toLowerCase
-      val nm = t.name.toLowerCase
+      // Locale.ROOT: SessionCatalog.formatTableName lowercases with the
+      // root locale — a tr_TR default locale would fold 'INDEX_T' to
+      // 'ındex_t' and miss Spark's 'index_t' directory
+      val db = t.schema.getOrElse(defaultSchema)
+        .toLowerCase(java.util.Locale.ROOT)
+      val nm = t.name.toLowerCase(java.util.Locale.ROOT)
       val rel = if (db == "default") nm else s"$db.db/$nm"
       val loc = new org.apache.hadoop.fs.Path(wh, rel)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -345,6 +345,15 @@ object UnloadJobClass extends JobClass("unload") {
       opts.get(k).map(String.valueOf).exists(_ != "false")
     Seq(Action.explainable("unload")(ds.explainScript(stmt)) {
       var df = ds.execScript(stmt).getOrElse(throw new JobError("unload: empty SQL"))
+      // a DROP/DDL frame has zero columns — exporting it would silently
+      // write an empty dataset to dest. A script must END with the
+      // statement whose result it exports (the frame routed to `last`),
+      // so fail loudly instead (round-16 review: a trailing cleanup DROP
+      // used to be survivable only because pre-r16 drops skipped `last`)
+      if (df.schema.isEmpty)
+        throw new JobError("unload: the script's last statement returned no" +
+          " columns (a trailing DROP/DDL? end the script with the SELECT" +
+          " to export)")
       if (has("parallel") && String.valueOf(opts("parallel")).equalsIgnoreCase("off"))
         df = df.coalesce(1)
       opts.get("partitions").map(String.valueOf).foreach { n =>

@@ -35,11 +35,27 @@ object CurationOps {
     * boilerplate have very different df floors), so the bound is a
     * documented knob, -Dgraft.containment.dfCap=N (default 512), not a
     * constant buried in the operator. Read ONCE at class init so the
-    * Spark plan and [[qContainmentOracle]] — which interpolates the same
-    * value — can never disagree within one JVM.
+    * REGISTERED pair — [[qContainment]]'s plan and [[qContainmentOracle]],
+    * both built from this value — can never disagree within one JVM.
+    * (Callers passing an explicit `dfCapAbs` to [[containment]] must pair
+    * it with [[containmentOracleSql]] at the same cap — see there.)
     */
-  val containmentDfCap: Long =
-    sys.props.getOrElse("graft.containment.dfCap", "512").toLong
+  val containmentDfCap: Long = {
+    val raw = sys.props.getOrElse("graft.containment.dfCap", "512").trim
+    val v =
+      try raw.toLong
+      catch { case _: NumberFormatException =>
+        // fail fast WITH the knob's name: a bare .toLong here surfaces as
+        // ExceptionInInitializerError / NoClassDefFoundError far from the
+        // -D flag that caused it
+        throw new IllegalArgumentException(
+          s"-Dgraft.containment.dfCap must be a positive integer, got '$raw'")
+      }
+    require(v > 0,
+      s"-Dgraft.containment.dfCap must be positive, got $v (a cap of 0" +
+        " would drop every gram and report zero containment everywhere)")
+    v
+  }
 
   private val NumBuckets = 128 // hashed-feature dimensionality (DSIR uses
   // 10k buckets at production scale; the bucket table stays model-sized
@@ -482,10 +498,17 @@ object CurationOps {
     (result, () => { grams.unpersist(); () })
   }
 
-  val qContainmentOracle: String =
+  /** The DuckDB twin of [[containment]], parameterized on the SAME cap
+    * argument — a caller that overrides `dfCapAbs` must pair the plan
+    * with `containmentOracleSql(theSameCap)` or the two diverge (the
+    * registered [[qContainmentOracle]] pairs with the registered query's
+    * default, [[containmentDfCap]]).
+    */
+  def containmentOracleSql(
+      dfCapAbs: Long = CurationOps.containmentDfCap): String =
     s"""WITH g AS (
       |  SELECT doc_id, unnest(${Dedup.grams4Duck}) AS gram FROM ${Dedup.duckWords}),
-      |cap AS (SELECT greatest(1, least(count(*) // 20, ${CurationOps.containmentDfCap})) AS dfcap
+      |cap AS (SELECT greatest(1, least(count(*) // 20, $dfCapAbs)) AS dfcap
       |  FROM documents),
       |keep AS (
       |  SELECT gram FROM (
@@ -503,6 +526,8 @@ object CurationOps {
       |FROM inter JOIN sz ON sz.eval_id = inter.eval_id
       |WHERE round(i / n_a::DOUBLE, 4) >= 0.3
       |ORDER BY inter.eval_id, train_id""".stripMargin
+
+  val qContainmentOracle: String = containmentOracleSql()
 
   // ---------------------------------------------------------- leakage split
 

@@ -85,19 +85,37 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     val pattern = p.stringOpt("file-name").map(FileNamePattern.compile)
 
     // base-relative candidate paths (works over local FS or s3a the same).
-    // Hidden basenames (leading '.' or '_') are never queue objects: a
-    // producer staging via a Spark/Hadoop writer leaves commit metadata
-    // (_SUCCESS, .part-*.crc) beside the data files, and Spark's own
-    // hidden-file convention skips them only for DIRECTORY reads — an
+    // Hidden names (leading '.' or '_') are never queue objects BY
+    // DEFAULT: a producer staging via a Spark/Hadoop writer leaves commit
+    // metadata (_SUCCESS, .part-*.crc) beside the data files, and Spark's
+    // own hidden-file convention skips them only for DIRECTORY reads — an
     // explicitly-listed .crc path bypasses that filter and would be fed
     // to the loader, logged as a data file, and dequeued (round-16
     // ADVICE: /tmp/graft_pipeline_save held dequeued .crc files, so the
-    // pipeline's per-object counts measured ~2N+1 instead of N).
+    // pipeline's per-object counts measured ~2N+1 instead of N). Two
+    // refinements (round-16 review): (a) the exclusion applies to every
+    // path COMPONENT, not just the basename — a file inside an in-flight
+    // commit dir (_temporary/0/task_*/part-*.parquet) has a clean
+    // basename but loading it mid-commit corrupts the producer's write
+    // AND double-loads the rows after the rename; (b) hidden basenames
+    // are excluded even when an explicit file-name pattern matches them,
+    // but LOUDLY: Spark's InMemoryFileIndex skips '_'/'.'-prefixed files
+    // even when listed explicitly (measured in this repo's spec — the
+    // batch read returns 0 rows), so "honoring" the pattern would load
+    // nothing and DEQUEUE the object anyway, i.e. silent data loss. A
+    // producer naming objects `_export-*.json` must rename; the warning
+    // is the breadcrumb for its otherwise ever-growing queue.
+    def hiddenSeg(seg: String): Boolean =
+      seg.startsWith(".") || seg.startsWith("_")
     def listCandidates(): Seq[String] =
       fs.listRelative(queuePath).filter { rel =>
-        val base = rel.split('/').last
-        !base.startsWith(".") && !base.startsWith("_") &&
-          pattern.forall(_.matches(base))
+        val segs = rel.split('/')
+        val visible = !segs.exists(hiddenSeg)
+        if (!visible && pattern.exists(_.matches(segs.last)))
+          System.err.println(s"[streaming_load] skipping '$rel': it matches" +
+            " file-name but Spark readers cannot load hidden ('_'/'.')" +
+            " basenames — rename the producer's objects")
+        visible && pattern.forall(_.matches(segs.last))
       }
 
     // Partition a queue snapshot against the load log on data_file

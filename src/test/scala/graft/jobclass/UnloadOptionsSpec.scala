@@ -53,6 +53,23 @@ class UnloadOptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       .toSeq.sortBy(_.toString)
 
+  test("a script ending in DROP fails loudly instead of exporting an empty frame") {
+    // since round 16 a bare DROP updates the script's last-result frame
+    // (restoring pre-routing semantics); a zero-column export is never
+    // what an unload meant, so the jobclass rejects it instead of
+    // silently writing an empty dataset to dest
+    val p = home.resolve("subsys").resolve("u_drop.sql.job")
+    Files.writeString(p,
+      """/* class: unload
+        |dest-file: out_drop
+        |format: csv */
+        |SELECT id, name FROM unload_src ORDER BY id;
+        |DROP TABLE IF EXISTS unload_scratch_nonexistent;""".stripMargin)
+    val r = Application.runJobFile(p, ctx)
+    assert(!r.success, "unload of a trailing DROP's frame must fail")
+    assert(r.message.contains("returned no columns"), r.message)
+  }
+
   test("gzip writes .gz part files that read back identically") {
     unload("u_gz.sql.job", "out_gz", "csv", "    gzip: true")
     assert(outFiles("out_gz").nonEmpty)

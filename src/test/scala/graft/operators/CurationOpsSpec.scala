@@ -147,9 +147,15 @@ class CurationOpsSpec extends AnyFunSuite {
     boilTrain.foreach(t => assert(gotUncapped.contains((0L, t.toLong, 1.0))))
 
     // the knob and the mirrored oracle can never disagree: the oracle SQL
-    // interpolates the same class-init value the Spark plan defaults to
+    // interpolates the same class-init value the Spark plan defaults to,
+    // and a per-call cap override has a matching oracle builder so the
+    // pairing survives parameterized use too (round-16 review)
     assert(CurationOps.qContainmentOracle.contains(
       s"least(count(*) // 20, ${CurationOps.containmentDfCap})"))
+    assert(CurationOps.qContainmentOracle ==
+      CurationOps.containmentOracleSql())
+    assert(CurationOps.containmentOracleSql(600L).contains(
+      "least(count(*) // 20, 600)"))
   }
 
   test("leakage split covers the corpus, proves zero split-crossing clusters") {

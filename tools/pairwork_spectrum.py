@@ -63,8 +63,10 @@ bucketed AS (
   FROM per_gram GROUP BY 1)
 SELECT * FROM bucketed ORDER BY bucket
 """).fetchall()
-tot_types = sum(r[1] for r in rows)
-tot_work = sum(r[2] or 0 for r in rows)
+# max(..., 1): a degenerate corpus (no shared eval/train grams, or every
+# doc under 4 words) has a zero integral — print 0.00% rows, don't crash
+tot_types = max(sum(r[1] for r in rows), 1)
+tot_work = max(sum(r[2] or 0 for r in rows), 1)
 print(f"{'bucket':<12}{'gram_types':>14}{'types%':>9}{'pair_work':>16}{'work%':>8}")
 for b, t, w in rows:
     w = w or 0
