@@ -43,6 +43,9 @@ object DataSource {
     * race of in-memory catalogs over one warehouse; shared-warehouse
     * concurrent deployments disable the purge (see [[purgeOrphans]]).
     */
+  private val DataFileExts =
+    Seq(".parquet", ".orc", ".csv", ".tsv", ".json", ".txt", ".gz")
+
   private[ds] def looksLikeTableData(fs: org.apache.hadoop.fs.FileSystem,
       loc: org.apache.hadoop.fs.Path): Boolean = {
     val it = fs.listFiles(loc, true)
@@ -50,8 +53,7 @@ object DataSource {
     while (ok && it.hasNext) {
       val f = it.next().getPath.getName.toLowerCase(java.util.Locale.ROOT)
       ok = f.startsWith("_") || f.endsWith(".crc") ||
-        Seq(".parquet", ".orc", ".csv", ".tsv", ".json", ".txt", ".gz")
-          .exists(f.endsWith)
+        DataFileExts.exists(f.endsWith)
     }
     ok
   }

@@ -52,8 +52,9 @@ object CurationOps {
           s"-Dgraft.containment.dfCap must be a positive integer, got '$raw'")
       }
     require(v > 0,
-      s"-Dgraft.containment.dfCap must be positive, got $v (a cap of 0" +
-        " would drop every gram and report zero containment everywhere)")
+      s"-Dgraft.containment.dfCap must be positive, got $v (the operator" +
+        " and oracle would both floor it to 1 — reject the nonsensical" +
+        " setting instead of silently screening at df 1)")
     v
   }
 

@@ -107,11 +107,20 @@ object StreamingLoadJobClass extends JobClass("streaming_load") {
     // is the breadcrumb for its otherwise ever-growing queue.
     def hiddenSeg(seg: String): Boolean =
       seg.startsWith(".") || seg.startsWith("_")
+    // rel is BASE-relative (fs.listRelative), so it still carries the
+    // queuePath prefix — inspect only the segments BELOW the queue root,
+    // or a queue-path like `_staging/incoming` (its own components are
+    // the deployment's naming, not commit metadata) would silently
+    // exclude every object it holds (round-16 review)
+    val queuePrefix = queuePath.stripSuffix("/") + "/"
     def listCandidates(): Seq[String] =
       fs.listRelative(queuePath).filter { rel =>
-        val segs = rel.split('/')
+        val below = rel.stripPrefix(queuePrefix)
+        val segs = below.split('/')
         val visible = !segs.exists(hiddenSeg)
-        if (!visible && pattern.exists(_.matches(segs.last)))
+        // warn only for a hidden BASENAME the pattern wanted — a hidden
+        // parent dir (in-flight commit innards) is a silent, correct skip
+        if (hiddenSeg(segs.last) && pattern.exists(_.matches(segs.last)))
           System.err.println(s"[streaming_load] skipping '$rel': it matches" +
             " file-name but Spark readers cannot load hidden ('_'/'.')" +
             " basenames — rename the producer's objects")
