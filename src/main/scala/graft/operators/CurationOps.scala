@@ -479,7 +479,13 @@ object CurationOps {
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(Dedup.grams4Spark)).as("gram"))
       .persist()
-    val keep = grams.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+    // count(*), not countDistinct(doc_id): grams4Spark is array_distinct
+    // per doc, so (doc_id, gram) rows are already unique and the two are
+    // equal by construction — but countDistinct plans a two-phase
+    // distinct aggregate where plain count is one map-side-combined hash
+    // aggregate. The oracle keeps count(DISTINCT doc_id), pinning the
+    // equality cross-engine (unnest of a list_distinct list).
+    val keep = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("gram")
     val evalG = grams.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("gram"))
@@ -576,6 +582,12 @@ object CurationOps {
   private[graft] def leakageAssignments(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    // NOT persisted (measured, r16): the final join prunes `sig` down to
+    // (doc_id, n_tokens) — the optimizer already drops the minhash
+    // column from both aggregate branches, so the only full signature
+    // evaluation is the one inside the CC edge build. A persist here
+    // forced the 32-hash column into cache for consumers that never read
+    // it and measured ~0.3 s SLOWER at sf0.1 (isolated A/B, min-of-2).
     val sig = Dedup.sigOf(Dedup.gramsOf(docs, "n_tokens"), "n_tokens")
     // star edges: every doc links to the min doc_id of each LSH bucket it
     // occupies — same components as within-bucket cliques at linear cost

@@ -997,6 +997,14 @@ object Dedup {
       .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // NOT persisted, although lshCand/prefix/bands each appear in two
+    // subtrees (measured, r16): every consumer lives under the ONE final
+    // crossJoin action, whose branch subtrees execute concurrently —
+    // neither branch sees the other's cache population mid-job, so a
+    // persist here still computes the frame per branch AND pays the
+    // cache write (q_minhash_recall 1.66 → 2.11 s min-of-6 at sf0.1 with
+    // the persists). Duplicate-subtree elimination via persist only pays
+    // across SEQUENTIAL actions (the CC loop, q_containment's cap path).
     val bands = bandsOf(sigOf(grams))
     val lshCand = bands.filter(col("doc_id") % probeMod === 0).as("a")
       .join(bands.as("b"),

@@ -430,10 +430,21 @@ object ScaleOps {
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
       custT -> t(s, dir, "customer").select("c_custkey", "c_nationkey"),
       natT -> t(s, dir, "nation").select("n_nationkey", "n_name"))
+    // Column stats only for the columns the cost model actually reads:
+    // join keys (ndv drives the join-cardinality estimate) and the
+    // filtered dimension column (selectivity of n_name = 'NATION_7').
+    // FOR ALL COLUMNS additionally profiled o_orderpriority and
+    // o_totalprice — pure aggregate outputs no estimate touches — and
+    // each profiled column is an ndv+min/max pass over the table, so the
+    // stats step cost scales with the profiled-column count at any SF.
+    val statCols = Map(
+      ordT -> "o_custkey",
+      custT -> "c_custkey, c_nationkey",
+      natT -> "n_nationkey, n_name")
     srcs.foreach { case (tb, df) =>
       s.sql(s"DROP TABLE IF EXISTS $tb")
       df.write.mode("overwrite").option("path", s"$base/$tb").saveAsTable(tb)
-      s.sql(s"ANALYZE TABLE $tb COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"ANALYZE TABLE $tb COMPUTE STATISTICS FOR COLUMNS ${statCols(tb)}")
     }
     s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
