@@ -172,29 +172,33 @@ object ClusterOps {
         .select(col("dst").as("id"), col("lbl"), lit(Long.MaxValue).as("old_lbl"))
       // checkpoint the aggregate BEFORE the self-join below — joining an
       // unmaterialized frame with itself would run the groupBy shuffle
-      // twice (once per branch)
+      // twice (once per branch). LAZY checkpoint (r16): the convergence
+      // probe right below is a full-partition count over this frame, so
+      // it materializes the checkpoint as a side effect — fusing what
+      // were TWO jobs per round (eager-checkpoint job + probe job) into
+      // one. The probe must stay a plain count (no limit(1)): a
+      // short-circuiting limit could leave partitions uncomputed and the
+      // checkpoint blocks only partially persisted.
       val agg = labels.select(col("id"), col("lbl"), col("lbl").as("old_lbl"))
         .union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
-        .localCheckpoint(true)
-      // this round's checkpoint is materialized — the previous round's
-      // blocks (its only remaining reader was the frame just computed)
-      // are now dead weight
-      if (prevAgg != null)
-        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevAgg)
-      prevAgg = agg
+        .localCheckpoint(false)
       // convergence is probed on the checkpointed aggregate, BEFORE the
       // pointer jumps: if propagation improved no label, then for every
       // edge (u,v) lbl(u) = lbl(v), i.e. labels are constant per
       // component and (since every lbl is a component-member id that
       // only decreases from lbl=id) equal to the component min — the
       // exact fixpoint — and jumping through lbl(lbl(x)) = lbl(x) is
-      // also a no-op. Probing `agg` instead of the jumped frame makes
-      // the probe a scan of in-memory checkpoint blocks rather than a
-      // re-evaluation of the hop joins, and lets the converged final
+      // also a no-op. Probing `agg` instead of the jumped frame keeps
+      // the hop joins out of the probe, and lets the converged final
       // round skip the jumps entirely.
-      val changed = agg.filter(col("lbl") < col("old_lbl"))
-        .limit(1).count()
+      val changed = agg.filter(col("lbl") < col("old_lbl")).count()
+      // the probe job materialized this round's checkpoint — the
+      // previous round's blocks (their only remaining reader was the
+      // frame just computed) are now dead weight
+      if (prevAgg != null)
+        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevAgg)
+      prevAgg = agg
       if (sys.env.contains("GRAFT_CC_DEBUG")) {
         val full = agg.filter(col("lbl") < col("old_lbl")).count()
         println(s"CCDEBUG round=$it changed=$full")
