@@ -58,17 +58,31 @@ object StreamOps {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val isDir = fs.getFileStatus(hPath).isDirectory
-    // Fail LOUDLY if the chosen layout branch would stream nothing: mirror
-    // the stream source with the BATCH reader using the same path+options
-    // (file listing is shared between the two) and require rows. The
+    // Fail LOUDLY if the chosen layout branch would stream nothing. The
     // original layout bug — glob matched nothing against a directory of
     // part files — survived a bench, a verify, and a "0 failed" summary
     // because an empty stream is indistinguishable from a completed one.
-    val mirror =
-      if (isDir) s.read.schema(rawSchema).parquet(path)
-      else s.read.schema(rawSchema)
-        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    require(!mirror.isEmpty,
+    // The row probe reads parquet FOOTERS on the driver (the same
+    // metadata the scan planner reads anyway) instead of running a batch
+    // isEmpty job: the guard fires per stream-source construction, and a
+    // limit-1 Spark job per source was pure scheduling overhead next to
+    // a footer's row count — semantics identical (a valid-layout but
+    // zero-row table still refuses, StructuredStreamsSpec pins it).
+    def footerRows(p: org.apache.hadoop.fs.Path): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, s.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    val hasRows =
+      if (isDir) fs.listStatus(hPath).iterator
+        .filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+        })
+        .exists(f => footerRows(f.getPath) > 0)
+      else footerRows(hPath) > 0
+    require(hasRows,
       s"streamTable($path): the ${if (isDir) "directory" else "glob"} " +
         "layout branch matches 0 rows — refusing to stream an empty " +
         "table (layout mismatch or bad path?)")
@@ -504,15 +518,6 @@ object StreamOps {
     val base = graft.core.TempDirs.create("graft_stream_late").toString
     val cols = graft.Tables.t(s, dir, "events")
       .select(col("event_id"), col("ts"), col("event_type"))
-    def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(base, s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
-    }
     // THREE batches, not two: Spark's late-record filter lags the
     // eviction watermark by one batch (SPARK-40925 two-watermark
     // semantics — measured here: with two files the late batch was
@@ -523,11 +528,26 @@ object StreamOps {
     // gap is zero (a nonzero gap would re-emit already-closed windows).
     val evens = cols.filter(col("event_id") % 2 === 0)
     val maxEvenTs = evens.agg(max("ts")).head().getTimestamp(0)
-    writeBatch(evens.filter(col("event_id") % 4 === 0 || col("ts") === maxEvenTs),
-      "b1", 1000000000L)
-    writeBatch(evens.filter(col("event_id") % 4 =!= 0 && col("ts") =!= maxEvenTs),
-      "b2", 2000000000L)
-    writeBatch(cols.filter(col("event_id") % 2 =!= 0), "b3", 3000000000L)
+    // The three batch files come out of ONE partitioned write (repartition
+    // on the batch id clusters each batch into a single task → exactly one
+    // part file per b= directory), replacing three sequential coalesce(1)
+    // write jobs — the prep is test harness, not the operator under test,
+    // so it should cost one pass. The part files are then moved to flat
+    // bN.parquet names with staged mtimes (the source-ordering contract).
+    val tmp = s"$base/tmp_batches"
+    cols.withColumn("b",
+        when(col("event_id") % 2 =!= 0, lit(3))
+          .when(col("event_id") % 4 === 0 || col("ts") === maxEvenTs, lit(1))
+          .otherwise(lit(2)))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmp)
+    (1 to 3).foreach { b =>
+      val part = new java.io.File(s"$tmp/b=$b").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(base, s"b$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(b * 1000000000L)
+    }
     val schema = s.read.parquet(s"$base/b1.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
