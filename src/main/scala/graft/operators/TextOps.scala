@@ -585,10 +585,17 @@ object TextOps {
     * defined by ingest time rather than doc_id; the shape is identical.
     */
   def qGramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val gramRows = Dedup.gramsOf(t(s, dir, "documents"), "source")
       .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
-    val firstSeen = gramRows.groupBy("g").agg(min("doc_id").as("first_doc"))
-    gramRows.join(firstSeen, Seq("g"))
+    // min-over-window instead of groupBy+join-back: the join formulation
+    // evaluated the gram generator TWICE (the aggregate side prunes
+    // `source`, so the two subtrees never canonicalize equal and
+    // ReuseExchange cannot fire) and shuffled the occurrence stream
+    // twice; one gram-keyed window computes first_doc in a single
+    // exchange of the stream.
+    gramRows
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
