@@ -131,6 +131,43 @@ object Tables {
     */
   def normalizeEventsTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
 
+  // Memoized per (dir, name): footer counts are immutable for a testdata
+  // layout, and several queries re-derive the same corpus size.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Exact row count of `<dir>/<name>.parquet` from parquet FOOTER record
+    * counts, read on the driver — no Spark job. Several operators derive
+    * scale-adaptive parameters from an UNFILTERED table count (containment
+    * df cap, recall probe modulus, label-prop plane count, tf-idf corpus
+    * size); `t(...).count()` for that scalar paid a full job-scheduling
+    * round trip per query for metadata every scan reads anyway. Handles
+    * both testdata layouts (single file / directory of part files) through
+    * the Hadoop FS API, so non-local schemes keep working. Identical to
+    * `t(spark, dir, name).count()` by parquet's own contract: footers
+    * carry the exact record count per file.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name), { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      def rows(p: org.apache.hadoop.fs.Path): Long = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      val st = fs.getFileStatus(root)
+      if (st.isDirectory)
+        fs.listStatus(root).iterator
+          .filter(f => f.isFile && {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+          })
+          .map(f => rows(f.getPath)).sum
+      else rows(root)
+    })
+
   /** Register every testdata table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

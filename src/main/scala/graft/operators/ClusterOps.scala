@@ -361,7 +361,7 @@ object ClusterOps {
     */
   def qClusterSizeHist(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count()
+    val nDocs = graft.Tables.rowCount(s, dir, "documents")
     val grams = Dedup.gramsOf(docs).persist()
     val bands = Dedup.bandsOf(Dedup.sigOf(grams)).persist()
     val cand = bands.as("a").join(bands.as("b"),
@@ -1009,7 +1009,7 @@ object ClusterOps {
     // or bucket occupancy — and the bucket-blocked scored join's pair
     // surface — grows linearly-per-bucket, quadratically in total. The
     // count() is a parquet-metadata action (row-group stats, no scan).
-    val nPlanes = Similarity.planesFor(t(s, dir, "embeddings").count())
+    val nPlanes = Similarity.planesFor(graft.Tables.rowCount(s, dir, "embeddings"))
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         expr(Similarity.normExpr).as("nrm"),

@@ -463,7 +463,7 @@ object CurationOps {
     // tunable — see [[CurationOps.containmentDfCap]]) at scale (see
     // scaladoc); count(*) on parquet is a footer-metadata scalar, not a
     // data scan
-    val nDocs = t(s, dir, "documents").count()
+    val nDocs = graft.Tables.rowCount(s, dir, "documents")
     val dfCap = math.max(1L, math.min(nDocs / 20, dfCapAbs))
     // persisted: four consumers (df cap, eval side, train side, eval
     // sizes) would otherwise each re-run the split+shingle explode over

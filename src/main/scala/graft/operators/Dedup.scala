@@ -981,7 +981,7 @@ object Dedup {
     // fixed probe BUDGET (~50 docs), not a fixed fraction: the audit's
     // cost must not grow with the corpus. count() on parquet is a
     // footer-metadata scalar; the oracle derives the same modulus in SQL.
-    val nDocs = t(s, dir, "documents").count()
+    val nDocs = graft.Tables.rowCount(s, dir, "documents")
     val probeMod = math.max(10L, nDocs / 50L)
     val grams = gramsOf(t(s, dir, "documents")).persist()
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))

@@ -481,7 +481,7 @@ object TextOps {
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     // doc count is a catalog-scale scalar (same class as the centroid
     // seeds): folded in as a literal
-    val nDocs = t(s, dir, "documents").count()
+    val nDocs = graft.Tables.rowCount(s, dir, "documents")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
     tf.filter(col("doc_id") < 50)
