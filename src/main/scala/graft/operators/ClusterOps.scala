@@ -512,7 +512,6 @@ object ClusterOps {
     * ordering is engine-stable, with doc_id as the total tie-break.
     */
   def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
     val docs = t(s, dir, "documents")
     val sigs = docs.select(col("doc_id"), expr("simhash48(text)").as("sig"))
@@ -525,13 +524,21 @@ object ClusterOps {
     val ttr = docs.select(col("doc_id"),
       round(size(array_distinct(split(col("text"), " "))) /
         size(split(col("text"), " ")).cast("double"), 4).as("ttr"))
+    // keep rule as a lexicographic struct-max AGGREGATE, not a window:
+    // argmax by (ttr DESC, doc_id ASC) = max(struct(ttr, -doc_id)) — the
+    // same mode idiom as qLabelProp's vote. The former row_number +
+    // count window pair paid one exchange plus a full per-cluster sort
+    // of every member; the aggregate is map-side combinable, so k
+    // partial rows per cluster cross the shuffle instead of the whole
+    // membership, and nothing sorts (guide: aggregate before you
+    // shuffle). Result identical: row_number()=1 under that ORDER BY is
+    // exactly this argmax, and n_members is the same count.
     labels.join(ttr, labels("id") === ttr("doc_id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lbl").orderBy(desc("ttr"), col("doc_id"))))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("lbl")))
-      .filter(col("rk") === 1)
-      .select(col("lbl").as("cluster_rep"), col("doc_id").as("keep_doc_id"),
-        col("n_members"), col("ttr").as("best_ttr"))
+      .groupBy(col("lbl"))
+      .agg(max(struct(col("ttr"), (-col("doc_id")).as("neg"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_rep"), (-col("m.neg")).as("keep_doc_id"),
+        col("n_members"), col("m.ttr").as("best_ttr"))
       .orderBy("cluster_rep")
   }
 
@@ -918,19 +925,28 @@ object ClusterOps {
     val n = nodes.count()
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var prevPr: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges.join(pr, col("src") === col("id"))
         .select(col("dst").as("id"), (col("pr") / k.toDouble).as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      pr = nodes.join(contrib, Seq("id"), "left")
+      val next = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
-      // superseded round's checkpoint blocks are dead once the new one
-      // is materialized (see connectedComponentsWithRounds)
-      if (prevPr != null)
-        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevPr)
-      prevPr = pr
+      // checkpoint only INTERIOR rounds: the final round's sole consumer
+      // is the output action, so an eager checkpoint there was one whole
+      // extra materialization job for a frame read exactly once — the
+      // last round's (bounded, one-join) lineage evaluates inside the
+      // output action instead. prevPr (the N−1 checkpoint) stays alive
+      // as that plan's input.
+      pr = if (i < iters) {
+        val ck = next.localCheckpoint(true)
+        // superseded round's checkpoint blocks are dead once the new one
+        // is materialized (see connectedComponentsWithRounds)
+        if (prevPr != null)
+          org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevPr)
+        prevPr = ck
+        ck
+      } else next
     }
     val out = pr.select(col("id").as("vec_id"),
       round(col("pr") * n, 6).as("pr_scaled6")).orderBy("vec_id")
@@ -1035,7 +1051,7 @@ object ClusterOps {
     var cur = nodes.select(col("id"),
       when(col("id") < 50, col("true_lbl")).as("lbl"))
     var prevCur: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val votes = edges
         .join(cur.filter(col("lbl").isNotNull), col("dst") === col("id"))
         .groupBy(col("src"), col("lbl").as("vlbl"))
@@ -1046,12 +1062,17 @@ object ClusterOps {
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("v"), (-col("vlbl")).as("neg"))).as("m"))
         .select(col("id"), (-col("m.neg")).cast("int").as("vlbl"))
-      cur = cur.join(best, Seq("id"), "left")
+      val next = cur.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("vlbl")).as("lbl"))
-        .localCheckpoint(true)
-      if (prevCur != null)
-        org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevCur)
-      prevCur = cur
+      // final round stays lazy — its one consumer is the output action
+      // (see qPagerank's loop for the rationale)
+      cur = if (i < rounds) {
+        val ck = next.localCheckpoint(true)
+        if (prevCur != null)
+          org.apache.spark.sql.graftbridge.GraftBridge.unpersistLocalCheckpoint(prevCur)
+        prevCur = ck
+        ck
+      } else next
     }
     val out = nodes.join(cur, "id")
       .groupBy(col("true_lbl"))
