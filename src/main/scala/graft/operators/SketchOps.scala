@@ -62,10 +62,15 @@ object SketchOps {
     // scattering occurrences directly would shuffle depth x occurrences
     // rows where this shuffles depth x distinct-grams with the counts as
     // weights, for bit-identical cell totals.
+    // NOT persisted (r16): every consumer (top-10 limit, sketch scatter,
+    // tpos) sits under the ONE final join action, whose branch subtrees
+    // execute concurrently — a persist here degraded to cache-write
+    // overhead plus block-lock serialization of otherwise-parallel
+    // branches (measured 1.36 → 1.06 s min-of-5 by removing it; the
+    // same single-action finding as q_minhash_recall's subtrees).
     val gcnt = occ
       .select(col("g"), expr(Dedup.shingleHashScalar("g")).as("h"))
       .groupBy("g", "h").agg(count(lit(1)).as("exact_cnt"))
-      .persist() // read by the sketch build AND the exact top-10
     val top10 = gcnt
       .orderBy(col("exact_cnt").desc, col("g").asc)
       .limit(10)
@@ -77,10 +82,6 @@ object SketchOps {
     val tpos = top10
       .select(col("gram"), col("exact_cnt"),
         posexplode(array(posArr: _*)).as(Seq("i", "pos")))
-    // the returned plan reads the persisted hash frame on both branches —
-    // caller owns its lifetime (Bench/Verify clear the cache between
-    // queries); unpersisting here would silently recompute the corpus
-    // pass twice
     tpos.join(sketch, Seq("i", "pos"))
       .groupBy("gram", "exact_cnt").agg(min("cnt").as("cms_est"))
       .select(col("gram"), col("exact_cnt"), col("cms_est"),
