@@ -338,7 +338,13 @@ object ClusterOps {
     val pairs = docs.withColumn("nxt", lead("doc_id", 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
-    connectedComponents(pairs, maxIter = 64, hops = 3)
+    // hops = 5 (was 3, r16): at the bench SF the per-round fixed cost
+    // (one fused checkpoint+probe job) dominates, so buying ~1 fewer
+    // round with two more narrow joins over the checkpointed frame is a
+    // measured win (3.05 -> 2.49 s min-of-5, same-conditions A/B); on a
+    // longer chain the trade only improves (rounds scale with log of
+    // diameter, hop joins stay constant per round).
+    connectedComponents(pairs, maxIter = 64, hops = 5)
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .orderBy("cluster_rep")
