@@ -444,6 +444,125 @@ case class Jaccard4(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 56-bit dHash over a 64-element pixel array (8×8 grid, bit b set when
+  * the left pixel of row b/7, column b%7 is darker than its row
+  * neighbor) — the fused form of the `aggregate(sequence(0,55), …)`
+  * higher-order-function fold in [[graft.operators.Multimodal.phashOf]],
+  * which paid an interpreted lambda call per bit per asset (HOFs never
+  * enter whole-stage codegen). Bit-identical semantics, including the
+  * out-of-range and null-element behavior of `element_at` under
+  * non-ANSI SQL (invalid index → null → CASE false → bit unset).
+  */
+object DHash56Helper {
+  def compute(px: ArrayData): Long = {
+    val n = px.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < 56) {
+      val i1 = (b / 7) * 8 + (b % 7)
+      val i2 = i1 + 1
+      if (i2 < n && !px.isNullAt(i1) && !px.isNullAt(i2) &&
+        px.getInt(i1) < px.getInt(i2)) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** 64-point pixel sampler over a text body — the fused form of
+  * `transform(sequence(0, 63), k -> ascii(substring(txt,
+  * 1 + (k * length(txt)) div 64, 1)))` in
+  * [[graft.operators.Multimodal.pixelGrids]]. The HOF form paid an
+  * interpreted lambda per sample, and each `substring(txt, pos, 1)` is
+  * an O(pos) codepoint walk from the start of the string — O(64·len)
+  * per asset. This walks the bytes ONCE to index codepoint offsets,
+  * then decodes the 64 sampled codepoints — O(len + 64). Semantics are
+  * `ascii` + codepoint-based `substring`/`length` exactly: sample k
+  * reads the codepoint at 0-based char index (k·numChars) div 64, and
+  * an empty body yields ascii('') = 0 for every sample.
+  */
+object PixelGrid64Helper {
+  def compute(s: UTF8String): ArrayData = {
+    val numChars = s.numChars()
+    val out = new Array[Int](64)
+    if (numChars > 0) {
+      val bytes = s.getBytes
+      // byte offset of each codepoint (one pass)
+      val offs = new Array[Int](numChars)
+      var i = 0
+      var c = 0
+      while (i < bytes.length && c < numChars) {
+        offs(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      var k = 0
+      while (k < 64) {
+        val ci = ((k.toLong * numChars) / 64).toInt
+        val o = offs(ci)
+        val b0 = bytes(o) & 0xff
+        // decode the codepoint at offset o (UTF-8)
+        val cp =
+          if (b0 < 0x80) b0
+          else if (b0 < 0xe0) ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f)
+          else if (b0 < 0xf0)
+            ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) | (bytes(o + 2) & 0x3f)
+          else ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
+            ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f)
+        out(k) = cp
+        k += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PixelGrid64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pixelgrid64 requires string, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pixelgrid64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PixelGrid64Helper.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PixelGrid64Helper.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): PixelGrid64 =
+    copy(child = newChild)
+}
+
+case class DHash56(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dhash56 requires array<int>, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dhash56"
+
+  override protected def nullSafeEval(v: Any): Any =
+    DHash56Helper.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DHash56Helper.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): DHash56 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` / `vec_norm` / `simhash16` as SQL functions on the
     * session, so `expr("vec_dot(a, b)")` resolves to the codegen'd
@@ -465,6 +584,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => MinHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("container_decode",
       (exprs: Seq[Expression]) => ContainerDecode(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("dhash56",
+      (exprs: Seq[Expression]) => DHash56(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("pixelgrid64",
+      (exprs: Seq[Expression]) => PixelGrid64(exprs.head), "built-in")
   }
 }
 
@@ -500,6 +623,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("container_decode"),
       new ExpressionInfo(classOf[ContainerDecode].getName, "container_decode"),
       (exprs: Seq[Expression]) => ContainerDecode(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dhash56"),
+      new ExpressionInfo(classOf[DHash56].getName, "dhash56"),
+      (exprs: Seq[Expression]) => DHash56(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pixelgrid64"),
+      new ExpressionInfo(classOf[PixelGrid64].getName, "pixelgrid64"),
+      (exprs: Seq[Expression]) => PixelGrid64(exprs.head)))
     // whole-operator extension: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -271,26 +271,32 @@ object Multimodal {
   /** The 64-sample pixel grid per asset, read out of the decoded payload
     * body at evenly spaced offsets — (asset_id, px: array<int>).
     */
-  private[operators] def pixelGrids(s: SparkSession, dir: String): DataFrame =
+  private[operators] def pixelGrids(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // fused codegen sampler (graft.functions.PixelGrid64): the former
+    // transform(sequence(0,63), k -> ascii(substring(txt, …, 1))) paid an
+    // interpreted lambda per sample and each substring is an O(pos)
+    // codepoint walk — O(64·len) per asset vs the helper's one-pass
+    // O(len + 64). ascii/substring/length semantics replicated exactly
+    // (codepoint-based; MultimodalSpec pins element equality vs the HOF)
     assets(s, dir)
       .select(col("asset_id"),
         decode(expr(s"substring(payload, ${HeaderBytes + 1}, length(payload) - $HeaderBytes)"),
           "UTF-8").as("txt"))
-      .select(col("asset_id"),
-        expr("""transform(sequence(0, 63), k ->
-          ascii(substring(txt, CAST(1 + (k * CAST(length(txt) AS BIGINT)) div 64 AS INT), 1)))""")
-          .as("px"))
+      .select(col("asset_id"), expr("pixelgrid64(txt)").as("px"))
+  }
 
   /** 56-bit dHash over a (asset_id, px) frame: 8×8 grid, bit = left
     * pixel darker than its row neighbor.
     */
-  private[operators] def phashOf(grids: DataFrame): DataFrame =
-    grids.select(col("asset_id"),
-      expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) ->
-        acc + CASE WHEN element_at(px, CAST((b div 7) * 8 + (b % 7) + 1 AS INT))
-                     < element_at(px, CAST((b div 7) * 8 + (b % 7) + 2 AS INT))
-              THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
-        .as("phash"))
+  private[operators] def phashOf(grids: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(grids.sparkSession)
+    // fused codegen dHash (graft.functions.DHash56) — the former
+    // aggregate(sequence(0,55), …) fold paid an interpreted lambda call
+    // per bit per asset (higher-order functions never enter whole-stage
+    // codegen); MultimodalSpec pins bit-equality against the HOF form
+    grids.select(col("asset_id"), expr("dhash56(px)").as("phash"))
+  }
 
   /** Banded (asset_id, phash) rows with HOT-BUCKET SUBDIVISION — the
     * [[Dedup.simhashKeyedBands]] discipline on media signatures: a

@@ -70,6 +70,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pixelgrid64 expression matches the transform-HOF sampler element-wise") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val rows = Multimodal.assets(spark, dir)
+      .select(col("asset_id"),
+        decode(expr(s"substring(payload, ${Multimodal.HeaderBytes + 1}, " +
+          s"length(payload) - ${Multimodal.HeaderBytes})"), "UTF-8").as("txt"))
+      .select(col("asset_id"),
+        expr("pixelgrid64(txt)").as("fused"),
+        expr("""transform(sequence(0, 63), k ->
+          ascii(substring(txt, CAST(1 + (k * CAST(length(txt) AS BIGINT)) div 64 AS INT), 1)))""")
+          .as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"asset ${r.getLong(0)}: pixelgrid64 differs from the HOF sampler")
+    }
+  }
+
+  test("dhash56 expression is bit-identical to the aggregate-HOF fold") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    // both arms of the production input shape: raw grids and the
+    // +1-brightness twins (transform-produced int arrays)
+    val base = Multimodal.pixelGrids(spark, dir)
+    val both = base.unionByName(
+      base.select((col("asset_id") + 1000000L).as("asset_id"),
+        expr("transform(px, p -> p + 1)").as("px")))
+    val rows = both.select(col("asset_id"),
+        expr("dhash56(px)").as("fused"),
+        expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) ->
+          acc + CASE WHEN element_at(px, CAST((b div 7) * 8 + (b % 7) + 1 AS INT))
+                       < element_at(px, CAST((b div 7) * 8 + (b % 7) + 2 AS INT))
+                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+          .as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"asset ${r.getLong(0)}: dhash56 ${r.getLong(1)} != HOF ${r.getLong(2)}")
+    }
+  }
+
   test("phash subdivision: cold buckets untouched, hot buckets split, keys refine") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
