@@ -540,6 +540,134 @@ case class PixelGrid64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused word-shingle builders — the shared narrow front of the LSH /
+  * containment family. The SQL formulation (`array_sort(array_distinct(
+  * zip_with(slice(ws,…), slice(ws,…), concat)))` over a pre-split `ws`)
+  * pays an interpreted lambda per shingle (zip_with) plus interpreted
+  * comparisons for array_sort's default-comparator lambda — higher-order
+  * functions never enter whole-stage codegen. These walk the text bytes
+  * once (0x20 never occurs inside a multi-byte UTF-8 char, so byte-level
+  * word bounds equal `split(text, ' ', -1)` exactly, empties included),
+  * build each shingle with one array copy, dedupe with a LinkedHashSet
+  * (= array_distinct's keep-first-occurrence), and sort with
+  * UTF8String.compareTo (= StringType's binary ordering). DedupSpec pins
+  * element-wise equality against the SQL forms on the real corpus.
+  */
+object GramHelper {
+  private val Sep: Byte = '_'.toByte
+
+  /** (start, end) byte offsets of each `split(text, ' ', -1)` token. */
+  private def bounds(bytes: Array[Byte]): Array[Int] = {
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val b = new Array[Int](2 * nWords)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        b(2 * w) = start; b(2 * w + 1) = i
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  private def join(bytes: Array[Byte], b: Array[Int], from: Int, k: Int): UTF8String = {
+    var len = k - 1
+    var j = 0
+    while (j < k) { len += b(2 * (from + j) + 1) - b(2 * (from + j)); j += 1 }
+    val out = new Array[Byte](len)
+    var pos = 0
+    j = 0
+    while (j < k) {
+      val s = b(2 * (from + j)); val e = b(2 * (from + j) + 1)
+      System.arraycopy(bytes, s, out, pos, e - s)
+      pos += e - s
+      if (j < k - 1) { out(pos) = Sep; pos += 1 }
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Distinct '_'-joined k-word shingles in first-occurrence order,
+    * optionally binary-sorted. k-shingles exist when words ≥ k (the
+    * slice-length guards in the SQL forms); a lone empty token (empty
+    * text) yields zero shingles for k ≥ 2.
+    */
+  def shingles(s: UTF8String, k: Int, sorted: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val b = bounds(bytes)
+    val nWords = b.length / 2
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + k <= nWords) {
+      set.add(join(bytes, b, i, k))
+      i += 1
+    }
+    val arr = set.toArray(new Array[UTF8String](set.size))
+    if (sorted) java.util.Arrays.sort(arr,
+      (a: UTF8String, c: UTF8String) => a.compareTo(c))
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+}
+
+abstract class ShingleExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+}
+
+/** `array_distinct(zip_with(slice(ws,1,n-1), slice(ws,2,n-1), concat _))`
+  * fused — distinct adjacent word bigrams, first-occurrence order.
+  */
+case class Bigrams2(child: Expression) extends ShingleExpression {
+  override def prettyName: String = "bigrams2"
+  override protected def nullSafeEval(v: Any): Any =
+    GramHelper.shingles(v.asInstanceOf[UTF8String], 2, sorted = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHelper.shingles($a, 2, false);")
+  override protected def withNewChildInternal(newChild: Expression): Bigrams2 =
+    copy(child = newChild)
+}
+
+/** [[Bigrams2]] + binary sort — the `array_sort(…)` form
+  * [[graft.operators.Dedup.gramsOf]] feeds to the two-pointer jaccard4.
+  */
+case class Bigrams2Sorted(child: Expression) extends ShingleExpression {
+  override def prettyName: String = "bigrams2_sorted"
+  override protected def nullSafeEval(v: Any): Any =
+    GramHelper.shingles(v.asInstanceOf[UTF8String], 2, sorted = true)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHelper.shingles($a, 2, true);")
+  override protected def withNewChildInternal(newChild: Expression): Bigrams2Sorted =
+    copy(child = newChild)
+}
+
+/** Distinct 4-word shingles (first-occurrence order) — the fused
+  * [[graft.operators.Dedup.grams4Spark]], the containment screen's
+  * decontamination-standard long-gram regime.
+  */
+case class Grams4W(child: Expression) extends ShingleExpression {
+  override def prettyName: String = "grams4w"
+  override protected def nullSafeEval(v: Any): Any =
+    GramHelper.shingles(v.asInstanceOf[UTF8String], 4, sorted = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHelper.shingles($a, 4, false);")
+  override protected def withNewChildInternal(newChild: Expression): Grams4W =
+    copy(child = newChild)
+}
+
 case class DHash56(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -588,6 +716,12 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => DHash56(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("pixelgrid64",
       (exprs: Seq[Expression]) => PixelGrid64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("bigrams2",
+      (exprs: Seq[Expression]) => Bigrams2(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("bigrams2_sorted",
+      (exprs: Seq[Expression]) => Bigrams2Sorted(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("grams4w",
+      (exprs: Seq[Expression]) => Grams4W(exprs.head), "built-in")
   }
 }
 
@@ -629,6 +763,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("pixelgrid64"),
       new ExpressionInfo(classOf[PixelGrid64].getName, "pixelgrid64"),
       (exprs: Seq[Expression]) => PixelGrid64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bigrams2"),
+      new ExpressionInfo(classOf[Bigrams2].getName, "bigrams2"),
+      (exprs: Seq[Expression]) => Bigrams2(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bigrams2_sorted"),
+      new ExpressionInfo(classOf[Bigrams2Sorted].getName, "bigrams2_sorted"),
+      (exprs: Seq[Expression]) => Bigrams2Sorted(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("grams4w"),
+      new ExpressionInfo(classOf[Grams4W].getName, "grams4w"),
+      (exprs: Seq[Expression]) => Grams4W(exprs.head)))
     // whole-operator extension: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

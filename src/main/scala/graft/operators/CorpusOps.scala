@@ -33,9 +33,9 @@ object CorpusOps {
     * the standard query and the hot-gram bench stress.
     */
   private[graft] def contaminationFrom(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val grams = docs
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
+      .select(col("doc_id"), explode(expr("bigrams2(text)")).as("gram"))
     val train = grams.filter(col("doc_id") % 10 =!= 0)
     val evalGrams = grams.filter(col("doc_id") % 10 === 0)
       .select("gram").distinct()
@@ -167,17 +167,19 @@ object CorpusOps {
     * narrow (no shuffle but the final order), so it costs one scan at any
     * corpus size.
     */
-  def qRepetition(s: SparkSession, dir: String): DataFrame =
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"),
         greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_grams"),
-        expr(s"size(${Dedup.gramsSpark})").cast("long").as("n_distinct"))
+        expr("size(bigrams2(text))").cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_grams") > 0,
           round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4))
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
+  }
 
   val qRepetitionOracle: String =
     s"""SELECT doc_id,
@@ -335,6 +337,7 @@ object CorpusOps {
     */
   def qPipelineE2e(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
     val docs = t(s, dir, "documents")
     val dedupW = Window.partitionBy("text").orderBy("doc_id")
     val deduped = docs
@@ -346,9 +349,8 @@ object CorpusOps {
         round(size(array_distinct(col("ws"))) / col("n_tokens").cast("double"), 4))
       .filter(col("n_tokens") >= 5 && col("ttr") >= 0.3)
     val evalGrams = docs.filter(col("doc_id") % 10 === 0)
-      .withColumn("ws", split(col("text"), " "))
-      .select(explode(expr(Dedup.gramsSpark)).as("gram")).distinct()
-    val trainGrams = train.select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("gram"))
+      .select(explode(expr("bigrams2(text)")).as("gram")).distinct()
+    val trainGrams = train.select(col("doc_id"), explode(expr("bigrams2(text)")).as("gram"))
     val totals = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("overlap"))

@@ -475,10 +475,12 @@ object CurationOps {
     // grow linearly with a natural-text corpus (see Dedup.grams4Spark for
     // the measured sf10 blowup) — the decontamination-standard long-gram
     // regime keeps per-gram df bounded at every scale
-    val grams = t(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(Dedup.grams4Spark)).as("gram"))
-      .persist()
+    val grams = {
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("grams4w(text)")).as("gram"))
+        .persist()
+    }
     // count(*), not countDistinct(doc_id): grams4Spark is array_distinct
     // per doc, so (doc_id, gram) rows are already unique and the two are
     // equal by construction — but countDistinct plans a two-phase

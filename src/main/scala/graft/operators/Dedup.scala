@@ -203,9 +203,15 @@ object Dedup {
     * sort amortizes immediately. Every other consumer explodes the array
     * or treats it as a set; order is semantically invisible to them.
     */
-  private[operators] def gramsOf(docs: DataFrame, carry: String*): DataFrame =
-    withWords(docs).select((col("doc_id") +: carry.map(col) :+
-      expr(s"array_sort($gramsSpark)").as("grams")): _*)
+  private[operators] def gramsOf(docs: DataFrame, carry: String*): DataFrame = {
+    // fused codegen shingler (graft.functions.Bigrams2Sorted): the SQL
+    // form paid an interpreted zip_with lambda per shingle plus
+    // interpreted array_sort comparisons; semantics pinned element-wise
+    // by DedupSpec against array_sort(gramsSpark)
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs.select((col("doc_id") +: carry.map(col) :+
+      expr("bigrams2_sorted(text)").as("grams")): _*)
+  }
 
   /** 32-permutation MinHash signature of a grams frame, computed by the
     * fused native [[graft.functions.MinHash32]]: one compiled pass per

@@ -54,8 +54,9 @@ object SketchOps {
     * a candidate pass; here the exact side doubles as the oracle anchor.
     */
   def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val occ = Dedup.withWords(t(s, dir, "documents"))
-      .select(col("doc_id"), explode(expr(Dedup.gramsSpark)).as("g"))
+    graft.functions.VectorFunctions.register(s)
+    val occ = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("bigrams2(text)")).as("g"))
     // ONE corpus-wide aggregate produces per-gram counts; both the sketch
     // scatter and the exact top-10 then run over the distinct-gram surface
     // (orders of magnitude smaller than the occurrence stream at 100 TB) —

@@ -212,6 +212,54 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(p50 - expected) < 1e-6, s"$src: p50 $p50 vs $expected")
   }
 
+  test("fused shingle builders equal the SQL zip_with/array_distinct/array_sort forms") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val docs = graft.Tables.t(spark, d, "documents")
+      val rows = Dedup.withWords(docs)
+        .select(col("doc_id"),
+          expr("bigrams2(text)").as("b2f"),
+          expr(Dedup.gramsSpark).as("b2r"),
+          expr("bigrams2_sorted(text)").as("bsf"),
+          expr(s"array_sort(${Dedup.gramsSpark})").as("bsr"),
+          expr("grams4w(text)").as("g4f"),
+          expr(Dedup.grams4Spark).as("g4r"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"$d doc ${r.getLong(0)}: bigrams2 != gramsSpark")
+        assert(r.getSeq[String](3) == r.getSeq[String](4),
+          s"$d doc ${r.getLong(0)}: bigrams2_sorted != array_sort(gramsSpark)")
+        assert(r.getSeq[String](5) == r.getSeq[String](6),
+          s"$d doc ${r.getLong(0)}: grams4w != grams4Spark")
+      }
+    }
+    // adversarial edges the corpus may not cover: empty text, one word,
+    // consecutive/leading/trailing spaces (empty tokens), repeats
+    val edge = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, ""), org.apache.spark.sql.Row(2L, "w"),
+        org.apache.spark.sql.Row(3L, "a  b"), org.apache.spark.sql.Row(4L, " a b "),
+        org.apache.spark.sql.Row(5L, "a b a b a"), org.apache.spark.sql.Row(6L, "x y z w v")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    Dedup.withWords(edge)
+      .select(col("doc_id"),
+        expr("bigrams2(text)").as("b2f"), expr(Dedup.gramsSpark).as("b2r"),
+        expr("bigrams2_sorted(text)").as("bsf"),
+        expr(s"array_sort(${Dedup.gramsSpark})").as("bsr"),
+        expr("grams4w(text)").as("g4f"), expr(Dedup.grams4Spark).as("g4r"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"edge doc ${r.getLong(0)} bigrams")
+        assert(r.getSeq[String](3) == r.getSeq[String](4), s"edge doc ${r.getLong(0)} sorted")
+        assert(r.getSeq[String](5) == r.getSeq[String](6), s"edge doc ${r.getLong(0)} grams4")
+      }
+  }
+
   test("fused minhash32 equals the explode + min-aggregate reference formulation") {
     import org.apache.spark.sql.functions._
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
