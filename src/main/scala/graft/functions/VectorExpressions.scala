@@ -554,8 +554,6 @@ case class PixelGrid64(child: Expression) extends UnaryExpression {
   * element-wise equality against the SQL forms on the real corpus.
   */
 object GramHelper {
-  private val Sep: Byte = '_'.toByte
-
   /** (start, end) byte offsets of each `split(text, ' ', -1)` token. */
   private def bounds(bytes: Array[Byte]): Array[Int] = {
     var nWords = 1
@@ -576,41 +574,93 @@ object GramHelper {
     b
   }
 
-  private def join(bytes: Array[Byte], b: Array[Int], from: Int, k: Int): UTF8String = {
-    var len = k - 1
-    var j = 0
-    while (j < k) { len += b(2 * (from + j) + 1) - b(2 * (from + j)); j += 1 }
-    val out = new Array[Byte](len)
-    var pos = 0
-    j = 0
-    while (j < k) {
-      val s = b(2 * (from + j)); val e = b(2 * (from + j) + 1)
-      System.arraycopy(bytes, s, out, pos, e - s)
-      pos += e - s
-      if (j < k - 1) { out(pos) = Sep; pos += 1 }
-      j += 1
-    }
-    UTF8String.fromBytes(out)
-  }
-
   /** Distinct '_'-joined k-word shingles in first-occurrence order,
     * optionally binary-sorted. k-shingles exist when words ≥ k (the
     * slice-length guards in the SQL forms); a lone empty token (empty
     * text) yields zero shingles for k ≥ 2.
+    *
+    * Dedup is an open-addressing probe over the RAW byte ranges: since
+    * `split` is single-space, the joined form of shingle i is exactly
+    * `bytes[b(2i), b(2(i+k-1)+1))` with each 0x20 mapped to '_' (the k−1
+    * in-range separators ARE the space bytes, empties included), so
+    * candidates hash and compare in place and only first occurrences
+    * ever materialize a UTF8String. The former LinkedHashSet form paid,
+    * PER CANDIDATE (duplicates included), k arraycopies + one byte[]
+    * alloc + a boxed set node — on repetitive corpora (the all-pairs
+    * regime: few distinct grams, long docs) that allocation churn was
+    * the dominant per-row cost of the whole gram front.
     */
   def shingles(s: UTF8String, k: Int, sorted: Boolean): ArrayData = {
     val bytes = s.getBytes
     val b = bounds(bytes)
     val nWords = b.length / 2
-    val set = new java.util.LinkedHashSet[UTF8String]()
+    val n = nWords - k + 1 // candidate shingles (one per word window)
+    if (n <= 0) return new GenericArrayData(new Array[Any](0))
+    // power-of-two table, load factor ≤ 0.5
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Int](cap)
+    java.util.Arrays.fill(table, -1)
+    val out = new Array[UTF8String](n)
+    var nOut = 0
     var i = 0
-    while (i + k <= nWords) {
-      set.add(join(bytes, b, i, k))
+    while (i < n) {
+      val start = b(2 * i)
+      val end = b(2 * (i + k - 1) + 1)
+      // FNV-1a over the mapped bytes of the candidate range
+      var h = -2128831035 // 0x811c9dc5
+      var p = start
+      while (p < end) {
+        val raw = bytes(p)
+        val v: Int = if (raw == ' ') '_'.toInt else raw.toInt
+        h = (h ^ (v & 0xff)) * 16777619
+        p += 1
+      }
+      var slot = h & mask
+      var dup = false
+      var done = false
+      while (!done) {
+        val j = table(slot)
+        if (j < 0) done = true // empty slot: first occurrence
+        else {
+          // in-place equality: stored string vs mapped candidate range
+          val st = out(j)
+          if (st.numBytes == end - start) {
+            var q = 0
+            val len = end - start
+            var eq = true
+            while (eq && q < len) {
+              val raw = bytes(start + q)
+              val v: Byte = if (raw == ' ') '_'.toByte else raw
+              if (st.getByte(q) != v) eq = false
+              q += 1
+            }
+            if (eq) { dup = true; done = true }
+            else slot = (slot + 1) & mask
+          } else slot = (slot + 1) & mask
+        }
+      }
+      if (!dup) {
+        val len = end - start
+        val sb = new Array[Byte](len)
+        var q = 0
+        while (q < len) {
+          val raw = bytes(start + q)
+          sb(q) = if (raw == ' ') '_'.toByte else raw
+          q += 1
+        }
+        out(nOut) = UTF8String.fromBytes(sb)
+        table(slot) = nOut
+        nOut += 1
+      }
       i += 1
     }
-    val arr = set.toArray(new Array[UTF8String](set.size))
-    if (sorted) java.util.Arrays.sort(arr,
-      (a: UTF8String, c: UTF8String) => a.compareTo(c))
+    val arr =
+      if (nOut == n) out
+      else java.util.Arrays.copyOf(out, nOut)
+    // natural ordering IS UTF8String.compareTo = StringType's binary order
+    if (sorted) java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
     new GenericArrayData(arr.asInstanceOf[Array[Any]])
   }
 }
