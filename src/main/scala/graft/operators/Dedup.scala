@@ -258,6 +258,16 @@ object Dedup {
     * LSH family.
     */
   private[operators] def verifyPairs(cand: DataFrame, grams: DataFrame, minJ: Double,
+      bcastGrams: Boolean = false): DataFrame =
+    scorePairs(cand, grams, bcastGrams)
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** [[verifyPairs]] minus the threshold filter: every candidate pair with
+    * its exact jaccard — for consumers that aggregate over the FULL
+    * candidate stream (count + survivor count in one pass).
+    */
+  private[operators] def scorePairs(cand: DataFrame, grams: DataFrame,
       bcastGrams: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(cand.sparkSession)
     // Default shape: two doc-keyed shuffle joins — right for the LSH
@@ -283,8 +293,6 @@ object Dedup {
       .join(side("doc_a", "grams_a"), "doc_a")
       .join(side("doc_b", "grams_b"), "doc_b")
       .withColumn("jaccard", expr("jaccard4(grams_a, grams_b)"))
-      .filter(col("jaccard") >= minJ)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   // ---- DuckDB oracle builders for the same kernels, parameterized over
@@ -1020,11 +1028,21 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val nTrue = verifyPairs(truthCand, grams, 0.8).agg(count(lit(1)).as("n_true"))
-    val nCand = lshCand.agg(count(lit(1)).as("n_cand"))
-    val nHit = verifyPairs(lshCand, grams, 0.8).agg(count(lit(1)).as("n_hit"))
+    // n_cand and n_hit fused into ONE pass over the verified candidate
+    // stream (count every pair, count the J ≥ 0.8 survivors) — the former
+    // `lshCand.count` + `verifyPairs(lshCand).count` pair evaluated the
+    // banded self-join TWICE under the one final action (bands → 4
+    // signature passes total; persist can't dedup concurrent branches,
+    // see the note above). The verify joins are inner on doc_id, which
+    // preserves the candidate count exactly: every lshCand endpoint comes
+    // from bands ⊆ grams, so both joins match every pair.
+    val candHit = scorePairs(lshCand, grams)
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)),
+          lit(0L)).as("n_hit"))
     // -1.0 sentinels keep the row NULL-free when a tiny SF yields an
     // empty truth/candidate set (NaN/NULL don't hash stably cross-engine)
-    nTrue.crossJoin(nCand).crossJoin(nHit)
+    nTrue.crossJoin(candHit)
       .select(col("n_true"), col("n_cand"), col("n_hit"),
         coalesce(round(col("n_hit") / col("n_true").cast("double"), 4),
           lit(-1.0)).as("recall"),
