@@ -104,4 +104,16 @@ object MinKAggregator {
   /** Typed column for `KeyValueGroupedDataset.agg`. */
   def minK(k: Int): TypedColumn[(String, Long), Seq[(String, Long)]] =
     new MinKAggregator(k).toColumn
+
+  /** The same aggregator as a DataFrame UDAF — see
+    * [[TopKAggregator.topKUdaf]] for why: the `groupByKey(_._1)` form
+    * plans an AppendColumns step that deserializes EVERY input row into
+    * a Scala tuple just to run the key lambda; the UDAF form keeps the
+    * key a native column and only the (priority, id) input pays the
+    * encoder.
+    */
+  def minKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new MinKAggregator(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
 }

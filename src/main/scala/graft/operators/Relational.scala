@@ -215,14 +215,10 @@ object Relational {
     * Window/Sort. Top-2 orders per customer by price.
     */
   def qGroupedTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     t(s, dir, "orders")
-      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(graft.functions.TopKAggregator.topK(2))
-      .toDF("o_custkey", "top")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(2)(
+        col("o_totalprice"), col("o_orderkey")).as("top"))
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("o_custkey"), col("item._2").as("o_orderkey"),
         col("item._1").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))

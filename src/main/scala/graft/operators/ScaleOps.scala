@@ -147,7 +147,6 @@ object ScaleOps {
     * never a partition-wide window sort of the candidate set.
     */
   def qGridKnn(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val r2 = GridR * GridR
     val p = gridPoints(s, dir)
     val probes = p
@@ -161,12 +160,9 @@ object ScaleOps {
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("d2", expr("(xa-xb)*(xa-xb) + (ya-yb)*(ya-yb)"))
       .filter(col("d2") < r2)
-      .select("id_a", "id_b", "d2")
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (-t._3.toDouble, t._2))
-      .agg(graft.functions.TopKAggregator.topK(3))
-      .toDF("id_a", "top")
+      .groupBy(col("id_a"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(3)(
+        (-col("d2")).cast("double"), col("id_b")).as("top"))
       .select(col("id_a"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("id_a"), (col("pos") + 1).cast("long").as("rk"),
         col("item._2").as("id_b"), (-col("item._1")).cast("long").as("d2"))

@@ -51,11 +51,13 @@ object Similarity {
     // partition) instead of every scored row — the 100 TB shape (a window
     // row_number would shuffle + sort the full scored set). Tie-breaks
     // match row_number() OVER (ORDER BY cos_sim DESC, vec_id).
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._3, r._2))
-      .agg(graft.functions.TopKAggregator.topK(10))
-      .toDF("query_id", "top")
+    // Native-key UDAF form, not groupByKey: the typed form deserializes
+    // every scored row into a tuple just to run the key lambda — see
+    // TopKAggregator.topKUdaf.
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(10)(
+        col("cos_sim"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("query_id"), col("item._2").as("vec_id"),
         col("item._1").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
@@ -347,11 +349,10 @@ object Similarity {
       df.select(col("query_id"), col("vec_id"),
         round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
     def top10(scored: DataFrame): DataFrame =
-      scored.as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._3, r._2))
-        .agg(graft.functions.TopKAggregator.topK(10))
-        .toDF("query_id", "top")
+      scored
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAggregator.topKUdaf(10)(
+          col("cos_sim"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top")).as("item"))
         .select(col("query_id"), col("item._2").as("vec_id"))
     val exact = top10(score(corpus.crossJoin(broadcast(q))))
@@ -445,11 +446,10 @@ object Similarity {
       df.select(col("query_id"), col("vec_id"),
         round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
     def top10(scored: DataFrame): DataFrame =
-      scored.as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._3, r._2))
-        .agg(graft.functions.TopKAggregator.topK(10))
-        .toDF("query_id", "top")
+      scored
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAggregator.topKUdaf(10)(
+          col("cos_sim"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top")).as("item"))
         .select(col("query_id"), col("item._2").as("vec_id"))
     val exact = top10(score(corpus.crossJoin(broadcast(q)))).persist()
@@ -590,11 +590,10 @@ object Similarity {
     // bounded top-10 with (cos DESC, vec_id) ranks — posexplode order IS
     // the aggregator's sort order, so rank = position + 1
     def top10(scored: DataFrame): DataFrame =
-      scored.as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._3, r._2))
-        .agg(graft.functions.TopKAggregator.topK(10))
-        .toDF("query_id", "top")
+      scored
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAggregator.topKUdaf(10)(
+          col("cos_sim"), col("vec_id")).as("top"))
         .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
         .select(col("query_id"), col("item._2").as("vec_id"),
           col("item._1").as("gain"), (col("pos") + 1).cast("double").as("rk"))
@@ -782,12 +781,10 @@ object Similarity {
       .join(broadcast(dt), Seq("m", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum("qd2i").as("d2i"))
-    adc.select(col("query_id"), col("vec_id"), col("d2i"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (-r._3.toDouble, r._2))
-      .agg(graft.functions.TopKAggregator.topK(5))
-      .toDF("query_id", "top")
+    adc
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(5)(
+        (-col("d2i")).cast("double"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("query_id"), col("item._2").as("vec_id"),
         (-col("item._1")).cast("long").as("d2i"),
@@ -864,12 +861,10 @@ object Similarity {
       .join(broadcast(dt), Seq("query_id", "m", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum("qd2i").as("d2i"))
-    adc.select(col("query_id"), col("vec_id"), col("d2i"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (-r._3.toDouble, r._2))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("query_id", "top")
+    adc
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        (-col("d2i")).cast("double"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("query_id"), col("item._2").as("vec_id"),
         (-col("item._1")).cast("long").as("d2i"),
@@ -1091,11 +1086,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._3, r._2))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("query_id", "top")
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col("cos_sim"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("query_id"), col("item._2").as("vec_id"),
         col("item._1").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
@@ -1347,12 +1341,11 @@ object Similarity {
         // `ORDER BY cos_sim DESC, vec_id`.
         (col("vec_id") * 100000L + col("label")).as("packed"),
         round(expr(dotExpr) / (col("qnrm") * col("nrm")), 4).as("cos_sim"))
-    scored.as[(Long, Int, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .mapValues(r => (r._4, r._3))
-      .agg(graft.functions.TopKAggregator.topK(5))
-      .toDF("qk", "top")
-      .select(col("qk._1").as("query_id"), col("qk._2").as("true_label"),
+    scored
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(5)(
+        col("cos_sim"), col("packed")).as("top"))
+      .select(col("query_id"), col("true_label"),
         explode(col("top")).as("item"))
       .select(col("query_id"), col("true_label").cast("long").as("true_label"),
         pmod(col("item._2"), lit(100000L)).cast("long").as("nbr_label"))
@@ -1453,11 +1446,10 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 3)
     val joined = corpus.crossJoin(broadcast(q))
     def top10(scored: DataFrame): DataFrame =
-      scored.as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._3, r._2))
-        .agg(graft.functions.TopKAggregator.topK(10))
-        .toDF("query_id", "top")
+      scored
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAggregator.topKUdaf(10)(
+          col("cos_sim"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top")).as("item"))
         .select(col("query_id"), col("item._2").as("vec_id"))
     val full = top10(joined.select(col("query_id"), col("vec_id"),
