@@ -21,7 +21,15 @@ import java.util.Comparator
 object TempDirs {
 
   lazy val root: Path = {
-    val r = Files.createTempDirectory("graft_run_")
+    // SPARK_GRAFT_TMPROOT relocates all run-scoped scratch (stream
+    // checkpoints/sinks, queue dirs, derby stores) — e.g. onto a
+    // RAM-backed fs for I/O-bound sweeps. Default: java.io.tmpdir.
+    val r = sys.env.get("SPARK_GRAFT_TMPROOT") match {
+      case Some(base) =>
+        Files.createTempDirectory(
+          Files.createDirectories(java.nio.file.Paths.get(base)), "graft_run_")
+      case None => Files.createTempDirectory("graft_run_")
+    }
     // Liveness marker for the audit scripts' stale-scratch sweep: a
     // long-lived run (sf10 benches exceed 2h) may never refresh the
     // root's mtime, so mtime alone can't distinguish "stale" from

@@ -22,22 +22,42 @@ import graft.QueryDef
   */
 object StreamOps {
 
-  /** Run `body` with `spark.sql.shuffle.partitions` = 8, restoring the
-    * session value after. A stateful streaming query materializes ONE
-    * state-store instance (+ its checkpoint files) PER shuffle partition
-    * per stateful operator; at the correctness gate's data volume the
-    * batch-sized 32 leaves every store nearly empty while paying 32
-    * stores' worth of checkpoint IO per micro-batch. 8 amortizes that
-    * without changing results (the partition count is sealed into each
-    * fresh checkpoint, so this never conflicts with a resumed query). A
-    * production deployment sizes this to throughput, not to the batch
-    * session default.
+  /** Run `body` with `spark.sql.shuffle.partitions` = 2 (env-overridable),
+    * restoring the session value after. A stateful streaming query
+    * materializes ONE state-store instance (+ its checkpoint files) PER
+    * shuffle partition per stateful operator; at the correctness gate's
+    * data volume the batch-sized 32 leaves every store nearly empty while
+    * paying 32 stores' worth of checkpoint IO per micro-batch. The round-17
+    * width sweep (isolated min-of-4 per query at sf0.1, widths 8/4/2/1)
+    * measured 2 as the optimum: state-store-bound queries drop hard
+    * (sessions 2.04→1.56, join 3.11→2.71, enriched 1.97→1.82, cdc
+    * 1.53→1.42) while 1 serializes the stateful compute (join 4.19) and
+    * only the pure window aggregate pays ~0.1 s vs 8. Results are
+    * unchanged (the partition count is sealed into each fresh checkpoint,
+    * so this never conflicts with a resumed query). A production
+    * deployment sizes this to throughput via SPARK_GRAFT_STREAM_PARTITIONS,
+    * not to the batch session default. (The same sweep rejected the
+    * RocksDB provider for these drain-once queries — per-store instance
+    * startup regressed join 3.11→3.75 — and found a RAM-backed
+    * SPARK_GRAFT_TMPROOT worth ~0.2 s on sessions only, both left at
+    * their defaults.)
     */
   private def withStreamPartitions[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, saved)
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "2"))
+    // sweepable state-store provider (unset = Spark's HDFS-backed default;
+    // qStreamTokenBudget pins RocksDB regardless — the v2 state API needs it)
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val pSaved = s.conf.getOption(pKey)
+    sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").foreach(s.conf.set(pKey, _))
+    try body finally {
+      s.conf.set(key, saved)
+      if (sys.env.contains("SPARK_GRAFT_STREAM_STATESTORE")) pSaved match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None => s.conf.unset(pKey)
+      }
+    }
   }
 
   /** File-stream source for `<dir>/<name>.parquet` in BOTH testdata
