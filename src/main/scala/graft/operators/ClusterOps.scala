@@ -928,7 +928,10 @@ object ClusterOps {
       .select(col("src"), col("item._2").as("dst"))
       .persist()
     val nodes = e.select(col("vec_id").as("id")).persist()
-    val n = nodes.count()
+    // N is the unfiltered embeddings row count — a parquet-footer scalar
+    // (Tables.rowCount), not a job; the nodes cache materializes inside
+    // round 1's first join instead of a dedicated count pass.
+    val n = graft.Tables.rowCount(s, dir, "embeddings")
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var prevPr: DataFrame = null
     for (i <- 1 to iters) {
